@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loading + oracle-parity numeric helpers.
+  *
+  * All driver test tables are single parquet files under `dir` (see
+  * TESTDATA.md). Every query in [[graft.SparkEntry]] goes through
+  * [[Tables.t]] so that column pruning / predicate pushdown reach the
+  * parquet scan (verified via `.explain("formatted")` — PushedFilters /
+  * ReadSchema).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-arithmetic SUM for oracle parity.
+    *
+    * Summing doubles is order-dependent (shuffle/partition order differs
+    * between Spark and DuckDB), so every money-typed aggregate is summed
+    * in decimal (exact) and only the FINAL value is cast back to double —
+    * bit-identical in both engines. The matching oracle SQL pattern is
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average: decimal sum divided by count, as double (one IEEE
+    * division of identical operands in both engines ⇒ identical result). */
+  def avgDec(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
+
+  /** Decimal product for revenue-style expressions: both factors exact at
+    * the given scales, so the product (and its sum) is exact. */
+  def mulDec(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
+    a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB))
+}
+
+/** A named query with its DuckDB oracle (None ⇒ rows-only check). */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryPack {
+  def defs: Seq[QueryDef]
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack, Tables}
+import graft.core.Tables.{avgDec, mulDec, sumDec, t}
+
+/** Generic relational operator surface (SURVEY.md §2.5–§2.10) expressed on
+  * the driver's TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent, validated on local[32]):
+  *  - every query reads only the columns it needs (column pruning reaches
+  *    the parquet scan) and filters early (predicate pushdown);
+  *  - small dimension tables (region/nation/part/supplier) are broadcast
+  *    so fact-table joins never shuffle the big side;
+  *  - double-typed aggregates are computed in decimal so results are
+  *    order/partition-independent (deterministic under any parallelism) —
+  *    see [[graft.core.Tables.sumDec]].
+  */
+object Relational extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- A1/A4-style aggregation (TPC-H Q1 shape; ref: fink
+    //      bin/ztf/archive_statistics.py:114 groupBy().count()) ----
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumDec(col("l_quantity")).as("sum_qty"),
+            sumDec(col("l_extendedprice")).as("sum_base_price"),
+            sum(mulDec(col("l_extendedprice"), lit(1) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            avgDec(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- F1-style selective scan: filter + projection pushdown ----
+    QueryDef(
+      "q02_filter_pushdown",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01") &&
+            col("l_quantity") < 10)
+          .select("l_orderkey", "l_partkey", "l_quantity"),
+      Some("""
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_quantity < 10""")),
+
+    // ---- Fact-fact equi-join + aggregation ----
+    QueryDef(
+      "q03_join_agg",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderdate") >= lit("1995-01-01"))
+        val l = t(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(mulDec(col("l_extendedprice"), lit(1) - col("l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY o_orderpriority""")),
+
+    // ---- J1-style broadcast join (ref: bin/ztf/merge.py:81-83) ----
+    QueryDef(
+      "q04_broadcast_join",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_size") <= 10)
+        t(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sumDec(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT p_brand,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10 GROUP BY p_brand""")),
+
+    // ---- Multi-way star join (TPC-H Q5 shape): dims broadcast ----
+    QueryDef(
+      "q05_star_join",
+      (s, d) => {
+        val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, d, "nation")
+        val cust   = t(s, d, "customer")
+        val supp   = t(s, d, "supplier")
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(mulDec(col("l_extendedprice"), lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // ---- Semi join (EXISTS) ----
+    QueryDef(
+      "q06_semi_join",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // ---- Anti join (NOT EXISTS) ----
+    QueryDef(
+      "q07_anti_join",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // ---- Outer join with null-aware count ----
+    QueryDef(
+      "q08_outer_join",
+      (s, d) => {
+        val big = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey"), col("l_quantity"))
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_matched"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched
+        FROM orders LEFT JOIN
+          (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 49) li
+          ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus""")),
+
+    // ---- W1 parity: last-row-per-key dedup via max-over-unbounded window
+    //      (ref: rubin/hbase_utils.py:677-691) ----
+    QueryDef(
+      "q09_window_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        t(s, d, "events")
+          .withColumn("max_ts", max(col("ts")).over(w))
+          .filter(col("ts") === col("max_ts"))
+          .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
+            col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type
+        FROM (SELECT *, MAX(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
+        WHERE ts = max_ts""")),
+
+    // ---- Ranking window: top-3 orders per customer ----
+    QueryDef(
+      "q10_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3""")),
+
+    // ---- Running (frame-sliding) window sum ----
+    QueryDef(
+      "q11_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .over(w).cast("double").as("running_qty"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem""")),
+
+    // ---- A2 parity: distinct counting ----
+    QueryDef(
+      "q12_distinct",
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem""")),
+
+    // ---- Global sort + limit (top-k; ties broken by key) ----
+    QueryDef(
+      "q13_topk",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- Set ops: nations with customers but no suppliers, and the
+    //      intersection, tagged and unioned ----
+    QueryDef(
+      "q14_setops",
+      (s, d) => {
+        val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        cn.except(sn).withColumn("tag", lit("cust_only"))
+          .union(cn.intersect(sn).withColumn("tag", lit("both")))
+      },
+      Some("""
+        SELECT nationkey, 'cust_only' AS tag FROM
+          (SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'both' AS tag FROM
+          (SELECT c_nationkey AS nationkey FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)""")),
+
+    // ---- X6 parity: when/otherwise recodes + isin (F4) ----
+    QueryDef(
+      "q15_case_when",
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase", "view", "signup"))
+          .withColumn("bucket",
+            when(col("value") < 50, "low")
+              .when(col("value") < 150, "mid")
+              .otherwise("high"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT event_type,
+          CASE WHEN value < 50 THEN 'low'
+               WHEN value < 150 THEN 'mid'
+               ELSE 'high' END AS bucket,
+          COUNT(*) AS n
+        FROM events
+        WHERE event_type IN ('click','purchase','view','signup')
+        GROUP BY 1, 2"""))
+  )
+}

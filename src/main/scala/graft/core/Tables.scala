@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.DecimalType
   * All driver test tables are single parquet files under `dir` (see
   * TESTDATA.md). Every query in [[graft.SparkEntry]] goes through
   * [[Tables.t]] so that column pruning / predicate pushdown reach the
-  * parquet scan (verified via `.explain("formatted")` — PushedFilters /
-  * ReadSchema).
+  * parquet scan — asserted by PlanSpec against the formatted physical
+  * plan (PushedFilters / ReadSchema).
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =

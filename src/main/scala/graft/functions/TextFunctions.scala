@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the LLM-pipeline operators
+  * (SURVEY §7.5): tokenization, shingling, MinHash signatures, SimHash,
+  * language-ID heuristics and quality metrics.
+  *
+  * Everything here is pure `Column` composition over
+  * `org.apache.spark.sql.functions` — no UDFs — so the expressions stay
+  * inside Catalyst, serialize to executors without closures, and benefit
+  * from whole-stage codegen where the operators support it. Hash basis is
+  * `xxhash64`, Spark's codegen'd 64-bit hash.
+  */
+object TextFunctions {
+
+  /** Whitespace-normalized lowercase text (dedup canonical form). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles, e.g. n=3: "a b c d" → ["a b c","b c d"].
+    * Documents shorter than n tokens yield an empty array.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family i is xxhash64 of the shingle salted with i — one pass
+    * per (shingle, i); deterministic across runs/partitions.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys for a MinHash signature: b bands of r rows each; key =
+    * hash of (band index, the r signature slots). Two docs sharing any
+    * band key become a candidate pair: P(candidate) = 1-(1-J^r)^b.
+    */
+  def bandKeys(sig: Column, b: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(b - 1)),
+      j => xxhash64(j, slice(sig, j * r + lit(1), lit(r))))
+
+  /** Jaccard similarity of two pre-distinct array columns, as the exact
+    * ratio of two intersection/union cardinalities (cross-engine
+    * deterministic: one int division in double).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 64-bit SimHash over a token array: each token votes its hash bits
+    * up/down; the fingerprint takes the sign of each bit's tally.
+    * Near-identical docs land within a few bits of Hamming distance.
+    */
+  def simhash64(toks: Column): Column = {
+    // tally(i) = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
+    // bits unrolled at plan-build time (i is a Scala Int, so shiftright
+    // gets its literal shift). A custom single-pass Expression is the
+    // planned optimization; this form is 64 HOF folds.
+    def tally(i: Int): Column =
+      aggregate(
+        toks,
+        lit(0),
+        (acc, t) =>
+          acc + when(shiftrightunsigned(xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+    // fold bits msb-first into one signed long
+    (63 to 0 by -1).foldLeft(lit(0L)) { (acc, i) =>
+      shiftleft(acc, 1).bitwiseOR(when(tally(i) > 0, 1L).otherwise(0L))
+    }
+  }
+
+  /** Hamming distance between two simhash64 fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Language-marker vocabularies for the n-gram/stopword lang-ID
+    * heuristic. Top high-frequency function words per language — a
+    * classic, public heuristic (cf. the "stopword overlap" family of
+    * language identifiers).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "im", "ein", "mit"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Heuristic language ID: the language whose marker set overlaps the
+    * token set most; ties and zero overlap → "und" (undetermined).
+    */
+  def langId(c: Column): Column = {
+    val toks = array_distinct(tokens(lower(c)))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), el) =>
+      when(s === best && best > 0, lit(lang)).otherwise(el)
+    }
+  }
+
+  /** Quality metrics struct: character/token counts and ratio features
+    * (alpha ratio, whitespace ratio, mean token length, stopword ratio)
+    * — the length/punctuation/stopword heuristics used by public web-text
+    * quality filters (C4/Gopher-style rules).
+    */
+  def qualityMetrics(c: Column): Column = {
+    val toks = tokens(c)
+    val nChars = length(c).cast("double")
+    val nAlpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val nSpace = length(c) - length(regexp_replace(c, "\\s", ""))
+    val stop = array(langMarkers("en").map(lit): _*)
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      (nChars / size(toks)).as("chars_per_token"),
+      (nAlpha / nChars).as("alpha_ratio"),
+      (nSpace.cast("double") / nChars).as("space_ratio"),
+      (size(array_intersect(array_distinct(toks), stop)).cast("double") /
+        size(array_distinct(toks))).as("stopword_ratio"))
+  }
+}

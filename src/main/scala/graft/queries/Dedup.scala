@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` (SURVEY §7.5): exact
+  * hash-dedup, MinHash-LSH near-dedup, blocked n-gram Jaccard, SimHash.
+  *
+  * Scale design (the 100 TB contract): NOTHING here compares all pairs.
+  *  - exact dedup is a hash `groupBy` — one shuffle on the fingerprint;
+  *  - MinHash-LSH generates candidates by equi-joining on band keys
+  *    (shuffle on band hash), then verifies only candidates — the plan
+  *    contains no CartesianProduct (asserted by DedupSpec);
+  *  - blocked Jaccard equi-joins on a blocking key (lang) — the SQL-
+  *    expressible verify stage, oracle-checked; at 100 TB the block key
+  *    would be an LSH band, which is exactly q21.
+  *
+  * MinHash parameters b=16 bands × r=4 rows (k=64 hashes): candidate
+  * probability 1-(1-J^4)^16 ≈ 1 for J ≥ 0.9, ≈ 2e-4 for J ≤ 0.1 — the
+  * synthetic corpus is bimodal (planted near-dups at J ≥ 0.9, background
+  * ≤ 0.07), so LSH recall is effectively exact and the full pipeline is
+  * DuckDB-oracle-checkable against the brute-force pair join.
+  */
+object Dedup extends QueryPack {
+
+  val ShingleN = 3
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.8
+
+  /** doc_id + distinct word-3-gram shingle set (docs with ≥3 tokens). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash-LSH candidate pairs: band-key equi-join, no all-pairs.
+    *
+    * The bucket join ships only (bucket, doc_id) — 16 bytes/row — NOT the
+    * shingle sets: exploding b=16 band rows per doc with payload attached
+    * would multiply shuffle volume 16×. Shingles are re-attached to the
+    * (few) surviving candidate pairs afterwards via two id equi-joins.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
+    val buckets = sh
+      .select(
+        col("doc_id"),
+        explode(
+          bandKeys(minhashSignature(col("sh"), NumHashes), Bands, RowsPerBand))
+          .as("bucket"))
+    val pairs = buckets
+      .select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- Exact dedup: canonical-form hash groupBy; keeps the minimum
+    //      doc_id as the group representative ----
+    QueryDef(
+      "q20_exact_dedup",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(normText(col("text"))).as("fp"))
+          .agg(
+            min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies")),
+      Some("""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // ---- MinHash-LSH near-dedup, full pipeline: shingle → signature →
+    //      band buckets → candidate equi-join → exact Jaccard verify.
+    //      Oracle = brute-force pair join in DuckDB (tractable at sf0.01;
+    //      LSH recall ≈ 1 at this threshold, see header note). ----
+    QueryDef(
+      "q21_minhash_lsh",
+      (s, d) =>
+        lshCandidates(t(s, d, "documents"))
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("doc_a", "doc_b", "jaccard"),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+          FROM d WHERE len(toks) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardThreshold""")),
+
+    // ---- Blocked n-gram (unigram-set) Jaccard: equi-join on a blocking
+    //      key, exact verify inside the block ----
+    QueryDef(
+      "q22_jaccard_blocked",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          array_distinct(tokens(col("text"))).as("toks"))
+        val a = docs.select(
+          col("lang"),
+          col("doc_id").as("doc_a"),
+          col("toks").as("t_a"))
+        val b = docs.select(
+          col("lang"),
+          col("doc_id").as("doc_b"),
+          col("toks").as("t_b"))
+        a.join(b, Seq("lang"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", jaccard(col("t_a"), col("t_b")))
+          .filter(col("jaccard") >= 0.95)
+          .select("lang", "doc_a", "doc_b", "jaccard")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+            list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+          FROM documents)
+        SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95""")),
+
+    // ---- SimHash fingerprints (xxhash64-based — not reproducible in
+    //      DuckDB, so driver check is rows-only; Hamming-distance
+    //      behavior on near-dups is asserted in DedupSpec) ----
+    QueryDef(
+      "q23_simhash",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            simhash64(tokens(normText(col("text")))).as("simhash")),
+      None))
+}

@@ -9,11 +9,13 @@ import graft.core.Tables.{avgDec, mulDec, sumDec, t}
 /** Generic relational operator surface (SURVEY.md §2.5–§2.10) expressed on
   * the driver's TPC-H-ish tables, each with a DuckDB oracle.
   *
-  * Scale notes (100 TB design intent, validated on local[32]):
+  * Scale notes (100 TB design intent):
   *  - every query reads only the columns it needs (column pruning reaches
-  *    the parquet scan) and filters early (predicate pushdown);
-  *  - small dimension tables (region/nation/part/supplier) are broadcast
-  *    so fact-table joins never shuffle the big side;
+  *    the parquet scan) and filters early (predicate pushdown) — asserted
+  *    by PlanSpec against the formatted physical plan;
+  *  - only fixed-size dimension tables (region/nation/part) carry a
+  *    broadcast hint; SF-scaled tables (customer/supplier) are left to
+  *    AQE so the hint can't OOM executors at 100 TB;
   *  - double-typed aggregates are computed in decimal so results are
   *    order/partition-independent (deterministic under any parallelism) —
   *    see [[graft.core.Tables.sumDec]].
@@ -109,11 +111,13 @@ object Relational extends QueryPack {
         val nation = t(s, d, "nation")
         val cust   = t(s, d, "customer")
         val supp   = t(s, d, "supplier")
+        // customer/supplier scale with SF, so they get NO broadcast hint:
+        // AQE picks the strategy from runtime sizes. Only the fixed-size
+        // dims (nation/region) are hinted.
         t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp),
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp,
             col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -182,14 +186,17 @@ object Relational extends QueryPack {
       "q09_window_dedup",
       (s, d) => {
         val w = Window.partitionBy("user_id")
+        // ts surfaces as LongType epoch-ns (see GraftSession nanosAsLong);
+        // compare at µs because DuckDB 1.0 truncates TIMESTAMP_NS parquet
+        // to micros at scan. Integer DIV keeps the compare exact.
         t(s, d, "events")
           .withColumn("max_ts", max(col("ts")).over(w))
           .filter(col("ts") === col("max_ts"))
-          .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
-            col("event_type"))
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("ts_us"), col("event_type"))
       },
       Some("""
-        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         FROM (SELECT *, MAX(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
         WHERE ts = max_ts""")),
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack, Tables}
+import graft.core.Tables.t
+import graft.functions.TextFunctions._
+
+/** LLM-pipeline text analysis over the `documents` table (SURVEY §7.5):
+  * token counting, quality scoring, document fingerprinting, language ID.
+  *
+  * All metrics are expression-only (no UDFs) so they run inside Catalyst;
+  * ratio features divide identical integer operands in both engines, so
+  * DuckDB oracle hashes match bit-for-bit.
+  */
+object TextAnalysis extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- Token counting (whitespace tokenizer) ----
+    QueryDef(
+      "q16_token_count",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("len_chars")),
+      Some("""
+        SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          length(text) AS len_chars
+        FROM documents""")),
+
+    // ---- Quality scoring: C4/Gopher-style ratio features ----
+    QueryDef(
+      "q17_quality_score",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("q", qualityMetrics(col("text")))
+          .select(
+            col("doc_id"),
+            col("q.n_tokens").as("n_tokens"),
+            col("q.chars_per_token").as("chars_per_token"),
+            col("q.alpha_ratio").as("alpha_ratio"),
+            col("q.space_ratio").as("space_ratio"),
+            col("q.stopword_ratio").as("stopword_ratio")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          len(toks) AS n_tokens,
+          length(text)::DOUBLE / len(toks) AS chars_per_token,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+            / length(text) AS alpha_ratio,
+          (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+            / length(text) AS space_ratio,
+          len(list_intersect(list_distinct(toks),
+            ['the','and','of','to','in','is','that','it','was','for']))::DOUBLE
+            / len(list_distinct(toks)) AS stopword_ratio
+        FROM d""")),
+
+    // ---- Document fingerprint: md5 of whitespace-normalized text (the
+    //      SQL-expressible canonical-form fingerprint; the 64-bit
+    //      rolling-hash variant lives in TextFunctions.simhash64 and is
+    //      exercised by q23) ----
+    QueryDef(
+      "q19_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(normText(col("text"))).as("fp")),
+      Some("""
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents""")),
+
+    // ---- Language ID heuristic (marker-word overlap). The synthetic
+    //      corpus is language-less word soup, so the value here is the
+    //      mechanics (argmax over per-language overlap scores); exactness
+    //      is covered by TextAnalysisSpec fixtures, the driver check is
+    //      rows-only. ----
+    QueryDef(
+      "q18_lang_id",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("lang").as("labeled_lang"),
+            langId(col("text")).as("detected_lang")),
+      None))
+}

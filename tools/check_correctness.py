@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local pre-flight replica of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir>
+
+For each query dir under verify_out: load the Spark parquet result and
+run the matching oracle SQL in DuckDB over the sf_dir tables; sort
+columns by name, sort rows, compare values (hash-style exact compare,
+with a tiny float tolerance fallback reported separately).
+
+Dev tool only — the engine itself has no Python dependency.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(r[i] for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True, False
+        if a == b:
+            return True, False
+        if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)):
+            return True, True  # only approx-equal
+    return a == b, False
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_exact = n_approx = n_fail = 0
+    for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
+        name = qdir.name
+        spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        s_rows, s_cols = canon(spark_rel.fetchall(), spark_rel.columns)
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        o_rel = con.sql(oracle[name])
+        o_rows, o_cols = canon(o_rel.fetchall(), o_rel.columns)
+        if s_cols != o_cols:
+            print(f"FAIL {name}: schema {s_cols} vs oracle {o_cols}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: {len(s_rows)} rows vs oracle {len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = approx = 0
+        for sr, orow in zip(s_rows, o_rows):
+            for a, b in zip(sr, orow):
+                ok, ap = eq(a, b)
+                if not ok:
+                    bad += 1
+                elif ap:
+                    approx += 1
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches "
+                  f"(example spark={s_rows[0]} oracle={o_rows[0]})")
+            n_fail += 1
+        elif approx:
+            print(f"~    {name}: exact except {approx} approx-equal floats "
+                  f"({len(s_rows)} rows) — WOULD FAIL a hash compare")
+            n_approx += 1
+        else:
+            print(f"ok   {name}: exact ({len(s_rows)} rows)")
+            n_exact += 1
+    print(f"\n{n_exact} exact, {n_approx} approx, {n_fail} fail")
+    sys.exit(1 if n_fail or n_approx else 0)
+
+
+if __name__ == "__main__":
+    main()

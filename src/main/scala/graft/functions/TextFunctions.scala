@@ -27,10 +27,15 @@ object TextFunctions {
     */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // guard: sequence(1, 0) DESCENDS in Spark, which would feed slice a
+    // zero start — short docs must yield an empty array instead
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.

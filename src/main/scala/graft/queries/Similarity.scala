@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,75 @@ object Similarity extends QueryPack {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  // IVF geometry: K coarse cells, probes visit the nprobe nearest.
+  val IvfCells = 16
+  val IvfNProbe = 4
+
+  /** IVF (inverted-file) coarse quantizer: deterministic centroids drawn
+    * from the corpus itself (the K vectors with the smallest
+    * xxhash64(vec_id) — a seeded sample without an RNG), materialized on
+    * the driver as literal arrays. Corpus rows are assigned to their
+    * single nearest centroid; probes fan out to the `nprobe` nearest
+    * cells. Scan fraction ≈ nprobe/K of the corpus per probe.
+    *
+    * The centroid collect is an index-BUILD step (K rows, driver-side by
+    * design, exactly like training a FAISS coarse quantizer); the search
+    * path stays fully distributed.
+    */
+  def ivfCentroids(corpus: DataFrame, k: Int): Array[Array[Float]] =
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  private def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
+    array(cents.map(c => cosine(v, array(c.map(lit): _*))): _*)
+
+  /** Cell id of the nearest centroid (1-based from array_position). */
+  def ivfCell(v: Column, cents: Array[Array[Float]]): Column = {
+    val scores = centroidScores(v, cents)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** The `nprobe` nearest cell ids for a probe vector. */
+  def ivfProbeCells(v: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+    val scores = centroidScores(v, cents)
+    // zip (score, cell), sort ascending by score, take the tail
+    val zipped = arrays_zip(
+      scores.as("s"),
+      transform(sequence(lit(1), lit(cents.length)), i => i.cast("int")).as("c"))
+    transform(
+      slice(reverse(array_sort(zipped)), 1, nprobe),
+      x => x.getField("c"))
+  }
+
+  /** IVF ANN top-k: equi-join probes' nprobe cells against the corpus
+    * cell assignment, exact cosine re-rank inside the visited cells.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = IvfCells, nprobe: Int = IvfNProbe): DataFrame = {
+    val cents = ivfCentroids(corpus, cells)
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      ivfCell(col("embedding"), cents).as("cell"))
+    val p = probes.select(
+      col("vec_id").as("probe_id"),
+      col("embedding").as("pv"),
+      explode(ivfProbeCells(col("embedding"), cents, nprobe)).as("cell"))
+    val w = Window
+      .partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    p.join(c, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact top-k baseline, DuckDB-oracle-checked. Output is
     //      (probe, rank, neighbor) — rank ties broken by id; cosine is
@@ -114,6 +183,18 @@ object Similarity extends QueryPack {
       (s, d) => {
         val e = emb(s, d)
         annTopK(e.filter(col("vec_id") < NumProbes), e, TopK)
+          .select("probe_id", "rank", "neighbor_id")
+      },
+      None),
+
+    // ---- IVF ANN top-k (rows-only; recall semantics proven on the
+    //      clustered fixture in SimilaritySpec — the synthetic corpus is
+    //      isotropic noise, the worst case for any sublinear ANN) ----
+    QueryDef(
+      "q31_ann_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        ivfTopK(e.filter(col("vec_id") < NumProbes), e, TopK)
           .select("probe_id", "rank", "neighbor_id")
       },
       None),

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Dedup
+
+/** Behavior of the dedup operators on a planted fixture: exact copies,
+  * near-duplicates (one word changed), and unrelated docs.
+  */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val base =
+    "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while birds sing in the tall green trees above the quiet water"
+
+  private lazy val fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong), // exact copy of 0
+      (2L, base.replace("quick", "rapid"), "en", "src2", base.length.toLong), // near-dup of 0
+      (3L, "completely different text about spark catalyst optimizer rules " +
+        "and whole stage code generation in distributed query engines today",
+        "en", "src3", 120L),
+      (4L, "short doc", "en", "src4", 9L) // < 3 tokens after shingling edge
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup groups identical canonical forms") {
+    val groups = fixture
+      .groupBy(md5(normText(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+      .collect()
+    val dupGroup = groups.find(_.getLong(2) == 2)
+    assert(dupGroup.isDefined, "docs 0 and 1 should share a fingerprint")
+    assert(dupGroup.get.getLong(1) === 0L)
+  }
+
+  test("minhash-LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .lshCandidates(fixture)
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)), s"missed the exact pair: $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"missed the near-dup pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"false positive on unrelated doc: $pairs")
+  }
+
+  test("minhash signature is deterministic and k-long") {
+    val sigs = fixture
+      .filter(col("doc_id") === 0)
+      .select(minhashSignature(wordShingles(col("text"), 3), Dedup.NumHashes).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sigs.length === Dedup.NumHashes)
+    val again = fixture
+      .filter(col("doc_id") === 0)
+      .select(minhashSignature(wordShingles(col("text"), 3), Dedup.NumHashes).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sigs === again)
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated far") {
+    val fps = fixture
+      .select(col("doc_id"), simhash64(tokens(normText(col("text")))).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) === 0, "identical docs must hash equal")
+    assert(ham(fps(0L), fps(2L)) <= 12,
+      s"near-dup too far: ${ham(fps(0L), fps(2L))}")
+    assert(ham(fps(0L), fps(3L)) >= 16,
+      s"unrelated too close: ${ham(fps(0L), fps(3L))}")
+  }
+
+  test("shingles of a short doc are empty, not an error") {
+    val n = fixture
+      .filter(col("doc_id") === 4)
+      .select(wordShingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(n.isEmpty)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Language-ID and quality-metric behavior on crafted fixtures (the
+  * synthetic corpus is language-less, so semantics are proven here).
+  */
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def detect(text: String): String = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(langId(col("t"))).collect()(0).getString(0)
+  }
+
+  test("langId detects marker-heavy samples") {
+    assert(detect("the cat and the dog of it was in that house") === "en")
+    assert(detect("el perro y la casa de los árboles en que vivo") === "es")
+    assert(detect("le chat et la maison des arbres est un lieu du monde") === "fr")
+    assert(detect("der Hund und die Katze ist von den Bäumen im Garten") === "de")
+    assert(detect("我 是 他 的 人 这 不 了") === "zh")
+  }
+
+  test("langId yields 'und' for no overlap") {
+    assert(detect("zzz qqq xxx yyy") === "und")
+  }
+
+  test("quality metrics on a known string") {
+    import spark.implicits._
+    val row = Seq("the cat sat")
+      .toDF("t").select(qualityMetrics(col("t")).as("q"))
+      .select("q.*").collect()(0)
+    assert(row.getAs[Long]("n_tokens") === 3L)
+    assert(math.abs(row.getAs[Double]("chars_per_token") - 11.0 / 3) < 1e-12)
+    // "thecatsat" = 9 alpha of 11 chars
+    assert(math.abs(row.getAs[Double]("alpha_ratio") - 9.0 / 11) < 1e-12)
+    assert(math.abs(row.getAs[Double]("space_ratio") - 2.0 / 11) < 1e-12)
+    // stopwords among {the,cat,sat}: "the"
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("normText canonicalizes case and whitespace") {
+    import spark.implicits._
+    val out = Seq("  A  B\t c ", "a b c")
+      .toDF("t").select(normText(col("t"))).collect().map(_.getString(0))
+    assert(out(0) === out(1))
+  }
+
+  test("wordShingles produce n-grams in order") {
+    import spark.implicits._
+    val sh = Seq("a b c d").toDF("t")
+      .select(wordShingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.avro
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+
+/** E1/E2: `from_avro`/`to_avro` as Catalyst expressions over avro-core
+  * (spark-avro is not on this classpath — the wire format is identical:
+  * a raw Avro binary body, schema known out-of-band).
+  *
+  * Both expressions are CodegenFallback: the per-row cost is the Avro
+  * encoder itself, which dominates any codegen gain; writer/reader and
+  * scratch buffers are reused per task via lazy fields.
+  */
+case class ToAvro(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_to_avro"
+
+  private lazy val sparkType = child.dataType
+  @transient private lazy val avroSchema =
+    AvroSchemaConverter.toAvro(sparkType)
+  @transient private lazy val writer =
+    new GenericDatumWriter[Any](AvroCodec.unwrapUnion(avroSchema))
+  @transient private lazy val out = new ByteArrayOutputStream()
+  @transient private var encoder: BinaryEncoder = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val datum = AvroCodec.catalystToAvro(input, sparkType, avroSchema)
+    out.reset()
+    encoder = EncoderFactory.get().directBinaryEncoder(out, encoder)
+    writer.write(datum, encoder)
+    encoder.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Decode a binary Avro body into a struct given the writer schema JSON.
+  * `skipBytes` supports framed wire formats (e.g. the Confluent wire
+  * format's magic byte + 4-byte schema id = 5 bytes) — the reference
+  * needs a custom decode for its production framing (E3, ref:
+  * bin/ztf/stream2raw.py:112-115).
+  */
+case class FromAvro(child: Expression, schemaJson: String, skipBytes: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  override lazy val dataType: DataType = AvroSchemaConverter.toSql(avroSchema)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_from_avro"
+
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](AvroCodec.unwrapUnion(avroSchema))
+  @transient private var decoder: BinaryDecoder = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    decoder = DecoderFactory.get()
+      .binaryDecoder(bytes, skipBytes, bytes.length - skipBytes, decoder)
+    val rec = reader.read(null, decoder)
+    AvroCodec.avroToCatalyst(rec, dataType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AvroFunctions {
+
+  /** E2: encode a (struct) column to Avro binary. */
+  def toAvro(c: Column): Column = shims.column(ToAvro(shims.expression(c)))
+
+  /** E1: decode Avro binary with the given writer schema. */
+  def fromAvro(c: Column, schemaJson: String): Column =
+    shims.column(FromAvro(shims.expression(c), schemaJson))
+
+  /** E3: decode with framed wire formats (skip a fixed-size header). */
+  def fromAvroFramed(c: Column, schemaJson: String, skipBytes: Int): Column =
+    shims.column(FromAvro(shims.expression(c), schemaJson, skipBytes))
+
+  /** E4: the Avro reader-schema JSON for a Spark schema (published as
+    * the Kafka message key by the reference).
+    */
+  def avroSchemaJson(st: StructType, recordName: String = "topLevelRecord"): String =
+    AvroSchemaConverter.toAvro(st, recordName).toString
+}

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass hash expressions for the dedup operators.
+  *
+  * Both produce BIT-IDENTICAL results to their `functions._` HOF
+  * equivalents (see TextFunctions) but hash each string ONCE:
+  * Spark's `xxhash64(s, i)` is defined as
+  * `hashInt(i, seed = hashUnsafeBytes(s, seed = 42))`, so the k per-seed
+  * lanes derive from one string digest. The HOF forms re-hash the
+  * string per lane — k× the work plus per-element interpretation
+  * overhead; these expressions took the sf0.1 MinHash stage from 82 s
+  * to the cost of one tokenization pass.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, h1)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array, one string hash per token. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tally = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 63
+    while (b >= 0) {
+      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection cardinality of two SORTED string arrays by linear
+  * merge — no per-call hash set, no result array. Callers pre-sort once
+  * per document (`array_sort`), turning a pair-verify join's dominant
+  * cost into a cache-friendly scan. Equal to
+  * `size(array_intersect(a, b))` for sorted distinct inputs.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word n-gram shingles from a token array in one pass —
+  * value-identical to the `transform(sequence)+slice+concat_ws+
+  * array_distinct` HOF form (single-space joins, first-occurrence
+  * order) without per-shingle slice allocations. Short inputs yield an
+  * empty array.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= total - n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = org.apache.spark.unsafe.types.UTF8String
+          .concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    shims.column(SortedIntersectSize(shims.expression(a), shims.expression(b)))
+
+  def wordNGrams(tokens: Column, n: Int): Column =
+    shims.column(WordNGrams(shims.expression(tokens), n))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    shims.column(MinHashSig(shims.expression(shingles), k))
+
+  def simhash64(tokens: Column): Column =
+    shims.column(SimHash64(shims.expression(tokens)))
+}

@@ -23,12 +23,19 @@ object TextFunctions {
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Distinct word n-gram shingles, e.g. n=3: "a b c d" → ["a b c","b c d"].
-    * Documents shorter than n tokens yield an empty array.
+    * Documents shorter than n tokens yield an empty array. Evaluated by
+    * the single-pass [[HashFunctions.wordNGrams]] expression;
+    * [[wordShinglesHof]] is its value-identical HOF spelling.
     */
-  def wordShingles(c: Column, n: Int): Column = {
+  def wordShingles(c: Column, n: Int): Column =
+    HashFunctions.wordNGrams(tokens(c), n)
+
+  /** HOF reference form of [[wordShingles]], kept for equivalence
+    * testing. Guard: sequence(1, 0) DESCENDS in Spark, which would feed
+    * slice a zero start — short docs must yield an empty array instead.
+    */
+  def wordShinglesHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    // guard: sequence(1, 0) DESCENDS in Spark, which would feed slice a
-    // zero start — short docs must yield an empty array instead
     when(
       size(toks) >= n,
       array_distinct(
@@ -39,10 +46,18 @@ object TextFunctions {
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family i is xxhash64 of the shingle salted with i — one pass
-    * per (shingle, i); deterministic across runs/partitions.
+    * Hash family i is `xxhash64(shingle, i)`. Evaluated by the
+    * single-pass [[HashFunctions.minhashSig]] expression; the HOF
+    * spelling below computes identical values and serves as its
+    * cross-check oracle in DedupSpec.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
+    HashFunctions.minhashSig(shingles, k)
+
+  /** Reference HOF form of [[minhashSignature]] (k× slower: re-hashes
+    * the string per lane) — kept for equivalence testing.
+    */
+  def minhashSignatureHof(shingles: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => xxhash64(s, i))))
@@ -64,15 +79,26 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Jaccard from precomputed set sizes: |A∪B| = |A|+|B|−|A∩B|, so only
+    * the intersection is materialized — ~2× cheaper on wide token sets
+    * in pair-verify joins. Exactly equal to [[jaccard]] for distinct
+    * arrays.
+    */
+  def jaccardBySize(inter: Column, na: Column, nb: Column): Column =
+    inter.cast("double") / (na + nb - inter).cast("double")
+
   /** 64-bit SimHash over a token array: each token votes its hash bits
     * up/down; the fingerprint takes the sign of each bit's tally.
     * Near-identical docs land within a few bits of Hamming distance.
+    * Evaluated by the single-pass [[HashFunctions.simhash64]]
+    * expression; [[simhash64Hof]] is its value-identical cross-check.
     */
-  def simhash64(toks: Column): Column = {
-    // tally(i) = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
-    // bits unrolled at plan-build time (i is a Scala Int, so shiftright
-    // gets its literal shift). A custom single-pass Expression is the
-    // planned optimization; this form is 64 HOF folds.
+  def simhash64(toks: Column): Column = HashFunctions.simhash64(toks)
+
+  /** Reference HOF form of [[simhash64]] (64 folds over the tokens) —
+    * kept for equivalence testing.
+    */
+  def simhash64Hof(toks: Column): Column = {
     def tally(i: Int): Column =
       aggregate(
         toks,
@@ -80,7 +106,6 @@ object TextFunctions {
         (acc, t) =>
           acc + when(shiftrightunsigned(xxhash64(t), i).bitwiseAND(1) === 1, 1)
             .otherwise(-1))
-    // fold bits msb-first into one signed long
     (63 to 0 by -1).foldLeft(lit(0L)) { (acc, i) =>
       shiftleft(acc, 1).bitwiseOR(when(tally(i) > 0, 1L).otherwise(0L))
     }

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Float-vector × literal-matrix product as one expression.
+  *
+  * The LSH/IVF stages need `rows` dot products per input vector; as
+  * `zip_with`+`aggregate` HOFs that is rows×dim interpreted lambda
+  * steps with boxing. Here the matrix rides along as a plan literal and
+  * the kernel is two tight loops over primitive arrays — same sequential
+  * fold order as the HOF form, so results are identical.
+  *
+  * `cosine = true` divides each dot by ‖v‖·‖row‖ (row norms
+  * precomputed at plan build).
+  */
+case class FloatVecMatMul(
+    child: Expression,
+    matrix: Array[Array[Double]],
+    cosine: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "float_vec_matmul"
+
+  @transient private lazy val rowNorms: Array[Double] =
+    matrix.map(r => math.sqrt(r.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = math.min(v.numElements(), matrix(0).length)
+    val out = new Array[Double](matrix.length)
+    var vn = 0.0
+    if (cosine) {
+      var i = 0
+      while (i < dim) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+      vn = math.sqrt(vn)
+    }
+    var r = 0
+    while (r < matrix.length) {
+      val row = matrix(r)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * row(i); i += 1 }
+      out(r) =
+        if (!cosine) acc
+        else if (vn > 0 && rowNorms(r) > 0) acc / (vn * rowNorms(r))
+        else 0.0
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All LSH table bucket keys for a vector in one pass: per table t the
+  * key is t's bits of projection signs packed onto the table id —
+  * value-identical to the Column-fold form in VectorFunctions (same
+  * sequential dot order, same `>= 0` sign rule).
+  */
+case class HyperplaneLshBuckets(
+    child: Expression,
+    planes: Array[Array[Double]],
+    tables: Int,
+    bitsPerTable: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = t.toLong
+      var b = 0
+      while (b < bitsPerTable) {
+        val row = planes(t * bitsPerTable + b)
+        val dim = math.min(v.numElements(), row.length)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v.getFloat(i).toDouble * row(i); i += 1 }
+        acc = (acc << 1) | (if (dot >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+
+  def lshBuckets(v: Column, planes: Array[Array[Double]],
+      tables: Int, bitsPerTable: Int): Column =
+    shims.column(HyperplaneLshBuckets(
+      shims.expression(v), planes, tables, bitsPerTable))
+
+
+  /** Dot products of a float-array column against literal rows. */
+  def project(v: Column, rows: Array[Array[Double]]): Column =
+    shims.column(FloatVecMatMul(shims.expression(v), rows, cosine = false))
+
+  /** Cosine similarities of a float-array column against literal rows
+    * (rows given as float vectors, e.g. sampled centroids).
+    */
+  def cosineTo(v: Column, rows: Array[Array[Float]]): Column =
+    shims.column(FloatVecMatMul(
+      shims.expression(v), rows.map(_.map(_.toDouble)), cosine = true))
+}

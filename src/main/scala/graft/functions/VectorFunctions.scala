@@ -57,8 +57,21 @@ object VectorFunctions {
     * table uses its own `bitsPerTable` hyperplanes. A vector pair
     * colliding in ANY table becomes an ANN candidate:
     * P(candidate) = 1 - (1 - p^bits)^tables with p = 1 - θ/π.
+    * Evaluated by the single-pass [[VectorExpressions.lshBuckets]]
+    * expression; [[lshBucketsHof]] is its value-identical Column-fold
+    * form, kept for equivalence testing.
     */
   def lshBuckets(
+      v: Column,
+      dim: Int,
+      tables: Int,
+      bitsPerTable: Int,
+      seed: Long = 42L): Column =
+    VectorExpressions.lshBuckets(
+      v, hyperplanes(tables * bitsPerTable, dim, seed), tables, bitsPerTable)
+
+  /** Column-fold reference form of [[lshBuckets]]. */
+  def lshBucketsHof(
       v: Column,
       dim: Int,
       tables: Int,

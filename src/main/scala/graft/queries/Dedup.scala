@@ -47,6 +47,10 @@ object Dedup extends QueryPack {
     * (few) surviving candidate pairs afterwards via two id equi-joins.
     */
   def lshCandidates(docs: DataFrame): DataFrame = {
+    // the bucket table (small: 16 longs/doc) feeds both join sides and
+    // embeds the minhash cost — persist it so signatures compute once;
+    // the shingle table is re-derived per side (one cheap tokenize pass)
+    // rather than caching megabytes of string arrays
     val sh = shingled(docs)
     val buckets = sh
       .select(
@@ -54,6 +58,7 @@ object Dedup extends QueryPack {
         explode(
           bandKeys(minhashSignature(col("sh"), NumHashes), Bands, RowsPerBand))
           .as("bucket"))
+      .persist()
     val pairs = buckets
       .select(col("bucket"), col("doc_id").as("doc_a"))
       .join(buckets.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
@@ -114,21 +119,41 @@ object Dedup extends QueryPack {
     QueryDef(
       "q22_jaccard_blocked",
       (s, d) => {
+        // sorted-distinct token sets: sorting once per doc lets the
+        // pair stage count intersections by linear merge
         val docs = t(s, d, "documents").select(
           col("doc_id"),
           col("lang"),
-          array_distinct(tokens(col("text"))).as("toks"))
+          array_sort(array_distinct(tokens(col("text")))).as("toks"))
+          .withColumn("nt", size(col("toks")))
+        // Y4 salting: lang has a handful of distinct values, so a bare
+        // lang-equi-join would put every pair on ≤5 partitions. The a
+        // side takes one salt, the b side replicates across all S —
+        // each pair still meets exactly once, on a (lang, salt) key
+        // with S× the parallelism.
+        val S = 16
         val a = docs.select(
           col("lang"),
           col("doc_id").as("doc_a"),
-          col("toks").as("t_a"))
+          col("toks").as("t_a"),
+          col("nt").as("n_a"))
+          .withColumn("salt", pmod(hash(col("doc_a")), lit(S)))
         val b = docs.select(
           col("lang"),
           col("doc_id").as("doc_b"),
-          col("toks").as("t_b"))
-        a.join(b, Seq("lang"))
+          col("toks").as("t_b"),
+          col("nt").as("n_b"))
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        a.join(b, Seq("lang", "salt"))
           .filter(col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", jaccard(col("t_a"), col("t_b")))
+          // sound size pre-filter: J ≤ min(n)/max(n), so J ≥ 0.95 pairs
+          // must have near-equal set sizes — skips the merge for the rest
+          .filter(least(col("n_a"), col("n_b")).cast("double") >=
+            greatest(col("n_a"), col("n_b")) * 0.95)
+          // |A∪B| from sizes; |A∩B| by sorted linear merge
+          .withColumn("jaccard", jaccardBySize(
+            graft.functions.HashFunctions.sortedIntersectSize(col("t_a"), col("t_b")),
+            col("n_a"), col("n_b")))
           .filter(col("jaccard") >= 0.95)
           .select("lang", "doc_a", "doc_b", "jaccard")
       },

@@ -104,7 +104,7 @@ object Similarity extends QueryPack {
       .map(_.getSeq[Float](1).toArray)
 
   private def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
-    array(cents.map(c => cosine(v, array(c.map(lit): _*))): _*)
+    graft.functions.VectorExpressions.cosineTo(v, cents)
 
   /** Cell id of the nearest centroid (1-based from array_position). */
   def ivfCell(v: Column, cents: Array[Array[Float]]): Column = {

@@ -80,6 +80,30 @@ class DedupSpec extends SparkTestBase {
       s"unrelated too close: ${ham(fps(0L), fps(3L))}")
   }
 
+  test("single-pass hash expressions equal their HOF reference forms") {
+    val rows = fixture
+      .filter(size(wordShingles(col("text"), 3)) > 0)
+      .select(
+        minhashSignature(wordShingles(col("text"), 3), 64).as("fast"),
+        minhashSignatureHof(wordShingles(col("text"), 3), 64).as("ref"),
+        simhash64(tokens(normText(col("text")))).as("sfast"),
+        simhash64Hof(tokens(normText(col("text")))).as("sref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        "minhash expression diverged from xxhash64 HOF semantics")
+      assert(r.getLong(2) === r.getLong(3),
+        "simhash expression diverged from xxhash64 HOF semantics")
+    }
+    val shingleRows = fixture.select(
+      wordShingles(col("text"), 3).as("fast"),
+      wordShinglesHof(col("text"), 3).as("ref")).collect()
+    shingleRows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1),
+        "shingle expression diverged from the HOF form")
+    }
+  }
+
   test("shingles of a short doc are empty, not an error") {
     val n = fixture
       .filter(col("doc_id") === 4)

@@ -84,6 +84,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.05, s"LSH found essentially nothing: $recall")
   }
 
+  test("lsh bucket expression equals its Column-fold reference form") {
+    val e = t(spark, sf, "embeddings").limit(50)
+    val rows = e.select(
+      lshBuckets(col("embedding"), Similarity.Dim,
+        Similarity.Tables, Similarity.BitsPerTable).as("fast"),
+      lshBucketsHof(col("embedding"), Similarity.Dim,
+        Similarity.Tables, Similarity.BitsPerTable).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val e = t(spark, sf, "embeddings").limit(5)
     val b1 = e.select(col("vec_id"),

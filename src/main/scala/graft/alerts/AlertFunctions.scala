@@ -59,6 +59,14 @@ object AlertFunctions {
         col("candidate.rb") >= 0.55 &&
         col("candidate.fid") =!= 3)
 
+  /** F2 compound log10 locus predicate — the shape of the reference's
+    * tracklet locus cut (ref: ztf/tracklet_identification.py:60-80):
+    * keep detections whose magnitude difference sits above the
+    * log-distance locus line.
+    */
+  def locusCut(distnr: Column, magDiff: Column, offset: Double = 0.2): Column =
+    magDiff > log10(distnr) + lit(offset)
+
   /** X6-style classification recode: a deterministic score + label from
     * magnitude history (stands in for the ML scorers — the engine
     * contract is column-in/column-out; ref --noscience precedent at

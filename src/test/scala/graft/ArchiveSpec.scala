@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.alerts._
+import graft.serving.ServingTable
+
+/** Offline archival surface: index tables, statistics, serving-table
+  * point lookups, batched ingestion, locus cut, SQL function registry.
+  */
+class ArchiveSpec extends SparkTestBase {
+
+  private lazy val science = {
+    val enriched = graft.jobs.Nightly.enrich(AlertSchema.fixture(spark, 200))
+    Tracklets.attach(enriched, Tracklets.detect(enriched))
+  }
+
+  test("index tables project and key correctly") {
+    val tables = ArchiveIndex.all(science)
+    assert(tables.keySet === Set("objectId_jd", "pixel128_jd_objectId",
+      "class_jd_objectId", "tracklet_objectId", "upper_objectId_jd"))
+
+    val oid = tables("objectId_jd")
+    assert(oid.count() === science.count())
+    assert(oid.columns.contains("row_key"))
+
+    val pix = tables("pixel128_jd_objectId").collect()
+    pix.foreach(r => assert(r.getAs[Long]("pixel") >= 0 &&
+      r.getAs[Long]("pixel") < 12L * 128 * 128))
+
+    val cls = tables("class_jd_objectId")
+    val ids = cls.select("classification", "class_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ids.forall { case (k, v) => ArchiveIndex.classIds(k) == v })
+
+    // upper limits: one row per prior detection, with provenance
+    val up = tables("upper_objectId_jd")
+    val expected = science.agg(
+      sum(size(coalesce(col("prv_candidates"), array())))).collect()(0).getLong(0)
+    assert(up.count() === expected)
+    assert(up.columns.contains("provenance"))
+  }
+
+  test("nightly statistics summary row (A1-A4/A3/L1/S7)") {
+    val summary = Statistics.nightlySummary(science).collect()(0)
+    assert(summary.getAs[String]("schemavsn") === "3.3")
+    assert(summary.getAs[Long]("n_alerts") === science.count())
+    assert(summary.getAs[Long]("n_objects") ===
+      science.select("objectId").distinct().count())
+    val prv = science.agg(sum(size(coalesce(col("prv_candidates"), array()))))
+      .collect()(0).getLong(0)
+    assert(summary.getAs[Long]("n_prv_detections") === prv)
+    val perClass = Statistics.classCounts(science).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perClass.values.sum === science.count())
+  }
+
+  test("withCached runs the body and unpersists (Y7)") {
+    val df = science.select("candid")
+    val n = Statistics.withCached(df)(d => d.count())
+    assert(n === science.count())
+    assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("serving table: salted write, point lookup prunes to one salt (S5)") {
+    val dir = Files.createTempDirectory("graft_serve_").toString
+    val flat = science.select(col("objectId"), col("candid"),
+      col("classification"))
+    ServingTable.write(flat, dir, Seq("objectId", "candid"), "candid")
+    // schema row sidecar
+    val schemaJson = ServingTable.readSchemaRow(spark, dir)
+    assert(schemaJson.contains("objectId"))
+    // point lookup
+    val sample = flat.limit(1).collect()(0)
+    val key = s"${sample.getString(0)}_${sample.getLong(1)}"
+    val hit = ServingTable.lookup(spark, dir, key, "candid")
+    assert(hit.count() === 1)
+    assert(hit.collect()(0).getAs[String]("classification") === sample.getString(2))
+    // partition pruning on the salt
+    val plan = hit.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(__salt"), plan)
+  }
+
+  test("batched ingestion loops over bounded file groups (Y8)") {
+    val dir = Files.createTempDirectory("graft_batches_").toString
+    (0 until 5).foreach { i =>
+      AlertSchema.fixture(spark, 10, seed = i.toLong)
+        .select("objectId", "candid")
+        .write.parquet(s"$dir/f$i")
+    }
+    val files = (0 until 5).map(i => s"$dir/f$i")
+    var batches = 0
+    var rows = 0L
+    val n = ServingTable.ingestBatched(spark, files, batchSize = 2) { batch =>
+      batches += 1
+      rows += batch.count()
+    }
+    assert(n === 3 && batches === 3 && rows === 50L)
+  }
+
+  test("locus cut keeps points above the log-distance line (F2)") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 1.0), // log10(1)=0; 1.0 > 0.2 → keep
+      (10.0, 1.0), // log10(10)=1; 1.0 < 1.2 → drop
+      (100.0, 2.5) // 2.5 > 2.2 → keep
+    ).toDF("distnr", "magdiff")
+    val kept = df.filter(
+      AlertFunctions.locusCut(col("distnr"), col("magdiff"))).collect()
+    assert(kept.map(_.getDouble(0)).toSet === Set(1.0, 100.0))
+  }
+
+  test("SQL function registry exposes the graft expressions") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val pix = spark.sql(
+      "SELECT graft_ang2pix(10.0d, 20.0d, 256) AS p").collect()(0).getLong(0)
+    assert(pix === Healpix.ang2pixNest(256, 10.0, 20.0))
+    val sim = spark.sql(
+      "SELECT graft_simhash(array('a','b')) AS s, " +
+        "graft_minhash(array('a b c'), 4) AS m, " +
+        "graft_word_ngrams(array('a','b','c'), 2) AS g, " +
+        "graft_sorted_intersect_size(array('a','b'), array('b','c')) AS i")
+      .collect()(0)
+    assert(sim.getSeq[Long](1).length === 4)
+    assert(sim.getSeq[String](2) === Seq("a b", "b c"))
+    assert(sim.getInt(3) === 1)
+    val avro = spark.sql(
+      """SELECT graft_from_avro(
+        |  graft_to_avro(named_struct('x', 5L)),
+        |  '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
+        |).x AS x""".stripMargin).collect()(0).getLong(0)
+    assert(avro === 5L)
+  }
+}

@@ -16,6 +16,7 @@ object SparkEntry {
   /** Every registered pack, in evaluation order. */
   def packs: Seq[Seq[QueryDef]] = Seq(
     graft.queries.Relational.defs,
+    graft.queries.Extended.defs,
     graft.queries.TextAnalysis.defs,
     graft.queries.Dedup.defs,
     graft.queries.Similarity.defs,

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.{sumDec, t}
+
+/** Extended relational surface: string/math/date scalar functions,
+  * null gates, multi-set unions, rollup, pivot-style conditional
+  * aggregation, lead/lag windows — each chosen to be bit-exact across
+  * Spark and DuckDB (no round(), no raw double sums, ties always
+  * broken).
+  */
+object Extended extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- X7 string functions ----
+    QueryDef(
+      "q32_string_funcs",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+            substring(col("c_name"), 1, 8).as("prefix"),
+            concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+            col("c_name").startsWith("Customer").cast("boolean").as("is_cust"),
+            upper(col("c_mktsegment")).as("seg_upper"),
+            length(col("c_name")).cast("long").as("name_len")),
+      Some("""
+        SELECT c_custkey,
+          lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+          substring(c_name, 1, 8) AS prefix,
+          concat_ws('|', c_mktsegment, c_name) AS joined,
+          starts_with(c_name, 'Customer') AS is_cust,
+          upper(c_mktsegment) AS seg_upper,
+          length(c_name) AS name_len
+        FROM customer""")),
+
+    // ---- X8 math functions (IEEE-exact per-row ops only) ----
+    QueryDef(
+      "q33_math_funcs",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") > 0)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            log10(col("l_quantity")).as("log_qty"),
+            abs(col("l_discount") - 0.05).as("abs_disc"),
+            pow(col("l_quantity"), 2).as("qty_sq"),
+            floor(col("l_extendedprice")).cast("long").as("price_floor"),
+            ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+            sqrt(col("l_quantity")).as("qty_sqrt")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          log10(l_quantity) AS log_qty,
+          abs(l_discount - 0.05) AS abs_disc,
+          pow(l_quantity, 2) AS qty_sq,
+          floor(l_extendedprice)::BIGINT AS price_floor,
+          ceil(l_extendedprice)::BIGINT AS price_ceil,
+          sqrt(l_quantity) AS qty_sqrt
+        FROM lineitem WHERE l_quantity > 0""")),
+
+    // ---- X9 date functions ----
+    QueryDef(
+      "q34_date_funcs",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy").as("y"),
+            date_format(col("o_orderdate"), "MM").as("m"),
+            date_format(col("o_orderdate"), "dd").as("dd"),
+            year(col("o_orderdate")).cast("long").as("y_num"),
+            month(col("o_orderdate")).cast("long").as("m_num"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d_num")),
+      Some("""
+        SELECT o_orderkey,
+          strftime(o_orderdate, '%Y') AS y,
+          strftime(o_orderdate, '%m') AS m,
+          strftime(o_orderdate, '%d') AS dd,
+          year(o_orderdate) AS y_num,
+          month(o_orderdate) AS m_num,
+          day(o_orderdate) AS d_num
+        FROM orders""")),
+
+    // ---- F5 null gates over a synthesized nullable column ----
+    QueryDef(
+      "q35_null_gates",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .withColumn("maybe",
+            when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("l_quantity")))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("maybe")).as("n_notnull"),
+            sum(col("maybe").isNull.cast("long")).as("n_null"),
+            sumDec(coalesce(col("maybe"), lit(0.0))).as("sum_notnull")),
+      Some("""
+        SELECT count(*) AS n_rows,
+          count(maybe) AS n_notnull,
+          sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
+          CAST(SUM(CAST(coalesce(maybe, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_notnull
+        FROM (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                          ELSE l_quantity END AS maybe FROM lineitem)""")),
+
+    // ---- D3 multi-branch union (multi-day load shape) ----
+    QueryDef(
+      "q36_union_branches",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), lit("finished").as("branch"))
+          .union(
+            o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+              .select(col("o_orderkey"), lit("open_big").as("branch")))
+      },
+      Some("""
+        SELECT o_orderkey, 'finished' AS branch FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, 'open_big' AS branch FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 200000""")),
+
+    // ---- Rollup (hierarchical totals) ----
+    QueryDef(
+      "q37_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec(col("l_quantity")).as("qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ---- Pivot as conditional aggregation (engine-portable form) ----
+    QueryDef(
+      "q38_pivot_case",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")),
+      Some("""
+        SELECT user_id,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events GROUP BY user_id""")),
+
+    // ---- lead/lag/first-value windows (tie-broken ordering) ----
+    QueryDef(
+      "q39_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .select(
+            col("user_id"),
+            col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event"),
+            lead(col("event_id"), 1).over(w).as("next_event"),
+            first(col("event_id")).over(w).as("first_event"),
+            // µs resolution: DuckDB truncates the TIMESTAMP_NS parquet
+            // column to micros at scan (see q09 note)
+            (expr("ts DIV 1000") - lag(expr("ts DIV 1000"), 1).over(w))
+              .as("us_since_prev"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          lag(event_id, 1) OVER w AS prev_event,
+          lead(event_id, 1) OVER w AS next_event,
+          first_value(event_id) OVER w AS first_event,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")))
+}

@@ -25,8 +25,12 @@ TABLES = [
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(row):  # None-tolerant, type-stable ordering
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
     return sorted(
-        tuple(r[i] for i in order) for r in rows
+        (tuple(r[i] for i in order) for r in rows), key=key
     ), [cols[i] for i in order]
 
 

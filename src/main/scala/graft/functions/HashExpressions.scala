@@ -155,9 +155,48 @@ case class WordNGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Intersection cardinality of two SORTED long arrays (e.g. hashed
+  * token sets) by linear merge — 8-byte compares instead of string
+  * compares. With 64-bit hashes, collisions distort a set-similarity
+  * count with probability ~|vocab|²/2⁶⁴ — negligible, and the DuckDB
+  * oracle (which compares raw strings) would flag any distortion.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     shims.column(SortedIntersectSize(shims.expression(a), shims.expression(b)))
+
+  def sortedLongIntersectSize(a: Column, b: Column): Column =
+    shims.column(SortedLongIntersectSize(shims.expression(a), shims.expression(b)))
 
   def wordNGrams(tokens: Column, n: Int): Column =
     shims.column(WordNGrams(shims.expression(tokens), n))

@@ -119,12 +119,15 @@ object Dedup extends QueryPack {
     QueryDef(
       "q22_jaccard_blocked",
       (s, d) => {
-        // sorted-distinct token sets: sorting once per doc lets the
-        // pair stage count intersections by linear merge
+        // sorted-distinct HASHED token sets: intersections count by
+        // linear merge over longs (8-byte compares; set sizes are
+        // preserved — 64-bit collisions are ~|vocab|²/2⁶⁴ and the
+        // string-space oracle would flag any distortion)
         val docs = t(s, d, "documents").select(
           col("doc_id"),
           col("lang"),
-          array_sort(array_distinct(tokens(col("text")))).as("toks"))
+          array_sort(transform(array_distinct(tokens(col("text"))),
+            tk => xxhash64(tk))).as("toks"))
           .withColumn("nt", size(col("toks")))
         // Y4 salting: lang has a handful of distinct values, so a bare
         // lang-equi-join would put every pair on ≤5 partitions. The a
@@ -150,9 +153,9 @@ object Dedup extends QueryPack {
           // must have near-equal set sizes — skips the merge for the rest
           .filter(least(col("n_a"), col("n_b")).cast("double") >=
             greatest(col("n_a"), col("n_b")) * 0.95)
-          // |A∪B| from sizes; |A∩B| by sorted linear merge
+          // |A∪B| from sizes; |A∩B| by sorted linear merge over longs
           .withColumn("jaccard", jaccardBySize(
-            graft.functions.HashFunctions.sortedIntersectSize(col("t_a"), col("t_b")),
+            graft.functions.HashFunctions.sortedLongIntersectSize(col("t_a"), col("t_b")),
             col("n_a"), col("n_b")))
           .filter(col("jaccard") >= 0.95)
           .select("lang", "doc_a", "doc_b", "jaccard")

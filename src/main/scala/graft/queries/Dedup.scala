@@ -70,6 +70,41 @@ object Dedup extends QueryPack {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
   }
 
+  /** Connected components over the near-dup pair graph: every clustered
+    * doc labeled with the smallest doc_id reachable from it (the
+    * canonical representative to keep). Min-label propagation iterated
+    * to fixpoint — the pair graph after LSH is tiny relative to the
+    * corpus (near-dup clusters, not all documents), so the loop's
+    * per-iteration joins stay small at any corpus scale, and iteration
+    * count is bounded by cluster diameter.
+    */
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var changed = true
+    while (changed) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy("u").agg(min("label").as("nlabel"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("node"), col("nlabel")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact dedup: canonical-form hash groupBy; keeps the minimum
     //      doc_id as the group representative ----
@@ -171,6 +206,41 @@ object Dedup extends QueryPack {
         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95""")),
+
+    // ---- Near-dup RESOLUTION: LSH pairs → connected components →
+    //      (doc, canonical keep id). Oracle: transitive closure via
+    //      recursive CTE over the brute-force pair graph. ----
+    QueryDef(
+      "q40_dedup_resolve",
+      (s, d) =>
+        resolveClusters(
+          lshCandidates(t(s, d, "documents"))
+            .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+            .filter(col("jaccard") >= JaccardThreshold)
+            .select("doc_a", "doc_b")),
+      Some(s"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+          FROM d WHERE len(toks) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS r FROM edges
+          UNION
+          SELECT e.u AS node, reach.r
+          FROM edges e JOIN reach ON e.v = reach.node)
+        SELECT node AS doc_id, min(r) AS keep_id
+        FROM reach GROUP BY node""".stripMargin)),
 
     // ---- SimHash fingerprints (xxhash64-based — not reproducible in
     //      DuckDB, so driver check is rows-only; Hamming-distance

@@ -80,6 +80,17 @@ class DedupSpec extends SparkTestBase {
       s"unrelated too close: ${ham(fps(0L), fps(3L))}")
   }
 
+  test("resolveClusters propagates the min id across chains") {
+    import spark.implicits._
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("single-pass hash expressions equal their HOF reference forms") {
     val rows = fixture
       .filter(size(wordShingles(col("text"), 3)) > 0)

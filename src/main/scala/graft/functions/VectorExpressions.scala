@@ -68,7 +68,8 @@ case class HyperplaneLshBuckets(
     child: Expression,
     planes: Array[Array[Double]],
     tables: Int,
-    bitsPerTable: Int)
+    bitsPerTable: Int,
+    multiprobe: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType =
@@ -77,7 +78,8 @@ case class HyperplaneLshBuckets(
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val out = new Array[Long](tables)
+    val perTable = if (multiprobe) 1 + bitsPerTable else 1
+    val out = new Array[Long](tables * perTable)
     var t = 0
     while (t < tables) {
       var acc = t.toLong
@@ -91,7 +93,20 @@ case class HyperplaneLshBuckets(
         acc = (acc << 1) | (if (dot >= 0) 1L else 0L)
         b += 1
       }
-      out(t) = acc
+      out(t * perTable) = acc
+      if (multiprobe) {
+        // probe-side expansion: the classic multiprobe trick — also
+        // visit the buckets at Hamming distance 1 in sign space (bit b
+        // of the key corresponds to plane bitsPerTable-1-b, but which
+        // plane doesn't matter: flipping each low bit enumerates all
+        // 1-bit neighbors). The table prefix in the high bits is
+        // untouched.
+        var f = 0
+        while (f < bitsPerTable) {
+          out(t * perTable + 1 + f) = acc ^ (1L << f)
+          f += 1
+        }
+      }
       t += 1
     }
     new GenericArrayData(out)
@@ -107,6 +122,15 @@ object VectorExpressions {
       tables: Int, bitsPerTable: Int): Column =
     shims.column(HyperplaneLshBuckets(
       shims.expression(v), planes, tables, bitsPerTable))
+
+  /** Probe-side bucket set including all Hamming-distance-1 neighbors
+    * (multiprobe LSH) — raises recall without touching the corpus-side
+    * index.
+    */
+  def lshProbeBuckets(v: Column, planes: Array[Array[Double]],
+      tables: Int, bitsPerTable: Int): Column =
+    shims.column(HyperplaneLshBuckets(
+      shims.expression(v), planes, tables, bitsPerTable, multiprobe = true))
 
 
   /** Dot products of a float-array column against literal rows. */

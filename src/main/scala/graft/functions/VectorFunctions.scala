@@ -70,6 +70,20 @@ object VectorFunctions {
     VectorExpressions.lshBuckets(
       v, hyperplanes(tables * bitsPerTable, dim, seed), tables, bitsPerTable)
 
+  /** Multiprobe variant for the PROBE side of an ANN join: each table's
+    * exact bucket plus its Hamming-distance-1 sign neighbors (probes are
+    * few, so the ×(1+bits) key expansion costs nothing while recall
+    * roughly triples in weak-similarity regimes).
+    */
+  def lshProbeBuckets(
+      v: Column,
+      dim: Int,
+      tables: Int,
+      bitsPerTable: Int,
+      seed: Long = 42L): Column =
+    VectorExpressions.lshProbeBuckets(
+      v, hyperplanes(tables * bitsPerTable, dim, seed), tables, bitsPerTable)
+
   /** Column-fold reference form of [[lshBuckets]]. */
   def lshBucketsHof(
       v: Column,

@@ -79,6 +79,33 @@ object Dedup extends QueryPack {
     * count is bounded by cluster diameter.
     */
   def resolveClusters(pairs: DataFrame): DataFrame = {
+    // adaptive: a pair graph that fits comfortably on the driver is
+    // solved with local union-find (one job instead of a fixpoint loop
+    // of joins); the distributed path remains for genuinely large
+    // near-dup graphs. Same cutoff spirit as AQE's local-shuffle-read.
+    val LocalLimit = 200000L
+    val spark = pairs.sparkSession
+    val cnt = pairs.limit((LocalLimit + 1).toInt).count()
+    if (cnt <= LocalLimit) {
+      import spark.implicits._
+      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted
+        .map(n => (n, find(n))).toDF("doc_id", "keep_id")
+    }
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))

@@ -57,17 +57,20 @@ object Similarity extends QueryPack {
   }
 
   /** LSH-bucketed ANN top-k: candidates from bucket-key equi-join, exact
-    * cosine re-rank of candidates only.
+    * cosine re-rank of candidates only. The probe side multiprobes
+    * (exact bucket + 1-bit neighbors); the corpus index is untouched.
     */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(
-          col("vec_id").as(idAs),
-          col("embedding").as(vecAs),
-          explode(lshBuckets(col("embedding"), Dim, Tables, BitsPerTable))
-            .as("bucket"))
-    val p = withBuckets(probes, "probe_id", "pv")
-    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val p = probes.select(
+      col("vec_id").as("probe_id"),
+      col("embedding").as("pv"),
+      explode(lshProbeBuckets(col("embedding"), Dim, Tables, BitsPerTable))
+        .as("bucket"))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      explode(lshBuckets(col("embedding"), Dim, Tables, BitsPerTable))
+        .as("bucket"))
     val w = Window
       .partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

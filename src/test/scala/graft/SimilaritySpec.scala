@@ -80,8 +80,9 @@ class SimilaritySpec extends SparkTestBase {
     val exact = Similarity.bruteForceTopK(probes, e, Similarity.TopK)
     val lsh = Similarity.annTopK(probes, e, Similarity.TopK)
     val recall = recallOf(lsh, exact)
-    info(f"LSH recall on isotropic corpus: $recall%.2f (expected low)")
-    assert(recall >= 0.05, s"LSH found essentially nothing: $recall")
+    info(f"LSH recall on isotropic corpus: $recall%.2f (expected moderate)")
+    // multiprobe lifts the isotropic worst case from ~0.17 to ~0.6
+    assert(recall >= 0.3, s"LSH recall collapsed: $recall")
   }
 
   test("lsh bucket expression equals its Column-fold reference form") {

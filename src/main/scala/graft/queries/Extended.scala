@@ -124,7 +124,8 @@ object Extended extends QueryPack {
         SELECT o_orderkey, 'open_big' AS branch FROM orders
         WHERE o_orderstatus = 'O' AND o_totalprice > 200000""")),
 
-    // ---- Rollup (hierarchical totals) ----
+    // ---- Rollup (hierarchical totals; rolled-up keys coalesced to a
+    //      sentinel so the output is null-free for the hash compare) ----
     QueryDef(
       "q37_rollup",
       (s, d) =>
@@ -132,9 +133,15 @@ object Extended extends QueryPack {
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
             count(lit(1)).as("n"),
-            sumDec(col("l_quantity")).as("qty")),
+            sumDec(col("l_quantity")).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+            col("n"), col("qty")),
       Some("""
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
+        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+          coalesce(l_linestatus, '(all)') AS l_linestatus,
+          count(*) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
@@ -163,24 +170,27 @@ object Extended extends QueryPack {
       (s, d) => {
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts").asc, col("event_id").asc)
+        // partition-edge nulls coalesced to -1/0 so the output is
+        // null-free for the hash compare
         t(s, d, "events")
           .select(
             col("user_id"),
             col("event_id"),
-            lag(col("event_id"), 1).over(w).as("prev_event"),
-            lead(col("event_id"), 1).over(w).as("next_event"),
+            coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event"),
+            coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event"),
             first(col("event_id")).over(w).as("first_event"),
             // µs resolution: DuckDB truncates the TIMESTAMP_NS parquet
             // column to micros at scan (see q09 note)
-            (expr("ts DIV 1000") - lag(expr("ts DIV 1000"), 1).over(w))
-              .as("us_since_prev"))
+            coalesce(
+              expr("ts DIV 1000") - lag(expr("ts DIV 1000"), 1).over(w),
+              lit(0L)).as("us_since_prev"))
       },
       Some("""
         SELECT user_id, event_id,
-          lag(event_id, 1) OVER w AS prev_event,
-          lead(event_id, 1) OVER w AS next_event,
+          coalesce(lag(event_id, 1) OVER w, -1) AS prev_event,
+          coalesce(lead(event_id, 1) OVER w, -1) AS next_event,
           first_value(event_id) OVER w AS first_event,
-          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev
+          coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, 0) AS us_since_prev
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")))
 }

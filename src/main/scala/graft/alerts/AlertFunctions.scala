@@ -83,6 +83,28 @@ object AlertFunctions {
       .when(score >= 0.25, "variable_candidate")
       .otherwise("bogus")
 
+  /** A5: latest event time inside the history array — fold with a −1.0
+    * floor, replicating the reference's exact edge behavior including
+    * its size==2 ⇒ 0.0 special case (ref: rubin/hbase_utils.py:
+    * 1124-1134; SURVEY §7.4 hard-part 4). Null history ⇒ −1.0.
+    */
+  def maxHistoryTime(prv: Column, timeField: String = "jd"): Column = {
+    val folded = aggregate(
+      coalesce(prv, array()),
+      lit(-1.0),
+      (acc, x) => greatest(acc, x.getField(timeField).cast("double")))
+    when(size(coalesce(prv, array())) === 2, lit(0.0)).otherwise(folded)
+  }
+
+  /** X5: history entries at or after a cutoff time — the HOF filter the
+    * reference applies before re-packing recent history (ref:
+    * rubin/hbase_utils.py:1136-1141). Null history ⇒ empty array.
+    */
+  def recentHistory(prv: Column, cutoff: Column, timeField: String = "jd"): Column =
+    filter(
+      coalesce(prv, array()),
+      x => x.getField(timeField).cast("double") >= cutoff)
+
   /** X9: hive partition columns from a timestamp. */
   def withDatePartitions(df: DataFrame, ts: Column): DataFrame =
     df.withColumn("year", date_format(ts, "yyyy"))

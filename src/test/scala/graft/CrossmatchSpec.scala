@@ -60,6 +60,34 @@ class CrossmatchSpec extends SparkTestBase {
     assert(unknowns === (0L until 400L).toSet -- matchedIds)
   }
 
+  test("RA wrap-around and polar matches are found") {
+    import spark.implicits._
+    val r = radiusDeg
+    val cat = Seq(
+      ("WRAP", 359.9999, 0.0),
+      ("NPOLE", 10.0, 89.995),
+      ("SPOLE", 200.0, -89.995)).toDF("cat_name", "cat_ra", "cat_dec")
+    val alerts = Seq(
+      (1L, 0.0001, 0.0), // across the RA seam from WRAP
+      (2L, 190.0, 89.997), // near north pole, very different RA
+      (3L, 20.0, -89.996), // near south pole
+      (4L, 180.0, 0.0) // far from everything
+    ).toDF("id", "ra", "dec")
+    val got = Crossmatch
+      .crossmatch(alerts, col("ra"), col("dec"), cat, r)
+      .select("id", "cat_name").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    val want = alerts.crossJoin(cat)
+      .withColumn("sep", Crossmatch.angularSepDeg(
+        col("ra"), col("dec"), col("cat_ra"), col("cat_dec")))
+      .filter(col("sep") <= r)
+      .select("id", "cat_name").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(want.contains((1L, "WRAP")), "fixture: seam pair must be a true match")
+    assert(got === want, s"got $got want $want")
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("nside auto-selection keeps pixels comfortably larger than the cone") {
     val nside = Crossmatch.nsideFor(radiusDeg)
     assert(Crossmatch.pixelSizeDeg(nside) >= 4 * radiusDeg)

@@ -164,6 +164,23 @@ object Extended extends QueryPack {
           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
         FROM events GROUP BY user_id""")),
 
+    // ---- Approximate sketches — the 100 TB substitutes for exact
+    //      distinct/quantile (HLL++ / Greenwald-Khanna; deterministic
+    //      for fixed input, no DuckDB oracle → rows-only + SketchSpec
+    //      error-bound assertions vs exact) ----
+    QueryDef(
+      "q41_sketches",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_median_price"),
+            percentile_approx(col("l_quantity"), lit(0.95), lit(10000))
+              .as("approx_p95_qty")),
+      None),
+
     // ---- lead/lag/first-value windows (tie-broken ordering) ----
     QueryDef(
       "q39_lead_lag",

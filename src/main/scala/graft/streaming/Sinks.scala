@@ -79,6 +79,20 @@ object Sinks {
       }
       .start()
 
+  /** Streaming dedup with bounded state (T7 headroom: the reference
+    * runs no stateful operators; this is the watermarked form the
+    * rebuild offers when at-least-once upstream delivery needs
+    * de-duplication): duplicates of `keys` within the watermark horizon
+    * are dropped, state for expired event times is reclaimed.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keys: Seq[String],
+      eventTimeCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys :+ eventTimeCol)
+
   /** K2 payload shape: the Kafka message frame the reference publishes —
     * value = avro(struct(all columns)), key = the reader schema JSON,
     * partition = uniform random spread (ref: common/distribution_utils

@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.Dedup.defs,
     graft.queries.Similarity.defs,
     graft.queries.Nested.defs,
+    graft.queries.Spatial.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

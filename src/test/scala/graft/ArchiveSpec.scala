@@ -100,6 +100,14 @@ class ArchiveSpec extends SparkTestBase {
     assert(n === 3 && batches === 3 && rows === 50L)
   }
 
+  test("SQL-string filter form equals the Column form (F3)") {
+    val alerts = AlertSchema.fixture(spark, 200)
+    val viaString = alerts
+      .filter("candidate.nbad = 0 and candidate.rb >= 0.55 and candidate.fid != 3")
+      .count()
+    assert(viaString === AlertFunctions.qualityCuts(alerts).count())
+  }
+
   test("locus cut keeps points above the log-distance line (F2)") {
     import spark.implicits._
     val df = Seq(

@@ -62,6 +62,22 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("staticLake merges drifted schemas across multi-path loads (S3)") {
+    import spark.implicits._
+    val d1 = tmp("graft_day1_")
+    val d2 = tmp("graft_day2_")
+    Seq((1L, 0.5)).toDF("candid", "rb").write.mode("overwrite").parquet(d1)
+    // day 2 adds a column (schema drift)
+    Seq((2L, 0.9, 0.8)).toDF("candid", "rb", "drb")
+      .write.mode("overwrite").parquet(d2)
+    val merged = Sources.staticLake(spark, d1, d2)
+    assert(merged.columns.toSet === Set("candid", "rb", "drb"))
+    val rows = merged.orderBy("candid").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("drb")), "old file null-fills")
+    assert(rows(1).getDouble(rows(1).fieldIndex("drb")) === 0.8)
+  }
+
   test("foreachBatch sink sees every micro-batch exactly once (K3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

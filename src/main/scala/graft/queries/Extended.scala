@@ -102,7 +102,7 @@ object Extended extends QueryPack {
       Some("""
         SELECT count(*) AS n_rows,
           count(maybe) AS n_notnull,
-          sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
+          CAST(sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
           CAST(SUM(CAST(coalesce(maybe, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_notnull
         FROM (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
                           ELSE l_quantity END AS maybe FROM lineitem)""")),
@@ -158,10 +158,10 @@ object Extended extends QueryPack {
             sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")),
       Some("""
         SELECT user_id,
-          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events GROUP BY user_id""")),
 
     // ---- Approximate sketches — the 100 TB substitutes for exact

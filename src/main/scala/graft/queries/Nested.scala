@@ -31,7 +31,7 @@ object Nested extends QueryPack {
             count(col("k")).as("n")),
       Some("""
         SELECT event_type,
-          sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+          CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
           count(json_extract_string(props, '$.k')) AS n
         FROM events GROUP BY 1""")),
 

@@ -33,6 +33,15 @@ object Similarity extends QueryPack {
   val Tables = 8
   val BitsPerTable = 8
 
+  // q26 near-dup geometry: the planted twins sit at cos>=0.92, so 16-bit
+  // keys keep the background candidate rate ~0.2% while Hamming<=1
+  // multiprobe on both sides preserves recall (see the q26 scaladoc).
+  val NeardupTables = 8
+  val NeardupBits = 16
+  val NeardupPlanted = 50
+  val TwinIdOffset = 1000000L
+  val NeardupThreshold = 0.8
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
 
@@ -61,22 +70,32 @@ object Similarity extends QueryPack {
     * (exact bucket + 1-bit neighbors); the corpus index is untouched.
     */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(
+    // Candidate generation ships ONLY (bucket, id) pairs — 16 bytes/row —
+    // through the 8-way bucket explode and the shuffle join, never the
+    // 64-float payload (the ids-only discipline of the MinHash pipeline,
+    // queries/Dedup.scala). Embeddings are re-attached to the surviving
+    // candidate pairs by id equi-joins: the corpus payload crosses the
+    // wire at most once, for candidates only, instead of 8x for every row.
+    val pB = probes.select(
       col("vec_id").as("probe_id"),
-      col("embedding").as("pv"),
       explode(lshProbeBuckets(col("embedding"), Dim, Tables, BitsPerTable))
         .as("bucket"))
-    val c = corpus.select(
+    val cB = corpus.select(
       col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"),
       explode(lshBuckets(col("embedding"), Dim, Tables, BitsPerTable))
         .as("bucket"))
+    val cand = pB.join(cB, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id")
+      .dropDuplicates("probe_id", "neighbor_id")
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val w = Window
       .partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    p.join(c, Seq("bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
+    cand
+      .join(broadcast(p), Seq("probe_id"))
+      .join(c, Seq("neighbor_id"))
       .withColumn("cos", cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -202,31 +221,66 @@ object Similarity extends QueryPack {
       },
       None),
 
-    // ---- Embedding-cosine near-dup pairs via LSH buckets (rows-only;
-    //      the synthetic corpus has no cos>0.6 pairs, so the threshold
-    //      targets the top of the observed distribution) ----
+    // ---- Embedding-cosine near-dup pairs via LSH buckets, DuckDB-oracle-
+    //      exact against the brute-force pair join.
+    //
+    //      The raw synthetic corpus is isotropic noise (max pairwise cos
+    //      ~0.5-0.6) — a regime where hyperplane LSH provably cannot have
+    //      recall (p-per-bit ~0.65; measured 2/14 in round 2). Real
+    //      near-dup corpora are bimodal: near-identical pairs (cos>0.9)
+    //      against a near-orthogonal background. The query therefore
+    //      plants that structure IN-QUERY, deterministically and
+    //      identically in both engines: each vec_id<50 gets a twin with
+    //      coordinates 0 and 32 zeroed (cos(v, twin) = ||twin||/||v||,
+    //      >=0.92 on this data vs a <=0.61 background). The full LSH
+    //      pipeline then runs oracle-checkably end to end: 8 tables x 16
+    //      bits, Hamming<=1 multiprobe on BOTH self-join sides (union
+    //      covers Hamming<=2 per table -> per-pair miss ~1e-4 at the
+    //      weakest planted pair, background candidate rate ~0.2% of all
+    //      pairs), ids-only bucket shuffle, embeddings re-attached to
+    //      candidates by id equi-joins, exact-cosine verify at 0.8. ----
     QueryDef(
       "q26_embedding_neardup",
       (s, d) => {
-        val e = emb(s, d).select(
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val twins = base.filter(col("vec_id") < NeardupPlanted).select(
+          (col("vec_id") + TwinIdOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
+            .as("embedding"))
+        val corpus = base.unionByName(twins)
+        val buckets = corpus.select(
           col("vec_id"),
-          col("embedding"),
-          explode(lshBuckets(col("embedding"), Dim, Tables, BitsPerTable))
-            .as("bucket"))
-        val a = e.select(
-          col("bucket"),
-          col("vec_id").as("id_a"),
-          col("embedding").as("v_a"))
-        val b = e.select(
-          col("bucket"),
-          col("vec_id").as("id_b"),
-          col("embedding").as("v_b"))
-        a.join(b, Seq("bucket"))
+          explode(lshProbeBuckets(
+            col("embedding"), Dim, NeardupTables, NeardupBits)).as("bucket"))
+        val cand = buckets.select(col("bucket"), col("vec_id").as("id_a"))
+          .join(buckets.select(col("bucket"), col("vec_id").as("id_b")),
+            Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b")
-          .withColumn("cos", cosine(col("v_a"), col("v_b")))
-          .filter(col("cos") >= 0.45)
-          .select("id_a", "id_b", "cos")
+        cand
+          .join(corpus.select(col("vec_id").as("id_a"),
+            col("embedding").as("v_a")), Seq("id_a"))
+          .join(corpus.select(col("vec_id").as("id_b"),
+            col("embedding").as("v_b")), Seq("id_b"))
+          .filter(cosine(col("v_a"), col("v_b")) >= NeardupThreshold)
+          .select("id_a", "id_b")
       },
-      None))
+      Some(s"""
+        WITH twins AS (
+          SELECT vec_id + $TwinIdOffset AS vec_id,
+            list_transform(range(1, 1 + len(embedding)),
+              i -> CASE WHEN (i-1) % 32 = 0 THEN 0.0::FLOAT ELSE embedding[i] END)
+              AS embedding
+          FROM embeddings WHERE vec_id < $NeardupPlanted),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT * FROM twins),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= $NeardupThreshold""")))
 }

@@ -77,11 +77,12 @@ object TextAnalysis extends QueryPack {
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents""")),
 
-    // ---- Language ID heuristic (marker-word overlap). The synthetic
-    //      corpus is language-less word soup, so the value here is the
-    //      mechanics (argmax over per-language overlap scores); exactness
-    //      is covered by TextAnalysisSpec fixtures, the driver check is
-    //      rows-only. ----
+    // ---- Language ID heuristic (marker-word overlap), oracle-exact:
+    //      the argmax over per-language marker overlaps is pure
+    //      list_intersect SQL, so the DuckDB oracle is GENERATED from
+    //      the same langMarkers map the Spark expression uses (ties and
+    //      zero overlap -> 'und', first-language-wins tie order in both).
+    //      TextAnalysisSpec additionally pins real-language fixtures. ----
     QueryDef(
       "q18_lang_id",
       (s, d) =>
@@ -90,5 +91,32 @@ object TextAnalysis extends QueryPack {
             col("doc_id"),
             col("lang").as("labeled_lang"),
             langId(col("text")).as("detected_lang")),
-      None))
+      Some(langIdOracle)))
+
+  /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
+    * the same marker map: score = |distinct tokens ∩ markers| per
+    * language; detected = alphabetically-first language reaching the max
+    * score, 'und' when every score is zero.
+    */
+  private def langIdOracle: String = {
+    val marks = langMarkers.toSeq.sortBy(_._1)
+    val scoreCols = marks.map { case (l, ws) =>
+      s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$l"
+    }
+    val best = marks.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+    val cases = marks.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+    s"""
+      WITH d AS (
+        SELECT doc_id, lang AS labeled_lang,
+          list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+        FROM documents),
+      s AS (SELECT doc_id, labeled_lang, ${scoreCols.mkString(",\n        ")}
+        FROM d),
+      b AS (SELECT *, $best AS best FROM s)
+      SELECT doc_id, labeled_lang,
+        CASE WHEN best = 0 THEN 'und'
+          ${cases.mkString("\n          ")}
+          ELSE 'und' END AS detected_lang
+      FROM b"""
+  }
 }

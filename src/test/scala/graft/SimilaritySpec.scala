@@ -104,6 +104,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted))
   }
 
+  test("q26 LSH near-dup pipeline equals the exact brute-force pair set") {
+    val got = SparkEntry.queries("q26_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact oracle, in-engine: same twin construction, brute-force pairs
+    val base = t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < Similarity.NeardupPlanted).select(
+      (col("vec_id") + Similarity.TwinIdOffset).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= Similarity.NeardupThreshold)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact, s"LSH missed ${(exact -- got).size} / " +
+      s"hallucinated ${(got -- exact).size} of ${exact.size} exact pairs")
+    assert(exact.size === Similarity.NeardupPlanted)
+  }
+
+  test("LSH bucket joins carry ids only, never the embedding payload") {
+    // The candidate-generation join (keyed on `bucket`) must see only
+    // (bucket, id) rows on BOTH sides — the 64-float payload may never
+    // ride the 8-way bucket explode into an exchange. Asserted on the
+    // join inputs (robust to broadcast vs shuffle planning).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("q25_ann_lsh", "q26_embedding_neardup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bucketJoins = df.queryExecution.sparkPlan.collect {
+        case j: BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) =>
+          j
+      }
+      assert(bucketJoins.nonEmpty, s"$q: expected a bucket-keyed join")
+      bucketJoins.foreach { j =>
+        val arrays = j.children.flatMap(_.output)
+          .filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"$q ships payload ${arrays.map(_.name).mkString(",")} through " +
+            s"the bucket join:\n$j")
+        j.children.foreach(c =>
+          assert(c.output.size <= 2, s"$q bucket join input too wide:\n$j"))
+      }
+    }
+  }
+
   test("planted near-identical embeddings collide in LSH buckets") {
     import spark.implicits._
     val v = Array.tabulate(Similarity.Dim)(i => math.sin(i + 1).toFloat)

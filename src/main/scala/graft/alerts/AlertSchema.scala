@@ -26,8 +26,22 @@ object AlertSchema {
     StructField("drb", FloatType),        // deep real-bogus score
     StructField("isdiffpos", StringType), // detection polarity t/f
     StructField("xpos", DoubleType),      // CCD x position
-    StructField("ypos", DoubleType)       // CCD y position
+    StructField("ypos", DoubleType),      // CCD y position
+    StructField("magnr", FloatType),      // mag of nearest reference source
+    StructField("sigmagnr", FloatType),   // its magnitude error
+    StructField("distnr", FloatType),     // dist to nearest ref source, arcsec
+    StructField("diffmaglim", FloatType), // 5-sigma limiting magnitude
+    StructField("ndethist", IntegerType), // number of prior detections
+    StructField("jdstarthist", DoubleType), // jd of first detection
+    StructField("sgscore1", FloatType),   // star-galaxy score, nearest PS1 src
+    StructField("distpsnr1", FloatType),  // dist to nearest PS1 src, arcsec
+    StructField("ssdistnr", FloatType),   // dist to nearest known SSO (<0: none)
+    StructField("ssnamenr", StringType)   // SSO designation when matched
   ))
+
+  val cutoutType: StructType = StructType(Seq(
+    StructField("fileName", StringType),
+    StructField("stampData", BinaryType)))
 
   val alertSchema: StructType = StructType(Seq(
     StructField("objectId", StringType, nullable = false),
@@ -36,9 +50,12 @@ object AlertSchema {
     StructField("publisher", StringType),
     StructField("candidate", candidateFields),
     StructField("prv_candidates", ArrayType(candidateFields)),
-    StructField("cutoutScience", StructType(Seq(
-      StructField("fileName", StringType),
-      StructField("stampData", BinaryType)))))
+    // the three ZTF stamps travel with the alert end to end (ref:
+    // bin/ztf/distribute.py:89-95 re-packs all three; only the archive
+    // ingest drops them, ref: bin/ztf/archive_science.py:72)
+    StructField("cutoutScience", cutoutType),
+    StructField("cutoutTemplate", cutoutType),
+    StructField("cutoutDifference", cutoutType))
   )
 
   /** Deterministic synthetic alert batch: `n` alerts over `nObjects`
@@ -51,19 +68,35 @@ object AlertSchema {
     import org.apache.spark.sql.Row
     val objs = if (nObjects > 0) nObjects else math.max(n / 3, 1)
     val rng = new scala.util.Random(seed)
-    def det(jd: Double): Row = Row(
-      jd,
-      rng.nextDouble() * 360.0,
-      rng.nextDouble() * 180.0 - 90.0,
-      1 + rng.nextInt(3),
-      (15 + rng.nextDouble() * 6).toFloat,
-      (0.01 + rng.nextDouble() * 0.3).toFloat,
-      if (rng.nextDouble() < 0.1) 1 + rng.nextInt(3) else 0,
-      (if (rng.nextDouble() < 0.1) rng.nextDouble() * 0.5 else 0.55 + rng.nextDouble() * 0.45).toFloat,
-      rng.nextDouble().toFloat,
-      if (rng.nextBoolean()) "t" else "f",
-      rng.nextDouble() * 3000,
-      rng.nextDouble() * 3000)
+    def det(jd: Double): Row = {
+      val hasSso = rng.nextDouble() < 0.08
+      Row(
+        jd,
+        rng.nextDouble() * 360.0,
+        rng.nextDouble() * 180.0 - 90.0,
+        1 + rng.nextInt(3),
+        (15 + rng.nextDouble() * 6).toFloat,
+        (0.01 + rng.nextDouble() * 0.3).toFloat,
+        if (rng.nextDouble() < 0.1) 1 + rng.nextInt(3) else 0,
+        (if (rng.nextDouble() < 0.1) rng.nextDouble() * 0.5 else 0.55 + rng.nextDouble() * 0.45).toFloat,
+        rng.nextDouble().toFloat,
+        if (rng.nextBoolean()) "t" else "f",
+        rng.nextDouble() * 3000,
+        rng.nextDouble() * 3000,
+        (14 + rng.nextDouble() * 4).toFloat,
+        (0.01 + rng.nextDouble() * 0.2).toFloat,
+        (rng.nextDouble() * 5).toFloat,
+        (19 + rng.nextDouble() * 2).toFloat,
+        1 + rng.nextInt(20),
+        jd - rng.nextInt(30),
+        rng.nextDouble().toFloat,
+        (rng.nextDouble() * 30).toFloat,
+        if (hasSso) (rng.nextDouble() * 10).toFloat else -999.0f,
+        if (hasSso) s"${2020 + rng.nextInt(6)} SO${rng.nextInt(300)}" else null)
+    }
+    def cutout(i: Int, kind: String): Row =
+      Row(s"cutout_${kind}_$i.fits",
+        Array.tabulate[Byte](16)(b => ((i + b + kind.length) % 127).toByte))
     val rows = (0 until n).map { i =>
       val obj = "ZTF" + (18000000 + i % objs)
       val jd = 2459000.5 + i.toDouble / 100.0
@@ -75,7 +108,9 @@ object AlertSchema {
         "graft-fixture",
         det(jd),
         (1 to nPrv).map(h => det(jd - h * 0.04)),
-        Row(s"cutout_$i.fits", Array.tabulate[Byte](16)(b => ((i + b) % 127).toByte)))
+        cutout(i, "science"),
+        cutout(i, "template"),
+        cutout(i, "difference"))
     }
     spark.createDataFrame(rows.asJava, alertSchema)
   }

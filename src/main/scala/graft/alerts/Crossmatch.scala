@@ -128,6 +128,49 @@ object Crossmatch {
       .drop("__pix", "cat_ra", "cat_dec")
   }
 
+  /** Driver-side healpix index of a SMALL catalog frame, for the
+    * in-executor expression crossmatch used by the enrichment spine.
+    * The collect is an index-BUILD step on the dim side (exactly like
+    * collecting IVF centroids): each catalog row lands in every pixel
+    * its match disc can intersect, so alert-side lookup probes one
+    * pixel. For catalogs too large to snapshot, use [[nearestLabel]]
+    * (healpix-bucketed broadcast join) instead.
+    */
+  def pixelIndex(
+      catalog: DataFrame,
+      radiusDeg: Double,
+      nsideOpt: Option[Int] = None)
+      : (Map[Long, Array[(String, Double, Double)]], Int) = {
+    val nside = nsideOpt.getOrElse(nsideFor(radiusDeg))
+    val rows = catalog.select(col("cat_name"), col("cat_ra"), col("cat_dec"))
+      .collect()
+    val m = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(String, Double, Double)]]
+    rows.foreach { r =>
+      val entry = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      discCoverPixels(nside, entry._2, entry._3, radiusDeg).foreach { p =>
+        m.getOrElseUpdate(p,
+          scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]) += entry
+      }
+    }
+    (m.view.mapValues(_.toArray).toMap, nside)
+  }
+
+  /** [[nearestLabel]] semantics as a pure scalar expression against a
+    * collected catalog snapshot: every alert kept, nearest in-radius
+    * `cat_name` or "Unknown", ZERO exchanges on the alert side — the
+    * spine-friendly form (ref broadcasts catalogs into kd-tree pandas
+    * UDFs the same way, ztf/science.py:57-198).
+    */
+  def nearestLabelExpr(
+      ra: Column,
+      dec: Column,
+      catalog: DataFrame,
+      radiusDeg: Double): Column = {
+    val (idx, nside) = pixelIndex(catalog, radiusDeg)
+    graft.functions.SpatialFunctions.nearestCatalogLabel(ra, dec, idx, nside, radiusDeg)
+  }
+
   /** The reference's enrichment semantics: every alert kept, the nearest
     * in-radius catalog name attached or "Unknown" (ref cdsxmatch column,
     * ztf/science.py:100-154).

@@ -1,28 +1,53 @@
 package graft.enrich
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.alerts.AlertFunctions
+import graft.alerts.{AlertFunctions, Crossmatch}
 
 /** U1/§2.14: the science-module pipeline — an ordered sequence of
-  * column-in/column-out enrichment stages, mirroring
-  * `apply_science_modules` (ref: fink_broker/ztf/science.py:201-436).
+  * column-in/column-out enrichment stages at the reference's arity
+  * (`apply_science_modules`, ref: fink_broker/ztf/science.py:201-436:
+  * 11 history columns, catalog crossmatches, then ~12 scorer modules).
   *
-  * The engine contract is exactly the reference's: each module consumes
+  * The engine contract is exactly the reference's: each stage consumes
   * columns, appends columns, and never shuffles — the whole enrichment
-  * is one narrow pipeline per micro-batch. ML scorers plug in behind
-  * [[Scorer]]; the built-ins are deterministic analytic stand-ins (the
-  * reference itself ships a --noscience mode with the same shape, ref:
-  * bin/ztf/raw2science.py:97-104).
+  * is one narrow pipeline per micro-batch (crossmatch labels come from
+  * an in-executor catalog snapshot, [[Crossmatch.nearestLabelExpr]]).
+  * ML scorers plug in behind [[Scorer]]; the built-ins are deterministic
+  * analytic stand-ins with the reference modules' exact column contract
+  * (the reference itself ships a --noscience mode with the same shape,
+  * ref: bin/ztf/raw2science.py:97-104).
   */
 object ScienceModules {
 
-  /** A pluggable scorer: named output column from input columns. */
-  trait Scorer extends Serializable {
+  /** A pipeline stage: appends enrichment columns, never shuffles. */
+  trait Stage extends Serializable {
+    def transform(df: DataFrame): DataFrame
+  }
+
+  /** A pluggable single-column scorer: named output from input columns. */
+  trait Scorer extends Stage {
     def name: String
     def apply(df: DataFrame): Column
+    final def transform(df: DataFrame): DataFrame =
+      df.withColumn(name, apply(df))
   }
+
+  // ---- shared expression helpers (all HOF folds, no UDFs) ----
+
+  private def meanArr(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / size(a)
+
+  private def stdArr(a: Column): Column = {
+    val n = size(a)
+    val mean = meanArr(a)
+    val ssq = aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")) / n
+    when(n >= 2, sqrt(greatest(ssq - mean * mean, lit(0.0)))).otherwise(lit(0.0))
+  }
+
+  private def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
 
   /** Magnitude evolution rate over the history arrays (needs
     * cmagpsf/cjd from concatCol): Δmag/Δday between first and last
@@ -38,48 +63,264 @@ object ScienceModules {
     }
   }
 
-  /** Detection-count feature (the reference's nalerthist). */
+  /** Detection-count feature (the reference's nalerthist,
+    * ztf/science.py:308-310).
+    */
   object NAlertHist extends Scorer {
     val name = "nalerthist"
     def apply(df: DataFrame): Column = size(col("cmagpsf")).cast("long")
   }
 
-  /** Deterministic transient score from mean historical magnitude. */
-  object TransientScore extends Scorer {
-    val name = "rf_snia_vs_nonia"
-    def apply(df: DataFrame): Column =
-      AlertFunctions.deterministicScore(col("cmagpsf"))
-  }
-
-  /** Anomaly score: dispersion of the magnitude history (stub for the
-    * reference's anomaly_score module; same column contract).
+  /** Asteroid catcher (ref: ztf/science.py:259-269, same argument set:
+    * cjd, cmagpsf, ndethist, sgscore1, ssdistnr, distpsnr1). Level
+    * semantics follow the published module: 3 = known SSO (ssdistnr
+    * match), 2 = new moving-object candidate (short history, no stellar
+    * counterpart underneath), 1 = first detections, 0 = not an asteroid.
     */
-  object AnomalyScore extends Scorer {
-    val name = "anomaly_score"
+  object Roid extends Scorer {
+    val name = "roid"
     def apply(df: DataFrame): Column = {
-      val n = size(col("cmagpsf"))
-      val mean = aggregate(col("cmagpsf"), lit(0.0),
-        (acc, x) => acc + x.cast("double")) / n
-      val ssq = aggregate(col("cmagpsf"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double")) / n
-      when(n >= 2, sqrt(greatest(ssq - mean * mean, lit(0.0)))).otherwise(lit(0.0))
+      val nearSso =
+        col("candidate.ssdistnr") >= 0 && col("candidate.ssdistnr") < 5
+      val starUnder =
+        col("candidate.sgscore1") > 0.76 && col("candidate.distpsnr1") < 2
+      val shortHist = col("candidate.ndethist") <= 2 && size(col("cjd")) <= 2
+      when(nearSso, 3)
+        .when(shortHist && !starUnder, 2)
+        .when(col("candidate.ndethist") <= 2, 1)
+        .otherwise(0)
     }
   }
 
-  val defaultScorers: Seq[Scorer] =
-    Seq(MagnitudeRate, NAlertHist, TransientScore, AnomalyScore)
-
-  /** History fields every module depends on (ref builds ~11; these are
-    * the ones the built-in scorers consume).
+  /** SN Ia random-forest stand-in (ref: ztf/science.py:271-277 —
+    * rfscore takes the history arrays plus cdsxmatch + ndethist and
+    * returns 0 for known-class or asteroid alerts).
     */
-  val historyFields: Seq[String] = Seq("magpsf", "sigmapsf", "jd", "fid")
+  object RfSnia extends Scorer {
+    val name = "rf_snia_vs_nonia"
+    def apply(df: DataFrame): Column =
+      when(col("cdsxmatch") =!= "Unknown" || col("roid") === 3, lit(0.0))
+        .otherwise(AlertFunctions.deterministicScore(col("cmagpsf")))
+  }
 
-  /** The full enrichment: concat histories → scorers → classification →
-    * drop temporaries. One narrow plan, no UDFs, no shuffles.
+  /** SuperNNova-shaped scorers (ref: ztf/science.py:279-290 applies the
+    * same module twice with different target labels); deterministic
+    * sigmoid of the brightening rate, gated like the reference on roid.
     */
-  def apply(df: DataFrame, scorers: Seq[Scorer] = defaultScorers): DataFrame = {
+  final case class SnnScore(name: String, gain: Double) extends Scorer {
+    def apply(df: DataFrame): Column =
+      when(col("roid") === 3, lit(0.0))
+        .otherwise(sigmoid(lit(-gain) * MagnitudeRate(df)))
+  }
+
+  /** Microlensing stand-in (ref: ztf/science.py:292-306, args cfid,
+    * cmagpsf, csigmapsf, cmagnr, csigmagnr, cisdiffpos, ndethist):
+    * score = symmetric-brightening heuristic — all-positive
+    * subtractions with a well-measured reference source.
+    */
+  object Mulens extends Scorer {
+    val name = "mulens"
+    def apply(df: DataFrame): Column = {
+      val allPositive =
+        size(filter(col("cisdiffpos"), x => x === "t")) === size(col("cisdiffpos"))
+      val snr = meanArr(col("cmagnr")) / greatest(meanArr(col("csigmagnr")), lit(1e-6))
+      when(col("candidate.ndethist") >= 3 && allPositive,
+        sigmoid(snr / lit(100.0)) - lit(0.5)).otherwise(lit(0.0))
+    }
+  }
+
+  /** Kilonova scorer stand-in (ref: ztf/science.py:312-321): fast + new.
+    */
+  object KnScore extends Scorer {
+    val name = "rf_kn_vs_nonkn"
+    def apply(df: DataFrame): Column = {
+      val newSource =
+        col("candidate.jd") - col("candidate.jdstarthist") < lit(20.0)
+      when(col("cdsxmatch") === "Unknown" && newSource,
+        sigmoid(abs(MagnitudeRate(df)) * 10.0) - lit(0.5)).otherwise(lit(0.0))
+    }
+  }
+
+  /** Anomaly score: dispersion of the magnitude history (stand-in for
+    * the reference's anomaly_score over lc_features; same column
+    * contract, ref: ztf/science.py:337-345).
+    */
+  object AnomalyScore extends Scorer {
+    val name = "anomaly_score"
+    def apply(df: DataFrame): Column = stdArr(col("cmagpsf"))
+  }
+
+  /** Superluminous-SN scorer (ref: ztf/science.py:425-431): gated on
+    * is_transient like the reference.
+    */
+  object SlsnScore extends Scorer {
+    val name = "slsn_score"
+    def apply(df: DataFrame): Column =
+      when(col("is_transient"),
+        sigmoid(lit(22.0) - meanArr(col("cmagpsf"))) - lit(0.5))
+        .otherwise(lit(0.0))
+  }
+
+  /** Per-band light-curve features split into lc_features_g /
+    * lc_features_r (the reference computes a fid-keyed map and splits it
+    * with getItem, ref: ztf/science.py:323-352). Features here are the
+    * deterministic basics (n, mean, std, amplitude) with the same
+    * map→getItem→drop plumbing.
+    */
+  object LcFeatures extends Stage {
+    private def bandFeatures(fid: Int): Column = {
+      // `transform` here is Stage.transform; qualify the HOF explicitly
+      val mags = org.apache.spark.sql.functions.transform(
+        filter(arrays_zip(col("cmagpsf"), col("cfid")),
+          x => x.getField("cfid") === fid),
+        x => x.getField("cmagpsf").cast("double"))
+      struct(
+        size(mags).cast("long").as("n"),
+        when(size(mags) > 0, meanArr(mags)).otherwise(lit(0.0)).as("mean"),
+        stdArr(mags).as("std"),
+        when(size(mags) > 0, array_max(mags) - array_min(mags))
+          .otherwise(lit(0.0)).as("amplitude"))
+    }
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("lc_features",
+        map(lit("1"), bandFeatures(1), lit("2"), bandFeatures(2)))
+        .withColumn("lc_features_g", col("lc_features").getItem("1"))
+        .withColumn("lc_features_r", col("lc_features").getItem("2"))
+        .drop("lc_features")
+  }
+
+  /** Fast-transient module: one struct-valued column expanded into its
+    * fields then dropped (the reference's ft_module /
+    * rate_module_output_schema pattern, ref: ztf/science.py:354-375).
+    */
+  object FastTransient extends Stage {
+    val outputFields = Seq("rate", "sigma_rate", "from_upper")
+    def transform(df: DataFrame): DataFrame = {
+      val rate = MagnitudeRate(df)
+      val sigma = stdArr(col("csigmapsf")) /
+        sqrt(greatest(size(col("csigmapsf")).cast("double"), lit(1.0)))
+      val fromUpper = element_at(col("cdiffmaglim"), -1).cast("double") >
+        element_at(col("cmagpsf"), -1).cast("double")
+      val packed = df.withColumn("ft_module",
+        struct(rate.as("rate"), sigma.as("sigma_rate"), fromUpper.as("from_upper")))
+      outputFields
+        .foldLeft(packed)((d, k) => d.withColumn(k, col(s"ft_module.$k")))
+        .drop("ft_module")
+    }
+  }
+
+  /** Transient gate flags + is_transient, then intermediate flags
+    * dropped (ref: ztf/science.py:406-423 extract_transient_features /
+    * is_transient).
+    */
+  object TransientFlags extends Stage {
+    private val flags = Seq(
+      "faint", "positivesubtraction", "real", "pointunderneath",
+      "brightstar", "variablesource", "stationary")
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("faint", col("candidate.magpsf") > 19.5)
+        .withColumn("positivesubtraction", col("candidate.isdiffpos") === "t")
+        .withColumn("real", col("candidate.drb") >= 0.5)
+        .withColumn("pointunderneath",
+          col("candidate.sgscore1") > 0.76 && col("candidate.distpsnr1") < 2)
+        .withColumn("brightstar",
+          col("candidate.distpsnr1") < 2 && col("candidate.magnr") < 15)
+        .withColumn("variablesource", col("cdsxmatch") =!= "Unknown")
+        .withColumn("stationary", col("candidate.ssdistnr") < 0)
+        .withColumn("is_transient",
+          !col("faint") && col("positivesubtraction") && col("real") &&
+            !col("pointunderneath") && !col("brightstar") &&
+            !col("variablesource") && col("stationary") && col("roid") === 0)
+        .drop(flags: _*)
+  }
+
+  /** One crossmatch enrichment column from a catalog snapshot (the
+    * reference chains ~9 of these: cdsxmatch, gaiaClass, vsx, spicy,
+    * gcvs, 3hsp, 4lac, mangrove — ref ztf/science.py:57-198).
+    */
+  final case class Xmatch(labelName: String, catalog: DataFrame,
+      radiusArcsec: Double) extends Stage {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(labelName,
+        Crossmatch.nearestLabelExpr(
+          col("candidate.ra"), col("candidate.dec"), catalog,
+          radiusArcsec / 3600.0))
+  }
+
+  /** Deterministic stand-in catalogs for the spine's crossmatch stages
+    * (seeded positions over the sphere; class vocabularies shaped like
+    * the reference's CDS / GCVS / VSX outputs).
+    */
+  def fixtureCatalog(
+      spark: SparkSession,
+      classes: Seq[String],
+      n: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val ra = rng.nextDouble() * 360.0
+      val dec = math.toDegrees(math.asin(rng.nextDouble() * 2 - 1))
+      (classes(rng.nextInt(classes.size)), ra, dec)
+    }.toDF("cat_name", "cat_ra", "cat_dec")
+  }
+
+  def defaultXmatches(spark: SparkSession): Seq[Stage] = Seq(
+    Xmatch("cdsxmatch",
+      fixtureCatalog(spark, Seq("Star", "RRLyr", "QSO", "AGN", "EB*"), 200, 11L),
+      radiusArcsec = 1.5),
+    Xmatch("gcvs",
+      fixtureCatalog(spark, Seq("CEP", "MIRA", "SR"), 120, 12L),
+      radiusArcsec = 1.5),
+    Xmatch("vsx",
+      fixtureCatalog(spark, Seq("ROT", "DSCT", "EA"), 120, 13L),
+      radiusArcsec = 1.5))
+
+  /** The post-crossmatch scorer chain, reference order
+    * (ztf/science.py:259-330).
+    */
+  val defaultScorers: Seq[Scorer] = Seq(
+    Roid,
+    RfSnia,
+    SnnScore("snn_snia_vs_nonia", 8.0),
+    SnnScore("snn_sn_vs_all", 4.0),
+    Mulens,
+    NAlertHist,
+    KnScore,
+    MagnitudeRate,
+    AnomalyScore)
+
+  /** History fields every module depends on — the reference's exact
+    * `to_expand` list (ztf/science.py:236-250).
+    */
+  val historyFields: Seq[String] = Seq(
+    "jd", "fid", "magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos",
+    "distnr", "diffmaglim", "ra", "dec")
+
+  /** Science output columns the pipeline guarantees (spec contract). */
+  val outputColumns: Seq[String] = Seq(
+    "cdsxmatch", "gcvs", "vsx", "roid", "rf_snia_vs_nonia",
+    "snn_snia_vs_nonia", "snn_sn_vs_all", "mulens", "nalerthist",
+    "rf_kn_vs_nonkn", "mag_rate", "anomaly_score", "lc_features_g",
+    "lc_features_r", "rate", "sigma_rate", "from_upper", "is_transient",
+    "slsn_score", "classification")
+
+  /** The full enrichment: concat 11 histories → crossmatches → scorers →
+    * per-band features → fast-transient expand → transient gate → SLSN →
+    * classification → drop temporaries. One narrow plan, no UDFs, no
+    * shuffles (broadcast- and exchange-free; plan-asserted in
+    * NightlySpec).
+    */
+  def apply(
+      df: DataFrame,
+      scorers: Seq[Scorer] = defaultScorers,
+      xmatches: DataFrame => Seq[Stage] =
+        d => defaultXmatches(d.sparkSession)): DataFrame = {
     val withHist = AlertFunctions.concatCols(df, historyFields)
-    val scored = scorers.foldLeft(withHist)((d, s) => d.withColumn(s.name, s(d)))
+    val stages: Seq[Stage] =
+      xmatches(df) ++ scorers ++
+        Seq(LcFeatures, FastTransient, TransientFlags, SlsnScore)
+    val scored = stages.foldLeft(withHist)((d, s) => s.transform(d))
     scored
       .withColumn("classification",
         AlertFunctions.classify(col("rf_snia_vs_nonia"), col("nalerthist") - 1))

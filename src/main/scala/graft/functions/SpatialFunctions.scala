@@ -36,7 +36,93 @@ case class Ang2PixNest(left: Expression, right: Expression, nside: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** In-executor nearest-catalog-label lookup: a healpix-indexed snapshot
+  * of a (small) catalog, shipped inside the expression and probed per
+  * alert row — no join, no explode, no exchange on the alert side. This
+  * is the Spark-native form of the reference's pattern of broadcasting
+  * a catalog into pandas UDFs and querying an in-memory kd-tree per
+  * batch (ref: fink_broker/ztf/science.py:57-198).
+  *
+  * `index` maps pixel → (name, raDeg, decDeg) entries whose match disc
+  * intersects that pixel (built by [[graft.alerts.Crossmatch
+  * .pixelIndex]], conservative cover). Eval probes the row's single
+  * pixel and resolves by exact haversine separation; no candidate within
+  * `radiusDeg` → "Unknown" (the reference's cdsxmatch default).
+  *
+  * CodegenFallback: the map probe can't be inlined into generated Java;
+  * it splits the whole-stage-codegen span, which the enrichment spine
+  * accepts in exchange for zero exchanges (same trade as lsh_buckets).
+  */
+case class NearestCatalogLabel(
+    left: Expression,
+    right: Expression,
+    index: Map[Long, Array[(String, Double, Double)]],
+    nside: Int,
+    radiusDeg: Double)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_catalog_label"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raV = left.eval(input)
+    val decV = right.eval(input)
+    val label =
+      if (raV == null || decV == null) "Unknown"
+      else {
+        val ra = raV.asInstanceOf[Double]
+        val dec = decV.asInstanceOf[Double]
+        index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
+          case None => "Unknown"
+          case Some(entries) =>
+            var best = "Unknown"
+            var bestSep = radiusDeg
+            var i = 0
+            while (i < entries.length) {
+              val e = entries(i)
+              val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
+              if (sep <= bestSep) { best = e._1; bestSep = sep }
+              i += 1
+            }
+            best
+        }
+      }
+    org.apache.spark.unsafe.types.UTF8String.fromString(label)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SpatialFunctions {
+
+  /** Haversine angular separation in degrees (scalar twin of
+    * Crossmatch.angularSepDeg — stable at small separations).
+    */
+  def haversineDeg(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
+    val dLat = math.toRadians(dec2 - dec1) / 2
+    val dLon = math.toRadians(ra2 - ra1) / 2
+    val a = math.pow(math.sin(dLat), 2) +
+      math.cos(math.toRadians(dec1)) * math.cos(math.toRadians(dec2)) *
+        math.pow(math.sin(dLon), 2)
+    math.toDegrees(2 * math.asin(math.sqrt(a)))
+  }
+
+  /** Column form of [[NearestCatalogLabel]]. */
+  def nearestCatalogLabel(
+      ra: Column,
+      dec: Column,
+      index: Map[Long, Array[(String, Double, Double)]],
+      nside: Int,
+      radiusDeg: Double): Column =
+    shims.column(
+      NearestCatalogLabel(
+        shims.expression(ra.cast("double")),
+        shims.expression(dec.cast("double")),
+        index, nside, radiusDeg))
 
   /** Nested healpix pixel of (ra, dec) degree columns at `nside`. */
   def ang2pix(ra: Column, dec: Column, nside: Int): Column =

@@ -69,6 +69,24 @@ object Nightly {
     * `sinkFor` seam lets tests swap the Kafka writer for memory sinks;
     * production passes Sinks.kafkaSink.
     */
+  /** The distribution wire frame (ref: bin/ztf/distribute.py:76-109):
+    * broker timestamps cast to string, the three cutout structs and the
+    * candidate struct RE-PACKED (kept — it is the archive ingest that
+    * drops stamps, ref: bin/ztf/archive_science.py:72). Pure projection,
+    * shared by [[distribute]] and its tests.
+    */
+  def distributionFrame(science: DataFrame): DataFrame = {
+    val exprs = science.columns.map {
+      case c @ ("cutoutScience" | "cutoutTemplate" | "cutoutDifference") =>
+        s"struct($c.*) AS $c"
+      case c @ "candidate" => s"struct($c.*) AS $c"
+      case c if c.startsWith("broker") && c.endsWith("Timestamp") =>
+        s"CAST($c AS STRING) AS $c"
+      case c => s"`$c`"
+    }
+    science.selectExpr(exprs: _*)
+  }
+
   def distribute(
       spark: SparkSession,
       scienceLake: String,
@@ -76,11 +94,7 @@ object Nightly {
       checkpointRoot: String,
       trigger: Trigger = Trigger.ProcessingTime(0L))(
       sinkFor: (DataFrame, String, String) => StreamingQuery): Seq[StreamingQuery] = {
-    val science = Sources.fileStream(spark, scienceLake)
-    // cutouts are dropped from the distribution stream (ref:
-    // bin/ztf/distribute.py:89-95 keeps them optional; the payload
-    // frame re-adds them when subscribers ask)
-    val slim = science.drop("cutoutScience")
-    FilterRegistry.fanOut(slim, filterNames, checkpointRoot, trigger)(sinkFor)
+    val science = distributionFrame(Sources.fileStream(spark, scienceLake))
+    FilterRegistry.fanOut(science, filterNames, checkpointRoot, trigger)(sinkFor)
   }
 }

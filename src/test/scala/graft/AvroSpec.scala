@@ -18,9 +18,10 @@ class AvroSpec extends SparkTestBase {
     * by JVM identity, which would make equal data compare unequal).
     */
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.withColumn("cutoutScience",
-        struct(col("cutoutScience.fileName"),
-          hex(col("cutoutScience.stampData")).as("stampHex")))
+    Seq("cutoutScience", "cutoutTemplate", "cutoutDifference")
+      .foldLeft(df)((d, c) =>
+        d.withColumn(c,
+          struct(col(s"$c.fileName"), hex(col(s"$c.stampData")).as("stampHex"))))
       .orderBy("candid").collect().map(_.toString).toSeq
 
   /** All-nullable view of a schema (Avro unions erase non-nullability). */

@@ -53,8 +53,8 @@ class NightlySpec extends SparkTestBase {
     val science = spark.read.parquet(sciLake)
     val expected = Nightly.enrich(raw).count()
     assert(science.count() === expected && expected > 0)
-    for (c <- Seq("mag_rate", "nalerthist", "rf_snia_vs_nonia",
-        "anomaly_score", "classification"))
+    // full reference-arity science output (ztf/science.py:201-436 shape)
+    for (c <- graft.enrich.ScienceModules.outputColumns)
       assert(science.columns.contains(c), s"missing science column $c")
 
     // ---- stage 3: distribute into memory sinks ----
@@ -78,14 +78,25 @@ class NightlySpec extends SparkTestBase {
     assert(transients ===
       science.filter(col("classification") === "transient_candidate").count())
 
-    // payload decodes back to the science schema (cutouts dropped)
-    val sciSchemaJson = AvroFunctions.avroSchemaJson(
-      science.drop("cutoutScience").schema)
+    // payload decodes back to the distribution frame — all three cutout
+    // structs travel with the alert (ref: bin/ztf/distribute.py:89-95).
+    // The reader schema comes from the message KEY, exactly as a
+    // subscriber would obtain it (ref: common/distribution_utils.py:
+    // 118-124) — the writer ran on the streaming (all-nullable) schema,
+    // so reconstructing a reader schema from a batch re-read would
+    // disagree on nullability.
+    val sciSchemaJson = new String(
+      all.select("key").head.getAs[Array[Byte]](0), "UTF-8")
     val decoded = all
       .select(AvroFunctions.fromAvro(col("value"), sciSchemaJson).as("d"))
       .select("d.*")
     assert(decoded.count() === science.count())
     assert(decoded.columns.contains("classification"))
+    for (c <- Seq("cutoutScience", "cutoutTemplate", "cutoutDifference")) {
+      assert(decoded.columns.contains(c), s"distribution dropped $c")
+      val stamped = decoded.filter(col(s"$c.stampData").isNotNull).count()
+      assert(stamped === science.count(), s"$c stampData lost in round trip")
+    }
   }
 
   test("enrichment plan is narrow: no shuffle in the science stage") {

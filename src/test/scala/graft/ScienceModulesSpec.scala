@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.alerts.{AlertSchema, Crossmatch}
+import graft.enrich.ScienceModules
+
+/** Reference-arity enrichment: ~20 science columns from 11 history
+  * arrays + 3 crossmatch stages + 9 scorers, still a zero-exchange plan;
+  * the expression crossmatch must agree with the join-based
+  * [[Crossmatch.nearestLabel]] on planted positions.
+  */
+class ScienceModulesSpec extends SparkTestBase {
+
+  private lazy val enriched = ScienceModules(AlertSchema.fixture(spark, 200))
+
+  test("pipeline emits every reference-shaped output column") {
+    val cols = enriched.columns.toSet
+    for (c <- ScienceModules.outputColumns)
+      assert(cols.contains(c), s"missing $c")
+    // temporaries are dropped like the reference (expanded + ft_module)
+    for (c <- ScienceModules.historyFields.map("c" + _) ++
+        Seq("ft_module", "lc_features", "faint", "stationary"))
+      assert(!cols.contains(c), s"temporary $c leaked")
+  }
+
+  test("enrichment stays a zero-exchange plan at full arity") {
+    val plan = enriched.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"enrichment must not shuffle:\n$plan")
+  }
+
+  test("expression crossmatch labels planted positions like the join form") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("RRLyr", 10.0, 10.0),
+      ("QSO", 200.0, -45.0),
+      ("Star", 10.0005, 10.0005) // ~2.3 arcsec from the first entry
+    ).toDF("cat_name", "cat_ra", "cat_dec")
+    val probes = Seq(
+      (1L, 10.0, 10.0),      // exact hit → RRLyr (nearer than Star)
+      (2L, 200.0001, -45.0), // ~0.25 arcsec → QSO
+      (3L, 100.0, 50.0)      // nothing near → Unknown
+    ).toDF("id", "ra", "dec")
+    val viaExpr = probes.withColumn("label",
+      Crossmatch.nearestLabelExpr(col("ra"), col("dec"), catalog, 1.5 / 3600.0))
+      .select("id", "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr === Map(1L -> "RRLyr", 2L -> "QSO", 3L -> "Unknown"))
+    val viaJoin = Crossmatch.nearestLabel(
+      probes, col("ra"), col("dec"), col("id"), catalog, 1.5 / 3600.0, "label")
+      .select("id", "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaJoin === viaExpr)
+  }
+
+  test("roid levels follow the reference gating") {
+    val byLevel = enriched
+      .groupBy("roid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // known-SSO alerts (ssdistnr in [0,5)) must be flagged 3
+    val sso = enriched.filter(
+      col("candidate.ssdistnr") >= 0 && col("candidate.ssdistnr") < 5)
+    assert(sso.filter(col("roid") =!= 3).count() === 0)
+    assert(byLevel.getOrElse(3, 0L) === sso.count())
+    assert(byLevel.keySet.subsetOf(Set(0, 1, 2, 3)))
+    // asteroid-flagged alerts are excluded from is_transient (ref gate)
+    assert(enriched.filter(col("roid") === 3 && col("is_transient")).count() === 0)
+  }
+
+  test("per-band features split by fid and count the right detections") {
+    val rows = enriched
+      .select(col("lc_features_g.n"), col("lc_features_r.n"), col("nalerthist"))
+      .collect()
+    // per alert: n_g + n_r <= nalerthist (fid-3 detections belong to no band)
+    rows.foreach(r => assert(r.getLong(0) + r.getLong(1) <= r.getLong(2)))
+    // and the bands are not all empty across the batch
+    assert(rows.map(_.getLong(0)).sum > 0)
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("fast-transient expansion yields flat columns, not the struct") {
+    for (c <- ScienceModules.FastTransient.outputFields)
+      assert(enriched.columns.contains(c), s"missing expanded $c")
+    assert(!enriched.columns.contains("ft_module"))
+  }
+}

@@ -68,17 +68,26 @@ object AlertSchema {
     import org.apache.spark.sql.Row
     val objs = if (nObjects > 0) nObjects else math.max(n / 3, 1)
     val rng = new scala.util.Random(seed)
-    def det(jd: Double): Row = {
+    // history entries can be UPPER LIMITS (non-detections): magpsf /
+    // sigmapsf / rb null, diffmaglim carries the depth — the shape the
+    // upper/uppervalid index tables key on (ref: bin/ztf/archive_index
+    // .py:171-264). The current detection is always a measurement.
+    def det(jd: Double, canBeUpper: Boolean = false): Row = {
       val hasSso = rng.nextDouble() < 0.08
+      val isUpper = canBeUpper && {
+        val r = rng.nextDouble(); r < 0.3
+      }
       Row(
         jd,
         rng.nextDouble() * 360.0,
         rng.nextDouble() * 180.0 - 90.0,
         1 + rng.nextInt(3),
-        (15 + rng.nextDouble() * 6).toFloat,
-        (0.01 + rng.nextDouble() * 0.3).toFloat,
+        if (isUpper) null else (15 + rng.nextDouble() * 6).toFloat,
+        if (isUpper) null else (0.01 + rng.nextDouble() * 0.3).toFloat,
         if (rng.nextDouble() < 0.1) 1 + rng.nextInt(3) else 0,
-        (if (rng.nextDouble() < 0.1) rng.nextDouble() * 0.5 else 0.55 + rng.nextDouble() * 0.45).toFloat,
+        if (isUpper) null
+        else (if (rng.nextDouble() < 0.1) rng.nextDouble() * 0.5
+              else 0.55 + rng.nextDouble() * 0.45).toFloat,
         rng.nextDouble().toFloat,
         if (rng.nextBoolean()) "t" else "f",
         rng.nextDouble() * 3000,
@@ -107,7 +116,7 @@ object AlertSchema {
         "3.3",
         "graft-fixture",
         det(jd),
-        (1 to nPrv).map(h => det(jd - h * 0.04)),
+        (1 to nPrv).map(h => det(jd - h * 0.04, canBeUpper = true)),
         cutout(i, "science"),
         cutout(i, "template"),
         cutout(i, "difference"))

@@ -64,18 +64,20 @@ object ArchiveIndex {
       .select(col("tracklet"), col("objectId"), col("candid"))
       .withColumn("row_key", concat_ws("_", col("tracklet"), col("objectId")))
 
-  /** Upper-limit table: zip the parallel history arrays, explode to one
+  /** History table: zip the parallel history arrays, explode to one
     * row per prior detection (X2/X3; ref: bin/ztf/archive_index.py:
     * 186-264), via a P2-style selectExpr program. `input_file_name`
-    * records provenance (X10).
+    * records provenance (X10). Feeds [[upperLimits]]/[[upperValid]].
     */
-  def upperLimits(science: DataFrame): DataFrame =
+  def historyRows(science: DataFrame): DataFrame =
     science
       .selectExpr(
         "objectId",
         "candid",
         "explode(arrays_zip(prv_candidates.jd, prv_candidates.magpsf, " +
-          "prv_candidates.sigmapsf, prv_candidates.fid)) AS h",
+          "prv_candidates.sigmapsf, prv_candidates.fid, " +
+          "prv_candidates.diffmaglim, prv_candidates.rb, " +
+          "prv_candidates.nbad)) AS h",
         "input_file_name() AS provenance")
       .selectExpr(
         "objectId",
@@ -84,15 +86,91 @@ object ArchiveIndex {
         "cast(h.magpsf AS double) AS magpsf",
         "cast(h.sigmapsf AS double) AS sigmapsf",
         "h.fid AS fid",
+        "cast(h.diffmaglim AS double) AS diffmaglim",
+        "cast(h.rb AS double) AS rb",
+        "h.nbad AS nbad",
         "provenance")
       .withColumn("row_key", concat_ws("_", col("objectId"), col("jd")))
 
-  /** All index tables for one night. */
+  /** Last-history-entry status gates (the observable contract of the
+    * reference's check_status_last_prv_candidates, called at
+    * bin/ztf/archive_index.py:172-174 and 209-211): `upper` = the most
+    * recent history entry is an upper limit (null magpsf);
+    * `uppervalid` = it is a real measurement that fails the quality
+    * cuts (rb/nbad).
+    */
+  def withLastPrvStatus(science: DataFrame): DataFrame = {
+    val last = element_at(col("prv_candidates"), -1)
+    val hasPrv = size(coalesce(col("prv_candidates"),
+      array().cast(science.schema("prv_candidates").dataType))) > 0
+    science
+      .withColumn("upper", hasPrv && last.getField("magpsf").isNull)
+      .withColumn("uppervalid",
+        hasPrv && last.getField("magpsf").isNotNull &&
+          !(last.getField("rb") >= 0.55 && last.getField("nbad") === 0))
+  }
+
+  /** Upper-limit table (ref: archive_index.py:171-207): alerts whose
+    * latest history entry is an upper limit → exploded history rows →
+    * keep the NULL-magpsf (non-detection) rows, drop the all-null
+    * magnitude columns.
+    */
+  def upperLimits(science: DataFrame): DataFrame =
+    historyRows(withLastPrvStatus(science).filter(col("upper")))
+      .filter(col("magpsf").isNull)
+      .drop("magpsf", "sigmapsf", "rb", "nbad")
+
+  /** Valid-but-noisy table (ref: archive_index.py:208-264, SURVEY §7.4
+    * hard-part 4): alerts whose latest history entry is a measurement
+    * failing the quality cuts → exploded history rows → keep NOISY
+    * measurements (NOT(rb>=0.55 AND nbad==0) AND magpsf present), then
+    * drop the quality columns themselves.
+    */
+  def upperValid(science: DataFrame): DataFrame =
+    historyRows(withLastPrvStatus(science).filter(col("uppervalid")))
+      .filter(
+        !(col("rb") >= 0.55 && col("nbad") === 0) && col("magpsf").isNotNull)
+      .drop("rb", "nbad")
+
+  /** Solar-system index (ref: archive_index.py:153-161): MPC-matched
+    * alerts only (roid == 3), keyed ssnamenr_jd.
+    */
+  def ssnamenrIndex(science: DataFrame): DataFrame =
+    RowKeys.rowKey(
+      science
+        .filter(col("roid") === 3)
+        .select(
+          col("candidate.ssnamenr").as("ssnamenr"),
+          col("candidate.jd").as("jd"),
+          col("objectId"),
+          col("candid")),
+      Seq("ssnamenr", "jd"))
+
+  /** TNS index (ref: archive_index.py:141-152): alerts with a TNS
+    * counterpart only (tns != ""), keyed tns_jd_objectId.
+    */
+  def tnsIndex(science: DataFrame): DataFrame =
+    RowKeys.rowKey(
+      science
+        .filter(col("tns") =!= "")
+        .select(
+          col("tns"),
+          col("candidate.jd").as("jd"),
+          col("objectId"),
+          col("candid")),
+      Seq("tns", "jd", "objectId"))
+
+  /** All 8 index tables for one night (ref builds the same set,
+    * bin/ztf/archive_index.py:47-300).
+    */
   def all(scienceWithTracklets: DataFrame, nside: Int = 128): Map[String, DataFrame] =
     Map(
       "objectId_jd" -> objectIdJd(scienceWithTracklets),
       s"pixel${nside}_jd_objectId" -> pixelIndex(scienceWithTracklets, nside),
       "class_jd_objectId" -> classIndex(scienceWithTracklets),
       "tracklet_objectId" -> trackletIndex(scienceWithTracklets),
-      "upper_objectId_jd" -> upperLimits(scienceWithTracklets))
+      "upper_objectId_jd" -> upperLimits(scienceWithTracklets),
+      "uppervalid_objectId_jd" -> upperValid(scienceWithTracklets),
+      "ssnamenr_jd" -> ssnamenrIndex(scienceWithTracklets),
+      "tns_jd_objectId" -> tnsIndex(scienceWithTracklets))
 }

@@ -166,9 +166,11 @@ object Crossmatch {
       ra: Column,
       dec: Column,
       catalog: DataFrame,
-      radiusDeg: Double): Column = {
+      radiusDeg: Double,
+      default: String = "Unknown"): Column = {
     val (idx, nside) = pixelIndex(catalog, radiusDeg)
-    graft.functions.SpatialFunctions.nearestCatalogLabel(ra, dec, idx, nside, radiusDeg)
+    graft.functions.SpatialFunctions.nearestCatalogLabel(
+      ra, dec, idx, nside, radiusDeg, default)
   }
 
   /** The reference's enrichment semantics: every alert kept, the nearest

@@ -34,12 +34,23 @@ object ScienceModules {
       df.withColumn(name, apply(df))
   }
 
-  // ---- shared expression helpers (all HOF folds, no UDFs) ----
+  // ---- shared expression helpers (all HOF folds, no UDFs). History
+  //      arrays contain NULL entries for upper limits (non-detections),
+  //      exactly like real ZTF prv_candidates — every fold masks them
+  //      first, the expression form of the reference modules' masked
+  //      arrays. ----
 
-  private def meanArr(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / size(a)
+  private def validOnly(a: Column): Column = filter(a, x => x.isNotNull)
 
-  private def stdArr(a: Column): Column = {
+  private def meanArr(raw: Column): Column = {
+    val a = validOnly(raw)
+    when(size(a) > 0,
+      aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / size(a))
+      .otherwise(lit(0.0))
+  }
+
+  private def stdArr(raw: Column): Column = {
+    val a = validOnly(raw)
     val n = size(a)
     val mean = meanArr(a)
     val ssq = aggregate(a, lit(0.0),
@@ -56,9 +67,16 @@ object ScienceModules {
   object MagnitudeRate extends Scorer {
     val name = "mag_rate"
     def apply(df: DataFrame): Column = {
-      val dm = element_at(col("cmagpsf"), -1) - element_at(col("cmagpsf"), 1)
-      val dt = element_at(col("cjd"), -1) - element_at(col("cjd"), 1)
-      when(size(col("cjd")) >= 2 && dt > 0, dm.cast("double") / dt)
+      // pair (magpsf, jd) and mask upper limits BEFORE taking endpoints,
+      // so a null-magpsf history head cannot null the rate
+      val pairs = filter(
+        arrays_zip(col("cmagpsf"), col("cjd")),
+        x => x.getField("cmagpsf").isNotNull)
+      val dm = element_at(pairs, -1).getField("cmagpsf") -
+        element_at(pairs, 1).getField("cmagpsf")
+      val dt = element_at(pairs, -1).getField("cjd") -
+        element_at(pairs, 1).getField("cjd")
+      when(size(pairs) >= 2 && dt > 0, dm.cast("double") / dt)
         .otherwise(lit(0.0))
     }
   }
@@ -68,7 +86,8 @@ object ScienceModules {
     */
   object NAlertHist extends Scorer {
     val name = "nalerthist"
-    def apply(df: DataFrame): Column = size(col("cmagpsf")).cast("long")
+    def apply(df: DataFrame): Column =
+      size(validOnly(col("cmagpsf"))).cast("long")
   }
 
   /** Asteroid catcher (ref: ztf/science.py:259-269, same argument set:
@@ -172,7 +191,7 @@ object ScienceModules {
       // `transform` here is Stage.transform; qualify the HOF explicitly
       val mags = org.apache.spark.sql.functions.transform(
         filter(arrays_zip(col("cmagpsf"), col("cfid")),
-          x => x.getField("cfid") === fid),
+          x => x.getField("cfid") === fid && x.getField("cmagpsf").isNotNull),
         x => x.getField("cmagpsf").cast("double"))
       struct(
         size(mags).cast("long").as("n"),
@@ -199,8 +218,10 @@ object ScienceModules {
       val rate = MagnitudeRate(df)
       val sigma = stdArr(col("csigmapsf")) /
         sqrt(greatest(size(col("csigmapsf")).cast("double"), lit(1.0)))
-      val fromUpper = element_at(col("cdiffmaglim"), -1).cast("double") >
-        element_at(col("cmagpsf"), -1).cast("double")
+      val fromUpper = coalesce(
+        element_at(col("cdiffmaglim"), -1).cast("double") >
+          element_at(col("cmagpsf"), -1).cast("double"),
+        lit(false))
       val packed = df.withColumn("ft_module",
         struct(rate.as("rate"), sigma.as("sigma_rate"), fromUpper.as("from_upper")))
       outputFields
@@ -239,12 +260,12 @@ object ScienceModules {
     * gcvs, 3hsp, 4lac, mangrove — ref ztf/science.py:57-198).
     */
   final case class Xmatch(labelName: String, catalog: DataFrame,
-      radiusArcsec: Double) extends Stage {
+      radiusArcsec: Double, default: String = "Unknown") extends Stage {
     def transform(df: DataFrame): DataFrame =
       df.withColumn(labelName,
         Crossmatch.nearestLabelExpr(
           col("candidate.ra"), col("candidate.dec"), catalog,
-          radiusArcsec / 3600.0))
+          radiusArcsec / 3600.0, default))
   }
 
   /** Deterministic stand-in catalogs for the spine's crossmatch stages
@@ -274,7 +295,13 @@ object ScienceModules {
       radiusArcsec = 1.5),
     Xmatch("vsx",
       fixtureCatalog(spark, Seq("ROT", "DSCT", "EA"), 120, 13L),
-      radiusArcsec = 1.5))
+      radiusArcsec = 1.5),
+    // TNS counterpart name; empty string when unmatched (the reference
+    // keys its tns index table on tns != "", bin/ztf/archive_index.py)
+    Xmatch("tns",
+      fixtureCatalog(spark,
+        (1 to 40).map(i => s"SN 2024${('a' + i % 26).toChar}$i"), 40, 14L),
+      radiusArcsec = 1.5, default = ""))
 
   /** The post-crossmatch scorer chain, reference order
     * (ztf/science.py:259-330).
@@ -299,7 +326,7 @@ object ScienceModules {
 
   /** Science output columns the pipeline guarantees (spec contract). */
   val outputColumns: Seq[String] = Seq(
-    "cdsxmatch", "gcvs", "vsx", "roid", "rf_snia_vs_nonia",
+    "cdsxmatch", "gcvs", "vsx", "tns", "roid", "rf_snia_vs_nonia",
     "snn_snia_vs_nonia", "snn_sn_vs_all", "mulens", "nalerthist",
     "rf_kn_vs_nonkn", "mag_rate", "anomaly_score", "lc_features_g",
     "lc_features_r", "rate", "sigma_rate", "from_upper", "is_transient",

@@ -58,7 +58,8 @@ case class NearestCatalogLabel(
     right: Expression,
     index: Map[Long, Array[(String, Double, Double)]],
     nside: Int,
-    radiusDeg: Double)
+    radiusDeg: Double,
+    default: String = "Unknown")
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -70,14 +71,14 @@ case class NearestCatalogLabel(
     val raV = left.eval(input)
     val decV = right.eval(input)
     val label =
-      if (raV == null || decV == null) "Unknown"
+      if (raV == null || decV == null) default
       else {
         val ra = raV.asInstanceOf[Double]
         val dec = decV.asInstanceOf[Double]
         index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
-          case None => "Unknown"
+          case None => default
           case Some(entries) =>
-            var best = "Unknown"
+            var best = default
             var bestSep = radiusDeg
             var i = 0
             while (i < entries.length) {
@@ -117,12 +118,13 @@ object SpatialFunctions {
       dec: Column,
       index: Map[Long, Array[(String, Double, Double)]],
       nside: Int,
-      radiusDeg: Double): Column =
+      radiusDeg: Double,
+      default: String = "Unknown"): Column =
     shims.column(
       NearestCatalogLabel(
         shims.expression(ra.cast("double")),
         shims.expression(dec.cast("double")),
-        index, nside, radiusDeg))
+        index, nside, radiusDeg, default))
 
   /** Nested healpix pixel of (ra, dec) degree columns at `nside`. */
   def ang2pix(ra: Column, dec: Column, nside: Int): Column =

@@ -19,8 +19,10 @@ class ArchiveSpec extends SparkTestBase {
 
   test("index tables project and key correctly") {
     val tables = ArchiveIndex.all(science)
+    // the reference's full 8-table set (bin/ztf/archive_index.py:47-300)
     assert(tables.keySet === Set("objectId_jd", "pixel128_jd_objectId",
-      "class_jd_objectId", "tracklet_objectId", "upper_objectId_jd"))
+      "class_jd_objectId", "tracklet_objectId", "upper_objectId_jd",
+      "uppervalid_objectId_jd", "ssnamenr_jd", "tns_jd_objectId"))
 
     val oid = tables("objectId_jd")
     assert(oid.count() === science.count())
@@ -34,13 +36,47 @@ class ArchiveSpec extends SparkTestBase {
     val ids = cls.select("classification", "class_id").distinct().collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(ids.forall { case (k, v) => ArchiveIndex.classIds(k) == v })
+  }
 
-    // upper limits: one row per prior detection, with provenance
-    val up = tables("upper_objectId_jd")
-    val expected = science.agg(
-      sum(size(coalesce(col("prv_candidates"), array())))).collect()(0).getLong(0)
-    assert(up.count() === expected)
-    assert(up.columns.contains("provenance"))
+  test("upper/uppervalid tables: null-edge explode-then-filter semantics") {
+    val flagged = ArchiveIndex.withLastPrvStatus(science)
+    // the two gates are disjoint and only fire when history exists
+    assert(flagged.filter(col("upper") && col("uppervalid")).count() === 0)
+    assert(flagged.filter(
+      (col("upper") || col("uppervalid")) && size(col("prv_candidates")) === 0
+    ).count() === 0)
+
+    // upper: every exploded row is a non-detection; mag columns dropped
+    val up = ArchiveIndex.upperLimits(science)
+    assert(up.count() > 0, "fixture must contain upper-limit alerts")
+    assert(!up.columns.contains("magpsf") && !up.columns.contains("sigmapsf"))
+    assert(up.columns.contains("diffmaglim") && up.columns.contains("provenance"))
+    assert(up.filter(col("diffmaglim").isNull).count() === 0)
+
+    // uppervalid: every exploded row is a real-but-noisy measurement
+    val uv = ArchiveIndex.upperValid(science)
+    assert(uv.count() > 0, "fixture must contain noisy measurements")
+    assert(uv.filter(col("magpsf").isNull).count() === 0)
+    assert(!uv.columns.contains("rb") && !uv.columns.contains("nbad"))
+
+    // row keys pair objectId with the HISTORY jd, not the candidate jd
+    val candJds = science.select(col("candidate.jd")).collect()
+      .map(_.getDouble(0)).toSet
+    up.select("jd").collect().foreach(r => assert(!candJds.contains(r.getDouble(0))))
+  }
+
+  test("ssnamenr and tns index tables filter to matched alerts only") {
+    val sso = ArchiveIndex.ssnamenrIndex(science)
+    assert(sso.count() === science.filter(col("roid") === 3).count())
+    assert(sso.count() > 0, "fixture must contain SSO matches")
+    sso.collect().foreach { r =>
+      val key = r.getAs[String]("row_key")
+      assert(key.startsWith(r.getAs[String]("ssnamenr") + "_"))
+    }
+
+    val tns = ArchiveIndex.tnsIndex(science)
+    assert(tns.count() === science.filter(col("tns") =!= "").count())
+    tns.collect().foreach(r => assert(r.getAs[String]("tns").nonEmpty))
   }
 
   test("nightly statistics summary row (A1-A4/A3/L1/S7)") {

@@ -73,8 +73,12 @@ object AlertFunctions {
     * bin/ztf/raw2science.py:97-104).
     */
   def deterministicScore(cmagpsf: Column): Column = {
-    val n = size(cmagpsf)
-    val mean = aggregate(cmagpsf, lit(0.0), (acc, x) => acc + x.cast("double")) / n
+    // history arrays carry NULL entries for upper limits (non-detections);
+    // mask them BEFORE folding — acc + NULL would null the whole sum (the
+    // reference rfscore drops NaN history the same way)
+    val valid = filter(cmagpsf, x => x.isNotNull)
+    val n = size(valid)
+    val mean = aggregate(valid, lit(0.0), (acc, x) => acc + x.cast("double")) / n
     when(n > 0, (lit(22.0) - mean) / lit(22.0)).otherwise(lit(0.0))
   }
 

@@ -100,7 +100,11 @@ object AlertSchema {
         jd - rng.nextInt(30),
         rng.nextDouble().toFloat,
         (rng.nextDouble() * 30).toFloat,
-        if (hasSso) (rng.nextDouble() * 10).toFloat else -999.0f,
+        // no-match is encoded as null on real ZTF alerts and as a -999
+        // sentinel in some archive dumps — emit both so the science
+        // modules' null handling is exercised (ADVICE r3)
+        if (hasSso) (rng.nextDouble() * 10).toFloat
+        else if (rng.nextBoolean()) -999.0f else null,
         if (hasSso) s"${2020 + rng.nextInt(6)} SO${rng.nextInt(300)}" else null)
     }
     def cutout(i: Int, kind: String): Row =

@@ -77,7 +77,9 @@ object ArchiveIndex {
         "explode(arrays_zip(prv_candidates.jd, prv_candidates.magpsf, " +
           "prv_candidates.sigmapsf, prv_candidates.fid, " +
           "prv_candidates.diffmaglim, prv_candidates.rb, " +
-          "prv_candidates.nbad)) AS h",
+          "prv_candidates.nbad, prv_candidates.magnr, " +
+          "prv_candidates.sigmagnr, prv_candidates.isdiffpos, " +
+          "prv_candidates.distnr)) AS h",
         "input_file_name() AS provenance")
       .selectExpr(
         "objectId",
@@ -89,6 +91,10 @@ object ArchiveIndex {
         "cast(h.diffmaglim AS double) AS diffmaglim",
         "cast(h.rb AS double) AS rb",
         "h.nbad AS nbad",
+        "cast(h.magnr AS double) AS magnr",
+        "cast(h.sigmagnr AS double) AS sigmagnr",
+        "h.isdiffpos AS isdiffpos",
+        "cast(h.distnr AS double) AS distnr",
         "provenance")
       .withColumn("row_key", concat_ws("_", col("objectId"), col("jd")))
 
@@ -100,7 +106,11 @@ object ArchiveIndex {
     * cuts (rb/nbad).
     */
   def withLastPrvStatus(science: DataFrame): DataFrame = {
-    val last = element_at(col("prv_candidates"), -1)
+    // try_element_at: the `hasPrv &&` short-circuit does NOT protect a
+    // strict element_at under ANSI — codegen subexpression elimination
+    // hoists the shared element_at above the guard and throws on empty
+    // history arrays
+    val last = try_element_at(col("prv_candidates"), lit(-1))
     val hasPrv = size(coalesce(col("prv_candidates"),
       array().cast(science.schema("prv_candidates").dataType))) > 0
     science
@@ -118,7 +128,8 @@ object ArchiveIndex {
   def upperLimits(science: DataFrame): DataFrame =
     historyRows(withLastPrvStatus(science).filter(col("upper")))
       .filter(col("magpsf").isNull)
-      .drop("magpsf", "sigmapsf", "rb", "nbad")
+      .drop("magpsf", "sigmapsf", "rb", "nbad",
+        "magnr", "sigmagnr", "isdiffpos", "distnr")
 
   /** Valid-but-noisy table (ref: archive_index.py:208-264, SURVEY §7.4
     * hard-part 4): alerts whose latest history entry is a measurement

@@ -44,21 +44,58 @@ object Flatten {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Project `df` onto `wanted`: existing columns cast to the wanted
-    * type, missing columns filled with typed defaults. Extra columns are
-    * dropped. Returns the conformed frame plus the names that were
-    * missing (the reference logs them; callers decide).
+  /** Conform one column to the wanted type, recursively: structs are
+    * rebuilt field-by-field (a plain `cast` cannot ADD struct fields),
+    * arrays of structs conform element-wise via `transform`, leaves
+    * cast. Missing nested fields fill with typed defaults and are
+    * recorded as dotted paths. NULL structs/arrays stay NULL.
+    */
+  private def conformColumn(
+      c: Column,
+      have: DataType,
+      want: DataType,
+      path: String,
+      missing: scala.collection.mutable.Buffer[String]): Column =
+    (have, want) match {
+      case (h, w) if h == w => c
+      case (h: StructType, w: StructType) =>
+        val haveMap = h.fields.map(f => f.name -> f.dataType).toMap
+        val fields = w.fields.map { f =>
+          haveMap.get(f.name) match {
+            case Some(hd) =>
+              conformColumn(c.getField(f.name), hd, f.dataType,
+                s"$path.${f.name}", missing).as(f.name)
+            case None =>
+              missing += s"$path.${f.name}"
+              defaultFor(f.dataType).as(f.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(w))
+          .otherwise(struct(fields.toIndexedSeq: _*))
+      case (ArrayType(he, _), ArrayType(we, _)) =>
+        transform(c, x => conformColumn(x, he, we, s"$path[]", missing))
+      case (_, w) => c.cast(w)
+    }
+
+  /** Project `df` onto `wanted`: existing columns conformed to the
+    * wanted type (recursively, see [[conformColumn]]), missing columns
+    * filled with typed defaults. Extra columns are dropped. Returns the
+    * conformed frame plus the (dotted) paths that were missing (the
+    * reference logs them; callers decide).
     */
   def conform(df: DataFrame, wanted: StructType): (DataFrame, Seq[String]) = {
     val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val missing = wanted.fields.collect {
-      case f if !have.contains(f.name) => f.name
-    }.toSeq
+    val missing = scala.collection.mutable.Buffer[String]()
     val cols = wanted.fields.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else defaultFor(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case Some(hd) =>
+          conformColumn(col(f.name), hd, f.dataType, f.name, missing).as(f.name)
+        case None =>
+          missing += f.name
+          defaultFor(f.dataType).as(f.name)
+      }
     }
-    (df.select(cols.toIndexedSeq: _*), missing)
+    (df.select(cols.toIndexedSeq: _*), missing.toSeq)
   }
 
   /** P4 fault-tolerant projection: keep only the requested columns that

@@ -99,7 +99,9 @@ object ScienceModules {
   object Roid extends Scorer {
     val name = "roid"
     def apply(df: DataFrame): Column = {
-      val nearSso =
+      // real ZTF encodes "no SSO match" as null (the fixture uses -999);
+      // an explicit isNotNull guard keeps the predicate boolean either way
+      val nearSso = col("candidate.ssdistnr").isNotNull &&
         col("candidate.ssdistnr") >= 0 && col("candidate.ssdistnr") < 5
       val starUnder =
         col("candidate.sgscore1") > 0.76 && col("candidate.distpsnr1") < 2
@@ -218,10 +220,14 @@ object ScienceModules {
       val rate = MagnitudeRate(df)
       val sigma = stdArr(col("csigmapsf")) /
         sqrt(greatest(size(col("csigmapsf")).cast("double"), lit(1.0)))
-      val fromUpper = coalesce(
-        element_at(col("cdiffmaglim"), -1).cast("double") >
-          element_at(col("cmagpsf"), -1).cast("double"),
-        lit(false))
+      // the reference's from_upper flags that the MOST RECENT HISTORY
+      // entry was an upper limit; on the concatenated arrays the last
+      // element is the current detection, so probe index -2 (guarded:
+      // a first detection has no history entry to probe)
+      val fromUpper =
+        when(size(col("cmagpsf")) >= 2,
+          try_element_at(col("cmagpsf"), lit(-2)).isNull)
+          .otherwise(lit(false))
       val packed = df.withColumn("ft_module",
         struct(rate.as("rate"), sigma.as("sigma_rate"), fromUpper.as("from_upper")))
       outputFields
@@ -247,7 +253,10 @@ object ScienceModules {
         .withColumn("brightstar",
           col("candidate.distpsnr1") < 2 && col("candidate.magnr") < 15)
         .withColumn("variablesource", col("cdsxmatch") =!= "Unknown")
-        .withColumn("stationary", col("candidate.ssdistnr") < 0)
+        // null ssdistnr means "no SSO match" on real alerts — treat as
+        // stationary rather than letting NULL propagate into is_transient
+        .withColumn("stationary",
+          coalesce(col("candidate.ssdistnr") < 0, lit(true)))
         .withColumn("is_transient",
           !col("faint") && col("positivesubtraction") && col("real") &&
             !col("pointunderneath") && !col("brightstar") &&

@@ -126,5 +126,67 @@ object Nested extends QueryPack {
         SELECT user_id || '_' || event_type || '_' || event_id AS row_key,
           event_id, user_id, event_type,
           value * 2 - 1 AS packed_value
-        FROM events""")))
+        FROM events""")),
+
+    // ---- J4 proper: the reference's monthly SSO aggregation merge
+    //      (ref: bin/ztf/compute_ephemerides.py:247-252 via fink_utils
+    //      join_aggregated_sso_data): two per-object aggregated tables
+    //      (previous month + new month) full-outer-joined on the object
+    //      key, each per-object history ARRAY merged by concatenation
+    //      (prev entries first), counts added. The merged arrays are
+    //      position-exploded so the oracle checks order value-for-value.
+    //      Scale shape: one partial-aggregated shuffle per side, one
+    //      keyed outer join — never a row-level union of raw history. ----
+    QueryDef(
+      "q44_sso_merge",
+      (s, d) => {
+        val events = t(s, d, "events")
+        def monthAgg(parity: Int) = events
+          .filter(col("event_id") % 2 === parity)
+          .groupBy("user_id")
+          .agg(array_sort(
+            collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            .as("h"))
+          .select(
+            col("user_id"),
+            transform(col("h"), x => x.getField("value")).as("vals"),
+            size(col("h")).cast("long").as("n"))
+        val prev = monthAgg(0)
+        val brand = monthAgg(1)
+        val empty = array().cast("array<double>")
+        val merged = prev.as("p")
+          .join(brand.as("n"), Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            concat(
+              coalesce(col("p.vals"), empty),
+              coalesce(col("n.vals"), empty)).as("cvalue"),
+            (coalesce(col("p.n"), lit(0L)) + coalesce(col("n.n"), lit(0L)))
+              .as("nobs"))
+        merged
+          .select(col("user_id"), col("nobs"), posexplode(col("cvalue")))
+          .select(
+            col("user_id"),
+            col("nobs"),
+            (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("value"))
+      },
+      Some("""
+        WITH prev AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+                 count(*) AS n
+          FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        brand AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+                 count(*) AS n
+          FROM events WHERE event_id % 2 = 1 GROUP BY user_id),
+        merged AS (
+          SELECT COALESCE(p.user_id, b.user_id) AS user_id,
+            list_concat(COALESCE(p.vals, []), COALESCE(b.vals, [])) AS cvalue,
+            CAST(COALESCE(p.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS nobs
+          FROM prev p FULL OUTER JOIN brand b ON p.user_id = b.user_id)
+        SELECT user_id, nobs,
+          CAST(unnest(range(1, len(cvalue) + 1)) AS BIGINT) AS pos,
+          unnest(cvalue) AS value
+        FROM merged""")))
 }

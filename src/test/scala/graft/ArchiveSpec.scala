@@ -58,11 +58,22 @@ class ArchiveSpec extends SparkTestBase {
     assert(uv.count() > 0, "fixture must contain noisy measurements")
     assert(uv.filter(col("magpsf").isNull).count() === 0)
     assert(!uv.columns.contains("rb") && !uv.columns.contains("nbad"))
+    // uppervalid carries the reference-source columns per exploded row
+    // (ref: archive_index.py:216-264); upper does not
+    for (c <- Seq("magnr", "sigmagnr", "isdiffpos", "distnr")) {
+      assert(uv.columns.contains(c), s"uppervalid missing $c")
+      assert(!up.columns.contains(c), s"upper must drop $c")
+    }
 
     // row keys pair objectId with the HISTORY jd, not the candidate jd
-    val candJds = science.select(col("candidate.jd")).collect()
-      .map(_.getDouble(0)).toSet
-    up.select("jd").collect().foreach(r => assert(!candJds.contains(r.getDouble(0))))
+    // (compare per-alert: another alert's candidate jd may coincide with
+    // a history jd on the fixture's regular time grid)
+    val candJdByCandid = science
+      .select(col("candid"), col("candidate.jd")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    up.select("candid", "jd").collect().foreach { r =>
+      assert(r.getDouble(1) !== candJdByCandid(r.getLong(0)))
+    }
   }
 
   test("ssnamenr and tns index tables filter to matched alerts only") {
@@ -111,12 +122,30 @@ class ArchiveSpec extends SparkTestBase {
     // point lookup
     val sample = flat.limit(1).collect()(0)
     val key = s"${sample.getString(0)}_${sample.getLong(1)}"
-    val hit = ServingTable.lookup(spark, dir, key, "candid")
+    val hit = ServingTable.lookup(spark, dir, key)
     assert(hit.count() === 1)
     assert(hit.collect()(0).getAs[String]("classification") === sample.getString(2))
     // partition pruning on the salt
     val plan = hit.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters: [isnotnull(__salt"), plan)
+  }
+
+  test("serving table lookup derives the salt from the DECLARED component") {
+    // salt source is the FIRST key component — a trailing-component
+    // assumption would compute the salt from jd and miss every key
+    val dir = Files.createTempDirectory("graft_serve_salt_").toString
+    val flat = science.select(
+      col("candid"), col("candidate.jd").as("jd"), col("classification"))
+    ServingTable.write(flat, dir, Seq("candid", "jd"), saltSource = "candid")
+    val meta = ServingTable.readMeta(spark, dir)
+    assert(meta.keyCols === Seq("candid", "jd"))
+    assert(meta.saltSource === "candid" && meta.saltDigits === 2)
+    assert(meta.schemaJson.contains("classification"))
+    val sample = flat.limit(1).collect()(0)
+    val key = s"${sample.getLong(0)}_${sample.getDouble(1)}"
+    val hit = ServingTable.lookup(spark, dir, key)
+    assert(hit.count() === 1)
+    assert(hit.collect()(0).getAs[String]("classification") === sample.getString(2))
   }
 
   test("batched ingestion loops over bounded file groups (Y8)") {

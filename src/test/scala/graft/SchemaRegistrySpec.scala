@@ -47,4 +47,58 @@ class SchemaRegistrySpec extends SparkTestBase {
     val r = upgraded.collect()(0)
     assert(r.getAs[Double]("drb") === 0.0 && r.getAs[Double]("rb") === 0.5)
   }
+
+  test("two surveys dispatch end to end: ZTF and Rubin-shaped packets") {
+    import graft.alerts.{AlertSchema, AlertFunctions, RubinSchema}
+    // register both surveys' packet schemas with their version strings
+    SchemaRegistry.register("ztf", "3.3", AlertSchema.alertSchema)
+    SchemaRegistry.register("rubin", "7.0", RubinSchema.alertSchema("7.0"))
+    SchemaRegistry.register("rubin", "7.1", RubinSchema.alertSchema("7.1"))
+    assert(SchemaRegistry.latest("rubin").map(_._1) === Some("7.1"))
+
+    // each survey flattens through ITS OWN vocabulary (candidate.* vs
+    // diaSource.*) — the dispatch map is the per-survey selectExpr
+    // program the reference picks by stamped version
+    val handlers = Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      "3.3" -> (d => d.select(
+        col("objectId").as("source_id"),
+        col("candidate.jd").as("t"),
+        col("candidate.ra").as("ra"),
+        col("candidate.dec").as("dec"))),
+      "7.1" -> (d => d.select(
+        col("diaObject.diaObjectId").cast("string").as("source_id"),
+        col("diaSource.midpointMjdTai").as("t"),
+        col("diaSource.ra").as("ra"),
+        col("diaSource.dec").as("dec"))))
+
+    val ztf = SchemaRegistry.stamp(AlertSchema.fixture(spark, 30), "3.3")
+    val rubin = SchemaRegistry.stamp(RubinSchema.fixture(spark, 30), "7.1")
+    val ztfOut = SchemaRegistry.dispatch(ztf)(handlers)
+    val rubinOut = SchemaRegistry.dispatch(rubin)(handlers)
+    assert(ztfOut.columns.toSeq === rubinOut.columns.toSeq)
+    assert(ztfOut.count() === 30 && rubinOut.count() === 30)
+    // the unified view unions across surveys after dispatch
+    assert(ztfOut.union(rubinOut).count() === 60)
+
+    // v7.0 → v7.1 upgrade: reliability appears as a typed default
+    // inside the nested diaSource struct via Flatten.conform
+    val old = SchemaRegistry.stamp(
+      RubinSchema.fixture(spark, 10, version = "7.0"), "7.0")
+    assert(old.select("diaSource.*").columns.toSeq.contains("reliability") === false)
+    val (upgraded, _) = SchemaRegistry.upgradeTo(old, "rubin", "7.1")
+    assert(SchemaRegistry.probeVersion(upgraded) === Some("7.1"))
+    assert(upgraded.select("diaSource.*").columns.contains("reliability"))
+    assert(upgraded.filter(col("diaSource.reliability").isNull).count() === 0
+      || upgraded.filter(col("diaSource.reliability") === 0.0f).count() === 10)
+
+    // Rubin history HOFs run on the same engine operators (A5/X5 with
+    // the survey's own time field)
+    val hofs = rubin.select(
+      AlertFunctions.maxHistoryTime(col("prvDiaSources"), "midpointMjdTai")
+        .as("maxT"),
+      size(AlertFunctions.recentHistory(
+        col("prvDiaForcedSources"), lit(0.0), "midpointMjdTai")).as("nRecent"))
+    assert(hofs.filter(col("maxT").isNull).count() === 0)
+    assert(hofs.filter(col("nRecent") < 0).count() === 0)
+  }
 }

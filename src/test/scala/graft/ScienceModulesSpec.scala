@@ -81,4 +81,31 @@ class ScienceModulesSpec extends SparkTestBase {
       assert(enriched.columns.contains(c), s"missing expanded $c")
     assert(!enriched.columns.contains("ft_module"))
   }
+
+  test("scores and gates are never NULL despite upper-limit history") {
+    // the fixture plants NULL-magpsf upper limits in ~30% of history
+    // entries; every fold must mask them (ADVICE r3: an unmasked
+    // acc+NULL nulls rf_snia_vs_nonia and cascades into classification)
+    for (c <- Seq("rf_snia_vs_nonia", "snn_snia_vs_nonia", "mulens",
+        "rf_kn_vs_nonkn", "mag_rate", "anomaly_score", "slsn_score",
+        "is_transient", "classification"))
+      assert(enriched.filter(col(c).isNull).count() === 0, s"$c has NULLs")
+    // and specifically on alerts that DO carry an upper limit in history
+    val upperAlerts = enriched.filter(
+      size(filter(col("prv_candidates"),
+        x => x.getField("magpsf").isNull)) > 0)
+    assert(upperAlerts.count() > 0, "fixture lost its upper limits")
+    assert(upperAlerts.filter(col("rf_snia_vs_nonia").isNull).count() === 0)
+  }
+
+  test("from_upper flags that the latest history entry was an upper limit") {
+    val rows = enriched.select(
+      col("from_upper"),
+      size(col("prv_candidates")) > 0 &&
+        element_at(col("prv_candidates"), -1).getField("magpsf").isNull)
+      .collect()
+    rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+    assert(rows.exists(_.getBoolean(0)), "fixture has no from_upper=true case")
+    assert(rows.exists(!_.getBoolean(0)))
+  }
 }

@@ -131,14 +131,28 @@ object TextFunctions {
     * token set most; ties and zero overlap → "und" (undetermined).
     */
   def langId(c: Column): Column = {
-    val toks = array_distinct(tokens(lower(c)))
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
-    }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), el) =>
-      when(s === best && best > 0, lit(lang)).otherwise(el)
-    }
+    // let-binding via singleton-array transform: a naive expression tree
+    // here re-embeds the tokenizer in every when-branch (each branch
+    // references `best`, which references all five intersects, which each
+    // reference the token set — ~30 tokenizer copies that CaseWhen keeps
+    // out of subexpression elimination). Binding the token set, then the
+    // score struct, as single-element transform scopes evaluates the
+    // tokenize once and each marker intersect once per row.
+    val marks = langMarkers.toSeq.sortBy(_._1)
+    val toksOnce = array(array_distinct(tokens(lower(c))))
+    val scoresOnce = transform(toksOnce, tk =>
+      struct(marks.map { case (lang, words) =>
+        size(array_intersect(tk, array(words.map(lit): _*))).as(s"s_$lang")
+      }: _*))
+    element_at(
+      transform(scoresOnce, sc => {
+        val scores = marks.map { case (lang, _) => lang -> sc.getField(s"s_$lang") }
+        val best = greatest(scores.map(_._2): _*)
+        scores.foldRight(lit("und")) { case ((lang, s), el) =>
+          when(s === best && best > 0, lit(lang)).otherwise(el)
+        }
+      }),
+      1)
   }
 
   /** Quality metrics struct: character/token counts and ratio features

@@ -249,16 +249,23 @@ object Similarity extends QueryPack {
             (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
             .as("embedding"))
         val corpus = base.unionByName(twins)
+        // persist: the bucket table feeds BOTH self-join sides (computing
+        // the 8x17-key multiprobe expansion once, q21's discipline), and
+        // the corpus feeds the bucket build plus two re-attach joins
         val buckets = corpus.select(
           col("vec_id"),
           explode(lshProbeBuckets(
             col("embedding"), Dim, NeardupTables, NeardupBits)).as("bucket"))
+          .persist()
         val cand = buckets.select(col("bucket"), col("vec_id").as("id_a"))
           .join(buckets.select(col("bucket"), col("vec_id").as("id_b")),
             Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b")
+        // re-attach embeddings to surviving candidates only (AQE picks
+        // broadcast here at small SF from runtime sizes; at 100 TB these
+        // are the two keyed shuffles the design budgets for)
         cand
           .join(corpus.select(col("vec_id").as("id_a"),
             col("embedding").as("v_a")), Seq("id_a"))

@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Similarity.defs,
     graft.queries.Nested.defs,
     graft.queries.Spatial.defs,
+    graft.queries.Temporal.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the single latest
+  * right row with `right.time <= left.time` sharing the join key.
+  *
+  * The classic implementations are a per-key sorted merge (native
+  * engines) or a correlated subquery (quadratic). Spark-first shape:
+  * UNION the two sides with a side tag, one shuffle+sort on
+  * (key, time, side), and a running `last(_, ignoreNulls)` window to
+  * carry the most recent right payload forward onto each left row.
+  * Cost is one exchange + sort over |L|+|R| rows — no join explosion,
+  * no per-key driver loop, and AQE-safe at 100 TB because the state per
+  * partition is a single running value per payload column.
+  *
+  * Semantics pinned by the q45 oracle (DuckDB `ASOF LEFT JOIN`):
+  *  - inclusive: a right row at exactly left.time matches (the right
+  *    side sorts before the left at equal time);
+  *  - callers must pre-dedup the right side to one row per (key, time)
+  *    — otherwise "the" latest right row is ambiguous in any engine;
+  *  - right payload columns must be non-null (null payloads are
+  *    indistinguishable from "no match yet" to `last(ignoreNulls)`).
+  */
+object AsOfJoin {
+
+  /** Left as-of join. `left` keeps all its columns; each `payload`
+    * column of `right` is appended (null where no prior right row).
+    * `key` and `time` must exist on both sides with identical names.
+    */
+  def priorJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val sideTag = "__asof_side"
+
+    val l = left
+      .withColumn(sideTag, lit(1))
+      .select(
+        (Seq(col(key), col(time), col(sideTag)) ++
+          leftCols.filterNot(c => c == key || c == time).map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+    val r = right
+      .withColumn(sideTag, lit(0))
+      .select(
+        (Seq(col(key), col(time), col(sideTag)) ++
+          leftCols.filterNot(c => c == key || c == time)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col)): _*)
+
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(time).asc, col(sideTag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col(sideTag) === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.{sumDec, t}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+
+/** Temporal operators over `events` plus grouping/statistics extensions:
+  * as-of join, banded range join, sessionization, CUBE grouping sets,
+  * exact-arithmetic correlation, and discrete percentiles.
+  *
+  * All `events.ts` comparisons happen at MICROsecond precision on both
+  * sides (`ts DIV 1000` vs DuckDB `epoch_us`): the parquet column is
+  * TIMESTAMP(NANOS), which Spark surfaces as epoch-ns longs
+  * (nanosAsLong) while DuckDB truncates to micros at scan — comparing
+  * at ns on one side and us on the other would disagree on ties and
+  * band boundaries.
+  */
+object Temporal extends QueryPack {
+
+  /** 2h session gap / 10min band width, in microseconds. */
+  private val SessionGapUs = 7200000000L
+  private val BandWidthUs = 600000000L
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- as-of join: each click's most recent prior purchase ----
+    // (point-in-time correctness is the canonical feature-store /
+    // training-data op: "attribute the click to the last purchase
+    // state known at click time", never to a future row)
+    QueryDef(
+      "q45_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"))
+        // one row per (user, micro-ts): "the" latest prior row must be
+        // unambiguous for any engine (see AsOfJoin scaladoc)
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+          .agg(min(col("event_id")).as("prior_purchase_id"))
+        AsOfJoin
+          .priorJoin(clicks, purchases, "user_id", "ts_us",
+            Seq("prior_purchase_id"))
+          .select("event_id", "prior_purchase_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 MIN(event_id) AS prior_purchase_id
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, epoch_us(ts))
+        SELECT c.event_id, p.prior_purchase_id
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""")),
+
+    // ---- banded range join: same-user event pairs within 10 min ----
+    QueryDef(
+      "q46_range_join",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"))
+        RangeJoin.bandPairs(e, "user_id", "ts_us", "event_id", BandWidthUs)
+      },
+      Some("""
+        SELECT DISTINCT
+          LEAST(a.event_id, b.event_id) AS id_a,
+          GREATEST(a.event_id, b.event_id) AS id_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) >= epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+         AND a.event_id <> b.event_id""")),
+
+    // ---- gap sessionization: per-user session stats ----
+    QueryDef(
+      "q47_sessionize",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"))
+        Sessionize
+          .withSessionId(e, "user_id", col("ts_us"), col("event_id"),
+            SessionGapUs)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max(col("n")).as("max_len"),
+            sum(col("n")).as("n_events"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 7200000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        s AS (
+          SELECT user_id,
+            SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g),
+        per AS (
+          SELECT user_id, session_id, COUNT(*) AS n
+          FROM s GROUP BY user_id, session_id)
+        SELECT user_id,
+          COUNT(*) AS n_sessions,
+          CAST(MAX(n) AS BIGINT) AS max_len,
+          CAST(SUM(n) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id""")),
+
+    // ---- CUBE grouping sets with grouping indicators ----
+    QueryDef(
+      "q48_cube",
+      (s, d) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          // grouping() is only resolvable inside the Aggregate itself
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            sumDec(col("o_totalprice")).as("sum_price"))
+          .select(
+            col("o_orderstatus"), col("o_orderpriority"),
+            col("g_status"), col("g_prio"), col("n"), col("sum_price")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    // ---- exact-arithmetic Pearson correlation ----
+    // corr() itself is order-dependent in any engine (running double
+    // sums); instead every moment is summed in decimal (exact) and the
+    // final corr is ONE identical double expression on identical inputs
+    // in both engines. Magnitudes are chosen so each decimal sum stays
+    // under 2^53 when scaled — the decimal→double cast is then exact,
+    // not rounded, on both sides.
+    QueryDef(
+      "q49_corr_exact",
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_discount").cast(DecimalType(18, 2))
+        val n = col("n").cast("double")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .withColumn(
+            "corr_qd",
+            (n * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+                sqrt(n * col("syy") - col("sy") * col("sy"))))
+      },
+      Some("""
+        SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+          (n_d * sxy - sx * sy) /
+            (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS corr_qd
+        FROM (
+          SELECT l_returnflag,
+            COUNT(*) AS n,
+            CAST(COUNT(*) AS DOUBLE) AS n_d,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                     CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)""")),
+
+    // ---- discrete percentiles (element-picking: no interpolation
+    //      arithmetic to diverge on) ----
+    QueryDef(
+      "q50_percentile_disc",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p90"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p99")),
+      Some("""
+        SELECT l_returnflag,
+          quantile_disc(l_quantity, 0.5) AS p50,
+          quantile_disc(l_quantity, 0.9) AS p90,
+          quantile_disc(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag""")),
+  )
+}

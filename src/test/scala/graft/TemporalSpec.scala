@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+
+/** Planted-fixture semantics + scale-shape assertions for the temporal
+  * operators (as-of join, banded range join, sessionization).
+  */
+class TemporalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val t = "t"
+
+  test("as-of join picks the latest prior row, inclusively") {
+    val left = Seq(
+      (1L, 100L, 10L), // key 1: prior rows at 50, 100 -> picks 100 (inclusive)
+      (1L, 99L, 11L), //  -> picks 50
+      (1L, 49L, 12L), //  -> no prior, null
+      (2L, 500L, 20L) //  key 2 has no right rows at all
+    ).toDF("k", t, "lid")
+    val right = Seq(
+      (1L, 50L, 1000L),
+      (1L, 100L, 1001L),
+      (3L, 1L, 3000L) // key never queried
+    ).toDF("k", t, "rid")
+
+    val got = AsOfJoin
+      .priorJoin(left, right, "k", t, Seq("rid"))
+      .select("lid", "rid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(10L -> 1001L, 11L -> 1000L, 12L -> -1L, 20L -> -1L))
+  }
+
+  test("as-of join is a window over a union — no join operator at all") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", t, "lid")
+    val right = Seq((1L, 5L, 2L)).toDF("k", t, "rid")
+    val p = AsOfJoin.priorJoin(left, right, "k", t, Seq("rid"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("band pairs: boundary-inclusive, bin-crossing, no double count") {
+    // width 100: (a=95, b=105) crosses a bin boundary; (a=0, b=100) is
+    // exactly ON the boundary (inclusive); (a=0, b=101) is outside.
+    val e = Seq(
+      (1L, 95L, 1L),
+      (1L, 105L, 2L),
+      (2L, 0L, 3L),
+      (2L, 100L, 4L),
+      (3L, 0L, 5L),
+      (3L, 101L, 6L)
+    ).toDF("k", t, "id")
+    val got = RangeJoin.bandPairs(e, "k", t, "id", 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("band pairs: ties produce one unordered pair") {
+    val e = Seq((1L, 7L, 1L), (1L, 7L, 2L)).toDF("k", t, "id")
+    val got = RangeJoin.bandPairs(e, "k", t, "id", 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("band join never plans a cartesian or nested-loop join") {
+    val e = Seq((1L, 95L, 1L), (1L, 105L, 2L)).toDF("k", t, "id")
+    val p = RangeJoin.bandPairs(e, "k", t, "id", 100L)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("sessionize: gap starts a new session, ties broken by id") {
+    val e = Seq(
+      // user 1: 3 events in one session, then a gap, then 1 more
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 1000L, 4L),
+      // user 2: two events at the SAME time — tie-broken, same session
+      (2L, 5L, 5L), (2L, 5L, 6L)
+    ).toDF("u", t, "id")
+    val got = Sessionize
+      .withSessionId(e, "u", col(t), col("id"), gap = 100L)
+      .select("id", "session_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L))
+  }
+
+  test("q45 plan ships no join; q46 plan has no cartesian at sf0.001") {
+    val p45 = SparkEntry.queries("q45_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p45.contains("CartesianProduct"), p45)
+    val p46 = SparkEntry.queries("q46_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p46.contains("CartesianProduct"), p46)
+    assert(!p46.contains("BroadcastNestedLoop"), p46)
+  }
+}

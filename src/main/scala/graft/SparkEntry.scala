@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.Nested.defs,
     graft.queries.Spatial.defs,
     graft.queries.Temporal.defs,
+    graft.queries.Layout.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.Spatial.defs,
     graft.queries.Temporal.defs,
     graft.queries.Layout.defs,
+    graft.queries.Corpus.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+
+/** Training-corpus preparation operators over `documents` (SURVEY §7.5
+  * beyond-parity): BM25 relevance scoring, deterministic hash-based
+  * train/val/test splitting, benchmark-contamination measurement, and
+  * sliding-window token chunking.
+  *
+  * Scale design: every operator is one or two linear passes — corpus
+  * statistics reduce to a single row that broadcasts back (q52), the
+  * benchmark shingle set broadcasts (q54: benchmark ≪ corpus by
+  * definition), and splitting/chunking are pure per-row expressions
+  * with no shuffle at all.
+  *
+  * Cross-engine float parity: +, −, ×, ÷, sqrt are IEEE
+  * correctly-rounded and bit-identical across engines on identical
+  * inputs; log/exp/pow are libm-dependent and are NOT used in any
+  * oracle-compared value. q52 therefore uses the BM25 idf ODDS RATIO
+  * (N − df + 0.5)/(df + 0.5) as the term weight — the standard idf is
+  * its log, which changes ranking monotonicity not at all for a single
+  * term and only by log-compression across terms.
+  */
+object Corpus extends QueryPack {
+
+  // BM25 shape parameters (Robertson-Sparck Jones defaults)
+  val K1 = 1.2
+  val B = 0.75
+  val QueryTerms = Seq("spark", "vector", "merge")
+
+  val ChunkLen = 16
+  val ChunkStride = 12
+
+  /** Non-distinct whitespace tokens — term frequency needs duplicates. */
+  private def rawTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** One BM25 term score: odds-idf × saturated tf, all IEEE-exact ops. */
+  private def bm25Term(tf: Column, df: Column, n: Column, dl: Column,
+      avgdl: Column): Column = {
+    val tfD = tf.cast("double")
+    val idfOdds =
+      (n.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5))
+    idfOdds * (tfD * lit(K1 + 1)) /
+      (tfD + lit(K1) * (lit(1 - B) + lit(B) * dl.cast("double") / avgdl))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- BM25 scoring against a fixed keyword query ----
+    // Two linear passes: (1) corpus stats + per-term document
+    // frequencies reduce to ONE row, (2) the row broadcasts back and
+    // every score is a per-doc expression. No keyed shuffle anywhere.
+    QueryDef(
+      "q52_bm25",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), rawTokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val withTf = QueryTerms.zipWithIndex.foldLeft(docs) {
+          case (df0, (term, i)) =>
+            df0.withColumn(s"tf$i",
+              size(filter(col("toks"), x => x === lit(term))))
+        }
+        val stats = withTf.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sdl"),
+          count(when(col("tf0") > 0, 1)).as("df0"),
+          count(when(col("tf1") > 0, 1)).as("df1"),
+          count(when(col("tf2") > 0, 1)).as("df2"))
+        val scored = withTf
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sdl").cast("double") / col("n").cast("double"))
+        val score = QueryTerms.indices
+          .map(i => bm25Term(col(s"tf$i"), col(s"df$i"), col("n"),
+            col("dl"), col("avgdl")))
+          .reduceLeft(_ + _)
+        scored.select(col("doc_id"), score.as("bm25"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        tf AS (
+          SELECT doc_id, len(toks) AS dl,
+            len(list_filter(toks, x -> x = 'spark')) AS tf0,
+            len(list_filter(toks, x -> x = 'vector')) AS tf1,
+            len(list_filter(toks, x -> x = 'merge')) AS tf2
+          FROM d),
+        stats AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+            COUNT(*) FILTER (tf0 > 0) AS df0,
+            COUNT(*) FILTER (tf1 > 0) AS df1,
+            COUNT(*) FILTER (tf2 > 0) AS df2
+          FROM tf)
+        SELECT doc_id,
+          (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+            * (CAST(tf0 AS DOUBLE) * ${K1 + 1}) / (CAST(tf0 AS DOUBLE)
+               + $K1 * ((1 - $B) + $B * CAST(dl AS DOUBLE)
+                 / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+            * (CAST(tf1 AS DOUBLE) * ${K1 + 1}) / (CAST(tf1 AS DOUBLE)
+               + $K1 * ((1 - $B) + $B * CAST(dl AS DOUBLE)
+                 / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+            * (CAST(tf2 AS DOUBLE) * ${K1 + 1}) / (CAST(tf2 AS DOUBLE)
+               + $K1 * ((1 - $B) + $B * CAST(dl AS DOUBLE)
+                 / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          AS bm25
+        FROM tf, stats""")),
+
+    // ---- Deterministic hash split: md5-derived bucket 0..255 →
+    //      80/10/10 train/val/test, reproducible in ANY engine ----
+    // The assignment is a pure per-row expression (no shuffle, no RNG
+    // state): the same document lands in the same split on any cluster
+    // size, any partitioning, any engine — the property that matters
+    // when train/test splits must never leak across reruns.
+    QueryDef(
+      "q53_hash_split",
+      (s, d) => {
+        val hex = lit("0123456789abcdef")
+        val h = md5(col("text"))
+        val bucket =
+          (instr(hex, substring(h, 1, 1)) - 1) * 16 +
+            (instr(hex, substring(h, 2, 1)) - 1)
+        t(s, d, "documents")
+          .withColumn("split",
+            when(bucket < 204, "train")
+              .when(bucket < 230, "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang, n_chars,
+            (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+              AS bucket
+          FROM documents)
+        SELECT lang,
+          CASE WHEN bucket < 204 THEN 'train'
+               WHEN bucket < 230 THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM b GROUP BY 1, 2""")),
+
+    // ---- Benchmark contamination: fraction of each training doc's
+    //      3-gram shingles that appear in the benchmark set ----
+    // The benchmark set is small by definition, so its distinct shingle
+    // set BROADCASTS — the corpus is scanned once and never shuffled on
+    // content. (The reverse — shuffling the corpus' shingles — is the
+    // plan that dies at 100 TB.)
+    QueryDef(
+      "q54_contamination",
+      (s, d) => {
+        import graft.functions.TextFunctions.wordShingles
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            wordShingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val corp = docs.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"),
+            explode(col("sh")).as("shingle"))
+        corp
+          .join(broadcast(bench.withColumn("hit", lit(1))),
+            Seq("shingle"), "left")
+          .groupBy("doc_id", "n_sh")
+          .agg(count(col("hit")).as("n_contam"))
+          .withColumn("ratio",
+            col("n_contam").cast("double") / col("n_sh").cast("double"))
+          .select("doc_id", "n_sh", "n_contam", "ratio")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+          FROM d WHERE len(toks) >= 3),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS shingle FROM sh
+          WHERE doc_id % 20 = 0),
+        corp AS (
+          SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+          WHERE doc_id % 20 <> 0)
+        SELECT corp.doc_id, corp.n_sh,
+          COUNT(bench.shingle) AS n_contam,
+          CAST(COUNT(bench.shingle) AS DOUBLE) / CAST(corp.n_sh AS DOUBLE)
+            AS ratio
+        FROM corp LEFT JOIN bench USING (shingle)
+        GROUP BY corp.doc_id, corp.n_sh""")),
+
+    // ---- Sliding-window token chunking (context-length packing):
+    //      length-16 windows at stride 12, trailing partial kept ----
+    // Pure per-row explode: no shuffle, output size ≈ nt/stride rows
+    // per doc regardless of cluster size.
+    QueryDef(
+      "q55_chunking",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), rawTokens(col("text")).as("toks"))
+          .withColumn("nt", size(col("toks")))
+        val chunks = transform(
+          sequence(lit(0),
+            ((col("nt") + ChunkStride - 1) / ChunkStride).cast("int") - 1),
+          i => struct(
+            array_join(
+              slice(col("toks"), i * ChunkStride + 1, lit(ChunkLen)), " ")
+              .as("chunk_text"),
+            size(slice(col("toks"), i * ChunkStride + 1, lit(ChunkLen)))
+              .as("n_toks")))
+        docs
+          .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("c.chunk_text"), col("c.n_toks"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM d)
+        SELECT doc_id,
+          CAST(i AS BIGINT) AS chunk_idx,
+          array_to_string(
+            list_slice(toks, i * $ChunkStride + 1,
+              i * $ChunkStride + $ChunkLen), ' ') AS chunk_text,
+          len(list_slice(toks, i * $ChunkStride + 1,
+            i * $ChunkStride + $ChunkLen)) AS n_toks
+        FROM n, unnest(range(0, (nt + ${ChunkStride - 1}) // $ChunkStride))
+          AS u(i)""")),
+  )
+}

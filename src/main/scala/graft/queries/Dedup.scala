@@ -132,6 +132,137 @@ object Dedup extends QueryPack {
     labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
   }
 
+  /** (doc_id, lang, sorted-distinct HASHED token set, size): the verify
+    * representation. Intersections count by linear merge over longs
+    * (8-byte compares; set sizes are preserved — 64-bit collisions are
+    * ~|vocab|²/2⁶⁴ and the string-space oracle would flag distortion).
+    */
+  private def hashedTokenSets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      array_sort(transform(array_distinct(tokens(col("text"))),
+        tk => xxhash64(tk))).as("toks"))
+      .withColumn("nt", size(col("toks")))
+
+  /** Exact same-lang Jaccard ≥ `threshold` pairs via PREFIX FILTERING
+    * (the SSJoin/PPJoin principle — Chaudhuri et al., ICDE 2006; Xiao
+    * et al., WWW 2008; public algorithm):
+    *
+    * J(A,B) ≥ t implies min(|A|,|B|)/max ≥ t, hence the required
+    * overlap is o ≥ ⌈t·|A|⌉, and any qualifying pair must share a
+    * token within the first `|X| − ⌈t·|X|⌉ + 1` tokens of EACH side
+    * under any one global total order. Ordering tokens by ascending
+    * document frequency puts each doc's RAREST tokens in its prefix, so
+    * candidate generation is an equi-join on (lang, rare-token) — near
+    * linear in practice — instead of the quadratic within-block join.
+    * The join ships (token, doc_id) rows only; token sets re-attach to
+    * the few surviving candidates by id (q21's ids-only discipline).
+    * Verify stage is the exact sorted-merge intersect, so the result
+    * set is identical to the brute-force block join (equivalence-
+    * tested against [[saltedJaccardPairs]] in DedupSpec).
+    *
+    * WHEN to pick which plan: prefix filtering wins when prefix tokens
+    * are selective (realistic Zipfian vocabularies — candidates scale
+    * with rare-token collisions, not block size²). On a tiny-vocab
+    * corpus every token is common and the prefix join degenerates to
+    * more candidates than the size-filtered block join itself (measured
+    * here at sf0.1: vocab ≈31 tokens/lang → 2.46M prefix candidates vs
+    * 583k block pairs), which is why q22 runs [[saltedJaccardPairs]].
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val sets = hashedTokenSets(docs).persist()
+    // global document frequency per token hash — the prefix order
+    val df = sets
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("df"))
+    // per-doc prefix: k rarest tokens, k = n − ⌈t·n⌉ + 1
+    val prefixes = sets
+      .select(col("doc_id"), col("lang"), col("nt"),
+        explode(col("toks")).as("tok"))
+      .join(df, Seq("lang", "tok"))
+      .withColumn("k",
+        (col("nt") - ceil(col("nt") * threshold) + 1).cast("int"))
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("tok"), col("doc_id"))
+    // candidates: ids only through the (lang, token) equi-join
+    val cand = prefixes
+      .join(prefixes
+          .withColumnRenamed("doc_id", "doc_b"),
+        Seq("lang", "tok"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("lang"), col("doc_id").as("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("toks").as("t_a"), col("nt").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("toks").as("t_b"), col("nt").as("n_b")), Seq("doc_b"))
+      // sound size pre-filter: J ≤ min(n)/max(n) — skips the merge
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")) * threshold)
+      .withColumn("jaccard", jaccardBySize(
+        graft.functions.HashFunctions
+          .sortedLongIntersectSize(col("t_a"), col("t_b")),
+        col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("lang", "doc_a", "doc_b", "jaccard")
+    out
+  }
+
+  /** Exact within-lang-block Jaccard verify join, Y4-salted AND
+    * ids-only: lang has a handful of distinct values, so a bare
+    * lang-equi-join would put every pair on ≤5 partitions — the a side
+    * takes one salt, the b side replicates across all S, each pair
+    * meets exactly once on a (lang, salt) key with S× the parallelism.
+    *
+    * The pair join itself carries (doc_id, nt) ONLY — 20 bytes/row, so
+    * the S× replication costs S×20 bytes/doc, not S× the token payload
+    * — and the candidate stream is cut by the sound size pre-filter
+    * (J ≤ min(n)/max(n)) before token sets are re-attached to the few
+    * survivors by id. Quadratic within block BY DEFINITION (exact
+    * verify stage): at corpus scale the block key is an LSH band,
+    * which is exactly q21.
+    */
+  def saltedJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.95,
+      S: Int = 16): DataFrame = {
+    val sets = hashedTokenSets(docs).persist()
+    val ids = sets.select(col("lang"), col("doc_id"), col("nt"))
+    val a = ids.select(
+      col("lang"), col("doc_id").as("doc_a"), col("nt").as("n_a"))
+      .withColumn("salt", pmod(hash(col("doc_a")), lit(S)))
+    val b = ids.select(
+      col("lang"), col("doc_id").as("doc_b"), col("nt").as("n_b"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    val cand = a.join(b, Seq("lang", "salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      // sound size pre-filter: J ≤ min(n)/max(n) — candidates whose
+      // sizes differ can't qualify, so they never see the token arrays
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")) * threshold)
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        col("n_a"), col("n_b"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("t_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("t_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", jaccardBySize(
+        graft.functions.HashFunctions
+          .sortedLongIntersectSize(col("t_a"), col("t_b")),
+        col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("lang", "doc_a", "doc_b", "jaccard")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact dedup: canonical-form hash groupBy; keeps the minimum
     //      doc_id as the group representative ----
@@ -176,52 +307,17 @@ object Dedup extends QueryPack {
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
             / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardThreshold""")),
 
-    // ---- Blocked n-gram (unigram-set) Jaccard: equi-join on a blocking
-    //      key, exact verify inside the block ----
+    // ---- Blocked n-gram (unigram-set) Jaccard: salted ids-only
+    //      equi-join on the blocking key, exact verify on survivors.
+    //      (prefixJaccardPairs is the equivalent prefix-filtered plan
+    //      for Zipfian-vocabulary corpora; on THIS corpus the measured
+    //      vocab is ~31 tokens/lang, where prefix keys select nothing
+    //      — 2.46M candidates vs 583k size-filtered block pairs at
+    //      sf0.1 — so the salted block join is the faster exact plan
+    //      and both are equivalence-tested in DedupSpec.) ----
     QueryDef(
       "q22_jaccard_blocked",
-      (s, d) => {
-        // sorted-distinct HASHED token sets: intersections count by
-        // linear merge over longs (8-byte compares; set sizes are
-        // preserved — 64-bit collisions are ~|vocab|²/2⁶⁴ and the
-        // string-space oracle would flag any distortion)
-        val docs = t(s, d, "documents").select(
-          col("doc_id"),
-          col("lang"),
-          array_sort(transform(array_distinct(tokens(col("text"))),
-            tk => xxhash64(tk))).as("toks"))
-          .withColumn("nt", size(col("toks")))
-        // Y4 salting: lang has a handful of distinct values, so a bare
-        // lang-equi-join would put every pair on ≤5 partitions. The a
-        // side takes one salt, the b side replicates across all S —
-        // each pair still meets exactly once, on a (lang, salt) key
-        // with S× the parallelism.
-        val S = 16
-        val a = docs.select(
-          col("lang"),
-          col("doc_id").as("doc_a"),
-          col("toks").as("t_a"),
-          col("nt").as("n_a"))
-          .withColumn("salt", pmod(hash(col("doc_a")), lit(S)))
-        val b = docs.select(
-          col("lang"),
-          col("doc_id").as("doc_b"),
-          col("toks").as("t_b"),
-          col("nt").as("n_b"))
-          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-        a.join(b, Seq("lang", "salt"))
-          .filter(col("doc_a") < col("doc_b"))
-          // sound size pre-filter: J ≤ min(n)/max(n), so J ≥ 0.95 pairs
-          // must have near-equal set sizes — skips the merge for the rest
-          .filter(least(col("n_a"), col("n_b")).cast("double") >=
-            greatest(col("n_a"), col("n_b")) * 0.95)
-          // |A∪B| from sizes; |A∩B| by sorted linear merge over longs
-          .withColumn("jaccard", jaccardBySize(
-            graft.functions.HashFunctions.sortedLongIntersectSize(col("t_a"), col("t_b")),
-            col("n_a"), col("n_b")))
-          .filter(col("jaccard") >= 0.95)
-          .select("lang", "doc_a", "doc_b", "jaccard")
-      },
+      (s, d) => saltedJaccardPairs(t(s, d, "documents")),
       Some("""
         WITH d AS (
           SELECT doc_id, lang,

@@ -115,6 +115,47 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered Jaccard pairs equal the brute-force block join") {
+    import spark.implicits._
+    // a fixture where the prefix filter has real work to do: shared
+    // common words across all docs, rare words distinguishing them,
+    // two planted ≥0.95 pairs (exact copy + one-token-in-21 change)
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, s"$common phi", "en"),
+      (1L, s"$common phi", "en"), // exact copy of 0
+      (2L, s"$common chi", "en"), // 20/22 union overlap with 0 — below 0.95
+      (3L, s"$common psi omega", "en"),
+      (4L, common, "fr"), // other lang block: never paired with 0-3
+      (5L, s"$common phi", "fr"), // J(4,5)=20/21≈0.952: an fr pair
+      (6L, s"$common phi extra1 extra2 extra3", "en")
+    ).toDF("doc_id", "text", "lang")
+    val prefix = Dedup.prefixJaccardPairs(docs)
+      .select("lang", "doc_a", "doc_b", "jaccard").collect().toSet
+    val salted = Dedup.saltedJaccardPairs(docs)
+      .select("lang", "doc_a", "doc_b", "jaccard").collect().toSet
+    assert(prefix === salted)
+    assert(prefix.map(r => (r.getLong(1), r.getLong(2))) ===
+      Set((0L, 1L), (4L, 5L)))
+  }
+
+  test("prefix candidate generation is complete at the size boundary") {
+    import spark.implicits._
+    // 19 shared + 1 differing token: J = 19/21 ≈ 0.905; at t=0.9 the
+    // pair must survive, at t=0.95 it must not — both vs brute force
+    val common = (1 to 19).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$common only0", "en"),
+      (1L, s"$common only1", "en")
+    ).toDF("doc_id", "text", "lang")
+    for (t <- Seq(0.9, 0.95)) {
+      val p = Dedup.prefixJaccardPairs(docs, t).count()
+      val s = Dedup.saltedJaccardPairs(docs, t).count()
+      assert(p === s, s"threshold $t")
+    }
+  }
+
   test("shingles of a short doc are empty, not an error") {
     val n = fixture
       .filter(col("doc_id") === 4)

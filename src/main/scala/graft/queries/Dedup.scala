@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryPack}
@@ -375,5 +375,61 @@ object Dedup extends QueryPack {
           .select(
             col("doc_id"),
             simhash64(tokens(normText(col("text")))).as("simhash")),
-      None))
+      None),
+
+    // ---- ORACLE-certified SimHash: same algorithm, md5-derived 32-bit
+    //      token hashes so DuckDB can replicate every bit. q23 remains
+    //      the fast path (single-pass codegen'd xxhash64 expression);
+    //      this variant proves the simhash ALGORITHM value-for-value
+    //      cross-engine: h(t) = first 8 md5 nibbles; bit b of the
+    //      fingerprint is the sign of Σ_t (2·bit_b(h(t)) − 1). All
+    //      arithmetic is integer-exact in both engines. ----
+    QueryDef(
+      "q57_simhash_md5",
+      (s, d) => {
+        // 32-bit token hash from the md5 hex prefix (conv is exact here:
+        // 8 nibbles < 2^32 < 2^53)
+        val h32 = (tk: Column) =>
+          conv(substring(md5(tk), 1, 8), 16, 10).cast("long")
+        val toks = array_distinct(tokens(normText(col("text"))))
+        val hs = transform(toks, tk => h32(tk))
+        // bit_b(h) without Column-shift support: (h div 2^b) mod 2,
+        // exact in double for h < 2^32
+        val fp = aggregate(
+          sequence(lit(0), lit(31)),
+          lit(0L),
+          (acc, b) => {
+            val p = floor(pow(lit(2.0), b)).cast("long")
+            val vote = aggregate(hs, lit(0L),
+              (a, h) => a + (pmod(floor(h.cast("double") / p.cast("double"))
+                .cast("long"), lit(2L)) * 2 - 1))
+            acc + when(vote > 0, p).otherwise(lit(0L))
+          })
+        t(s, d, "documents").select(col("doc_id"), fp.as("simhash32"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_distinct(regexp_split_to_array(
+              lower(trim(text)), '\s+')) AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_transform(toks, tk ->
+                (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 268435456
+              + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 16777216
+              + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(md5(tk), 5, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(tk), 6, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(tk), 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tk), 8, 1)) - 1)) AS hs
+          FROM d)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(hs,
+                h -> 2 * ((h // CAST(2 ** b AS BIGINT)) % 2) - 1)) > 0
+              THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS simhash32
+        FROM h""")))
 }

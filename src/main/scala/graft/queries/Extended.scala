@@ -209,5 +209,23 @@ object Extended extends QueryPack {
           first_value(event_id) OVER w AS first_event,
           coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, 0) AS us_since_prev
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    // ---- grouped string aggregation (listagg): collect + canonical
+    //      order + join, the string form of collect_list. Ordering is
+    //      made total (names are unique per group) so both engines
+    //      concatenate identically. ----
+    QueryDef(
+      "q56_string_agg",
+      (s, d) =>
+        t(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            array_join(array_sort(collect_list(col("c_name"))), ",")
+              .as("names")),
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS n,
+          string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer GROUP BY c_nationkey""")))
 }

@@ -67,6 +67,52 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q22 pair join ships ids only: no token arrays below the join") {
+    val p = finalPlanString("q22_jaccard_blocked")
+    // the candidate join must exist and the exploded/salted sides must
+    // not carry the hashed-token arrays (they re-attach by id above)
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.filter(_.contains("Join")).toList
+    assert(joins.nonEmpty, p)
+    // the salt-replicating Generate (explode of the salt sequence) must
+    // project only scalar columns, never `toks`
+    val generates = p.linesIterator
+      .filter(l => l.contains("Generate explode"))
+      .filter(l => l.contains("salt") || l.contains("sequence"))
+      .toList
+    assert(generates.nonEmpty, s"salt explode missing:\n$p")
+    generates.foreach(g =>
+      assert(!g.contains("toks"), s"token payload rides the salt explode:\n$g"))
+  }
+
+  test("q52 bm25 plans no keyed exchange: stats reduce to one broadcast row") {
+    val p = finalPlanString("q52_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row is not broadcast:\n$p")
+    // the only aggregation is the global (keyless) stats reduce; a
+    // HashAggregate keyed on doc columns would mean a corpus shuffle
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus got shuffled:\n$p")
+  }
+
+  test("q54 contamination broadcasts the benchmark set, never the corpus") {
+    val p = finalPlanString("q54_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("q53/q55 are single-pass: no join anywhere in the plan") {
+    for (q <- Seq("q53_hash_split", "q55_chunking")) {
+      val p = finalPlanString(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q45 as-of join plans a window over ONE sort, no join operator") {
+    val p = finalPlanString("q45_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // inspect the final AQE plan — pre-execution the adaptive wrapper
     // hides the codegen stage annotations. In toString form a

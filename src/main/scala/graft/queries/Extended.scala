@@ -227,5 +227,29 @@ object Extended extends QueryPack {
       Some("""
         SELECT c_nationkey, COUNT(*) AS n,
           string_agg(c_name, ',' ORDER BY c_name) AS names
-        FROM customer GROUP BY c_nationkey""")))
+        FROM customer GROUP BY c_nationkey""")),
+
+    // ---- relational PIVOT operator proper (q38 is the CASE-expansion
+    //      form; this is `RelationalGroupedDataset.pivot` with pinned
+    //      values — pinning skips Spark's extra distinct-values job and
+    //      keeps the output schema static, the 100 TB-safe form) ----
+    QueryDef(
+      "q58_pivot",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sumDec(col("l_quantity")))
+          .select(col("l_linestatus"),
+            col("A").as("qty_a"), col("N").as("qty_n"),
+            col("R").as("qty_r")),
+      Some("""
+        SELECT l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
+        FROM lineitem GROUP BY l_linestatus""")))
 }

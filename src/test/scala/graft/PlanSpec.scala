@@ -113,6 +113,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (Y6 scale contract)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // shrink the skew thresholds so a test-sized hot key triggers the
+      // same OptimizeSkewedJoin path a 100 TB hot key would
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 150k rows on ONE key vs a uniform right side — a classic
+      // hot-key fact-fact join. The payload is a per-row md5 so the
+      // hot shuffle partition cannot compress away below the skew
+      // threshold (identical keys alone deflate to nothing).
+      val left = spark.range(0, 160000)
+        .select(
+          when($"id" < 150000, 7L).otherwise($"id").as("k"),
+          md5(concat(lit("row"), $"id".cast("string"))).as("pad"))
+      val right = spark.range(0, 1000).select($"id".as("k"), lit(1).as("rv"))
+      val j = left.join(right, "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString()
+        case p: SparkPlan => p.toString()
+      }
+      assert(plan.contains("skew=true"),
+        s"hot key was not split by AQE:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // inspect the final AQE plan — pre-execution the adaptive wrapper
     // hides the codegen stage annotations. In toString form a

@@ -82,6 +82,51 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 32-bit SimHash with md5-derived token hashes — the ORACLE-portable
+  * SimHash variant (q57): h(token) = first 4 md5 bytes big-endian,
+  * which any engine can reproduce from the md5 hex string
+  * (`(h div 2^b) mod 2` = bit b). Value-identical to the q57 HOF/SQL
+  * formulation but one compiled pass per row instead of a 32-lane
+  * interpreted fold (7.0 s → sub-second at sf0.1).
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tally = new Array[Int](32)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 hex nibbles = first 4 bytes, big-endian, unsigned
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 31
+    while (b >= 0) {
+      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection cardinality of two SORTED string arrays by linear
   * merge — no per-call hash set, no result array. Callers pre-sort once
   * per document (`array_sort`), turning a pair-verify join's dominant
@@ -206,4 +251,7 @@ object HashFunctions {
 
   def simhash64(tokens: Column): Column =
     shims.column(SimHash64(shims.expression(tokens)))
+
+  def simhashMd5(tokens: Column): Column =
+    shims.column(SimHashMd5(shims.expression(tokens)))
 }

@@ -263,6 +263,26 @@ object Dedup extends QueryPack {
       .select("lang", "doc_a", "doc_b", "jaccard")
   }
 
+  /** HOF reference form of [[graft.functions.SimHashMd5]] — built only
+    * from `functions._` (md5/conv/aggregate), value-identical to the
+    * expression by DedupSpec's equivalence test. Kept as the executable
+    * specification; q57 runs the single-pass expression.
+    */
+  def simhashMd5Hof(toks: Column): Column = {
+    val hs = transform(toks,
+      tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long"))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val p = floor(pow(lit(2.0), b)).cast("long")
+        val vote = aggregate(hs, lit(0L),
+          (a, h) => a + (pmod(floor(h.cast("double") / p.cast("double"))
+            .cast("long"), lit(2L)) * 2 - 1))
+        acc + when(vote > 0, p).otherwise(lit(0L))
+      })
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact dedup: canonical-form hash groupBy; keeps the minimum
     //      doc_id as the group representative ----
@@ -386,27 +406,12 @@ object Dedup extends QueryPack {
     //      arithmetic is integer-exact in both engines. ----
     QueryDef(
       "q57_simhash_md5",
-      (s, d) => {
-        // 32-bit token hash from the md5 hex prefix (conv is exact here:
-        // 8 nibbles < 2^32 < 2^53)
-        val h32 = (tk: Column) =>
-          conv(substring(md5(tk), 1, 8), 16, 10).cast("long")
-        val toks = array_distinct(tokens(normText(col("text"))))
-        val hs = transform(toks, tk => h32(tk))
-        // bit_b(h) without Column-shift support: (h div 2^b) mod 2,
-        // exact in double for h < 2^32
-        val fp = aggregate(
-          sequence(lit(0), lit(31)),
-          lit(0L),
-          (acc, b) => {
-            val p = floor(pow(lit(2.0), b)).cast("long")
-            val vote = aggregate(hs, lit(0L),
-              (a, h) => a + (pmod(floor(h.cast("double") / p.cast("double"))
-                .cast("long"), lit(2L)) * 2 - 1))
-            acc + when(vote > 0, p).otherwise(lit(0L))
-          })
-        t(s, d, "documents").select(col("doc_id"), fp.as("simhash32"))
-      },
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          graft.functions.HashFunctions
+            .simhashMd5(array_distinct(tokens(normText(col("text")))))
+            .as("simhash32")),
       Some("""
         WITH d AS (
           SELECT doc_id,

@@ -156,6 +156,15 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("SimHashMd5 expression equals its HOF reference form") {
+    val toks = array_distinct(tokens(normText(col("text"))))
+    val rows = fixture.select(
+      graft.functions.HashFunctions.simhashMd5(toks).as("fast"),
+      Dedup.simhashMd5Hof(toks).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows.nonEmpty)
+  }
+
   test("shingles of a short doc are empty, not an error") {
     val n = fixture
       .filter(col("doc_id") === 4)

@@ -248,10 +248,12 @@ object Similarity extends QueryPack {
           transform(col("embedding"),
             (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
             .as("embedding"))
-        val corpus = base.unionByName(twins)
-        // persist: the bucket table feeds BOTH self-join sides (computing
-        // the 8x17-key multiprobe expansion once, q21's discipline), and
-        // the corpus feeds the bucket build plus two re-attach joins
+        // persist both: the corpus feeds the bucket build plus two
+        // re-attach joins (3 derivations of the twin transform without
+        // it), and the bucket table feeds BOTH self-join sides
+        // (computing the 8x17-key multiprobe expansion once, q21's
+        // discipline)
+        val corpus = base.unionByName(twins).persist()
         val buckets = corpus.select(
           col("vec_id"),
           explode(lshProbeBuckets(

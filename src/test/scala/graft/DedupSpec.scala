@@ -156,6 +156,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("prefix and salted Jaccard plans agree on randomized corpora") {
+    import spark.implicits._
+    // seeded random corpora over a small vocab (maximal collision
+    // pressure on the prefix filter) across loose and tight thresholds
+    val rnd = new scala.util.Random(20260812L)
+    for (iter <- 1 to 3) {
+      val vocab = (1 to 12).map(i => s"v$i")
+      val docs = (0 until 40).map { id =>
+        val n = 5 + rnd.nextInt(15)
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id.toLong, text, if (rnd.nextBoolean()) "en" else "fr")
+      }.toDF("doc_id", "text", "lang")
+      for (t <- Seq(0.5, 0.8, 0.95)) {
+        val key = (r: org.apache.spark.sql.Row) =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+        val p = Dedup.prefixJaccardPairs(docs, t)
+          .select("lang", "doc_a", "doc_b", "jaccard").collect().map(key).toSet
+        val s = Dedup.saltedJaccardPairs(docs, t)
+          .select("lang", "doc_a", "doc_b", "jaccard").collect().map(key).toSet
+        assert(p === s, s"iter $iter threshold $t")
+      }
+    }
+  }
+
   test("SimHashMd5 expression equals its HOF reference form") {
     val toks = array_distinct(tokens(normText(col("text"))))
     val rows = fixture.select(

@@ -47,11 +47,12 @@ object Dedup extends QueryPack {
     * (few) surviving candidate pairs afterwards via two id equi-joins.
     */
   def lshCandidates(docs: DataFrame): DataFrame = {
-    // the bucket table (small: 16 longs/doc) feeds both join sides and
-    // embeds the minhash cost — persist it so signatures compute once;
-    // the shingle table is re-derived per side (one cheap tokenize pass)
-    // rather than caching megabytes of string arrays
-    val sh = shingled(docs)
+    // both small tables feed multiple consumers — persist both: the
+    // bucket table (16 longs/doc) feeds the two self-join sides and
+    // embeds the minhash cost; the shingle table feeds the bucket
+    // build plus the two verify re-attach joins (at sf0.1 it is ~2 MB
+    // of string arrays — far cheaper cached than re-tokenized 3×)
+    val sh = shingled(docs).persist()
     val buckets = sh
       .select(
         col("doc_id"),

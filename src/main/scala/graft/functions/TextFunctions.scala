@@ -129,8 +129,15 @@ object TextFunctions {
 
   /** Heuristic language ID: the language whose marker set overlaps the
     * token set most; ties and zero overlap → "und" (undetermined).
+    * Evaluated by the single-pass [[LangIdExpr]] expression;
+    * [[langIdHof]] is its value-identical HOF spelling (equivalence-
+    * tested in TextAnalysisSpec).
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
+    LangIdFunctions.langIdExpr(tokens(lower(c)))
+
+  /** Reference HOF form of [[langId]] — kept for equivalence testing. */
+  def langIdHof(c: Column): Column = {
     // let-binding via singleton-array transform: a naive expression tree
     // here re-embeds the tokenizer in every when-branch (each branch
     // references `best`, which references all five intersects, which each

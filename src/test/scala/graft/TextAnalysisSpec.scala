@@ -26,6 +26,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(detect("zzz qqq xxx yyy") === "und")
   }
 
+  test("LangIdExpr equals its HOF reference form, incl. shared markers") {
+    import spark.implicits._
+    val samples = Seq(
+      "the cat and the dog of it was in that house",
+      "el perro y la casa de los árboles en que vivo",
+      "le chat et la maison des arbres est un lieu du monde",
+      "der Hund und die Katze ist von den Bäumen im Garten",
+      "我 是 他 的 人 这 不 了",
+      "zzz qqq xxx yyy",
+      "la de", // markers shared by es AND fr: tie → alphabetical (es)
+      "LA DE la de THE the", // case-folding + duplicate tokens
+      "", // empty text
+      "the la de und le et les" // cross-language mixture
+    )
+    val rows = samples.toDF("t")
+      .select(langId(col("t")).as("fast"), langIdHof(col("t")).as("ref"))
+      .collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getString(0) === r.getString(1), s"mismatch on: '$s'")
+    }
+    // the shared-marker tie goes to the alphabetically-first language
+    assert(rows(6).getString(0) === "es")
+  }
+
   test("quality metrics on a known string") {
     import spark.implicits._
     val row = Seq("the cat sat")

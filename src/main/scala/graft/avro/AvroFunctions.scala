@@ -51,8 +51,17 @@ case class ToAvro(child: Expression) extends UnaryExpression with CodegenFallbac
   * format's magic byte + 4-byte schema id = 5 bytes) — the reference
   * needs a custom decode for its production framing (E3, ref:
   * bin/ztf/stream2raw.py:112-115).
+  *
+  * `permissive = true` yields NULL for undecodable payloads instead of
+  * failing the task — on a long-running ingest stream one corrupt Kafka
+  * message must quarantine (filter `isNull` to a dead-letter sink), not
+  * kill the query. Default is strict (FAILFAST), matching spark-avro.
   */
-case class FromAvro(child: Expression, schemaJson: String, skipBytes: Int = 0)
+case class FromAvro(
+    child: Expression,
+    schemaJson: String,
+    skipBytes: Int = 0,
+    permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
@@ -66,10 +75,18 @@ case class FromAvro(child: Expression, schemaJson: String, skipBytes: Int = 0)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    decoder = DecoderFactory.get()
-      .binaryDecoder(bytes, skipBytes, bytes.length - skipBytes, decoder)
-    val rec = reader.read(null, decoder)
-    AvroCodec.avroToCatalyst(rec, dataType)
+    try {
+      decoder = DecoderFactory.get()
+        .binaryDecoder(bytes, skipBytes, bytes.length - skipBytes, decoder)
+      val rec = reader.read(null, decoder)
+      AvroCodec.avroToCatalyst(rec, dataType)
+    } catch {
+      case e: Exception if permissive =>
+        // scratch decoder state is unspecified after a failed read —
+        // drop it so the next row starts clean
+        decoder = null
+        null
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -88,6 +105,14 @@ object AvroFunctions {
   /** E3: decode with framed wire formats (skip a fixed-size header). */
   def fromAvroFramed(c: Column, schemaJson: String, skipBytes: Int): Column =
     shims.column(FromAvro(shims.expression(c), schemaJson, skipBytes))
+
+  /** E1 PERMISSIVE mode: NULL for corrupt payloads instead of task
+    * failure — quarantine with `.filter(col.isNull)` to a dead-letter
+    * sink on the ingest stream.
+    */
+  def fromAvroPermissive(c: Column, schemaJson: String, skipBytes: Int = 0): Column =
+    shims.column(FromAvro(shims.expression(c), schemaJson, skipBytes,
+      permissive = true))
 
   /** E4: the Avro reader-schema JSON for a Spark schema (published as
     * the Kafka message key by the reference).

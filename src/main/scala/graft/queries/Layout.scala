@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.{sumDec, t}
-import graft.operators.Bucketing
+import graft.operators.{Bucketing, Upsert}
 
 /** Physical-layout operators (SURVEY §2 Y-rows): bucketed table layout
   * and the shuffle-free co-located join it buys.
@@ -45,5 +45,39 @@ object Layout extends QueryPack {
           o_totalprice
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderkey, o_totalprice""")),
+
+    // ---- keyed upsert (MERGE INTO): updated keys replace, new keys
+    //      insert, the rest pass through. The update batch derives
+    //      deterministically from the base so both engines merge the
+    //      identical delta; ×2 on a double is exact (power of two). ----
+    QueryDef(
+      "q59_upsert",
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val mods = base.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus"))
+        Upsert.upsert(base, mods.unionByName(inserts), Seq("o_orderkey"))
+      },
+      Some("""
+        WITH updates AS (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT o_orderkey + 3000000, o_totalprice, 'N'
+          FROM orders WHERE o_orderkey % 1000 = 0)
+        SELECT * FROM updates
+        UNION ALL
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+        FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)""")),
   )
 }

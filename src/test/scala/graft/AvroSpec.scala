@@ -74,6 +74,37 @@ class AvroSpec extends SparkTestBase {
     assert(out === 7L)
   }
 
+  test("permissive decode quarantines corrupt payloads as NULL; strict throws") {
+    import spark.implicits._
+    // reader schema derived from the ACTUAL packed struct type — a
+    // hand-declared nullability mismatch would silently misparse the
+    // union-index prefix (writer/reader schema agreement is the E1
+    // contract; resolution is E4's job)
+    val packed = Seq(("ok-1", 1L), ("ok-2", 2L)).toDF("s", "n")
+      .select(struct(col("s"), col("n")).as("r"))
+    val json = AvroFunctions.avroSchemaJson(
+      packed.schema("r").dataType.asInstanceOf[StructType])
+    val good = packed.select(AvroFunctions.toAvro(col("r")).as("v"))
+    // corrupt: a truncated body and pure garbage
+    val corrupt = Seq(
+      Array[Byte](0x10, 0x61), // claims an 8-char string, provides 1 byte
+      Array[Byte](-1, -1, -1, -1, -1, -1)
+    ).toDF("v")
+    val mixed = good.unionByName(corrupt)
+    val decoded = mixed
+      .select(AvroFunctions.fromAvroPermissive(col("v"), json).as("d"))
+      .collect()
+    assert(decoded.count(_.isNullAt(0)) === 2, decoded.mkString(","))
+    assert(decoded.filter(!_.isNullAt(0))
+      .map(_.getStruct(0).getLong(1)).toSet === Set(1L, 2L))
+    // strict mode must fail on the same input (the raw decoder error
+    // surfaces directly in local eval, wrapped in SparkException on a
+    // cluster — either way the query dies)
+    intercept[Exception] {
+      mixed.select(AvroFunctions.fromAvro(col("v"), json).as("d")).collect()
+    }
+  }
+
   test("nulls and empty arrays survive the round trip") {
     import spark.implicits._
     val st = StructType(Seq(

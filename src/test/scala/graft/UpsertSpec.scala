@@ -44,6 +44,47 @@ class UpsertSpec extends SparkTestBase {
       s"base got shuffled for a 2-row delta:\n$plan")
   }
 
+  test("incremental view maintenance: foreachBatch + upsert keeps a running aggregate table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the standard production pattern: per-batch partial aggregates
+    // merged into a keyed serving table by upsert — exactly-once per
+    // key without holding unbounded state in the stream itself
+    val dir = java.nio.file.Files.createTempDirectory("upsert_ivm_").toString
+    val table = s"$dir/totals"
+    val src = MemoryStream[(String, Long)]
+    val q = src.toDF().toDF("k", "x").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = batch.groupBy("k").agg(sum(col("x")).as("total"))
+        val current =
+          try spark.read.parquet(table)
+          catch { case _: Exception => partial.limit(0) }
+        val merged = Upsert.upsert(
+          current,
+          partial
+            .join(current.withColumnRenamed("total", "prev"), Seq("k"), "left")
+            .select(col("k"),
+              (col("total") + coalesce(col("prev"), lit(0L))).as("total")),
+          Seq("k"))
+        // overwrite via tmp so a failed write can't destroy the table
+        merged.write.mode("overwrite").parquet(s"$table.tmp")
+        spark.read.parquet(s"$table.tmp").write.mode("overwrite").parquet(table)
+      }
+      .start()
+    try {
+      src.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      src.addData(("a", 4L), ("c", 100L))
+      q.processAllAvailable()
+      val totals = spark.read.parquet(table).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(totals === Map("a" -> 7L, "b" -> 10L, "c" -> 100L))
+    } finally q.stop()
+  }
+
   test("multi-column keys match on the full tuple") {
     import spark.implicits._
     val base = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")

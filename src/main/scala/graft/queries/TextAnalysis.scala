@@ -31,6 +31,35 @@ object TextAnalysis extends QueryPack {
           length(text) AS len_chars
         FROM documents""")),
 
+    // ---- Token counting (BPE-ish regex tokenizer) ----
+    // GPT-2-style pretokenization minus the lookaheads (RE2 has none,
+    // so the pattern is portable to any engine): contraction suffixes,
+    // letter runs, SINGLE digits (number fan-out like real BPE vocab),
+    // punctuation runs. The per-doc BPE-ish count vs the whitespace
+    // count (q16) is the standard tokens-per-word budget estimate.
+    QueryDef(
+      "q60_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+        t(s, d, "documents")
+          .withColumn("bpe",
+            regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .select(
+            col("doc_id"),
+            size(col("bpe")).cast("long").as("n_bpe"),
+            size(array_distinct(col("bpe"))).cast("long").as("n_bpe_distinct"),
+            size(tokens(col("text"))).cast("long").as("n_ws"))
+      },
+      Some("""
+        SELECT doc_id,
+          len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+          len(list_distinct(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+            AS n_bpe_distinct,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_ws
+        FROM documents""")),
+
     // ---- Quality scoring: C4/Gopher-style ratio features ----
     QueryDef(
       "q17_quality_score",

@@ -50,6 +50,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(6).getString(0) === "es")
   }
 
+  test("BPE-ish tokenizer: contractions split, digits fan out, punct separates") {
+    import spark.implicits._
+    val q60 = graft.queries.TextAnalysis.defs.find(_.name == "q60_bpe_tokens").get
+    val dir = java.nio.file.Files.createTempDirectory("textspec").toString
+    Seq(
+      (0L, "don't stop", "en", "s", 10L), // don | 't | stop → 3
+      (1L, "room 404!", "en", "s", 9L), // room | 4 | 0 | 4 | ! → 5
+      (2L, "a-b", "en", "s", 3L) // a | - | b → 3 (1 ws token)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q60.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows(0L) === ((3L, 2L)))
+    assert(rows(1L) === ((5L, 2L)))
+    assert(rows(2L) === ((3L, 1L)))
+  }
+
   test("quality metrics on a known string") {
     import spark.implicits._
     val row = Seq("the cat sat")

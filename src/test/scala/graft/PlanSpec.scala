@@ -148,6 +148,34 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark's runtime row-level filtering: a selective filter on the
+    // dim side materializes a bloom filter that is pushed into the
+    // fact scan — at 100 TB this is what keeps a fact-dim join from
+    // reading fact rows the dim filter already excluded. On by default
+    // at cluster scale (10 GB application-side threshold); the test
+    // lowers the threshold so an sf-test-sized join exercises the path.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+      val p = j.queryExecution.optimizedPlan.toString()
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // inspect the final AQE plan — pre-execution the adaptive wrapper
     // hides the codegen stage annotations. In toString form a

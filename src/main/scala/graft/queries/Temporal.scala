@@ -211,5 +211,57 @@ object Temporal extends QueryPack {
           quantile_disc(l_quantity, 0.9) AS p90,
           quantile_disc(l_quantity, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- two-sample Kolmogorov-Smirnov statistic ----
+    // (the reference's anomaly jobs gate on KS ranges; here exact and
+    // in-engine): D = max over pooled distinct values of
+    // |ECDF_A(v) − ECDF_B(v)|. Grouping by value first makes tie
+    // handling order-free; the CDF window runs over DISTINCT values —
+    // bounded by the value domain, not the row count — so the single-
+    // partition window is an aggregated-domain scan, not a data scan.
+    // Every compared number is (exact int)/(exact int) in double: IEEE-
+    // identical cross-engine.
+    QueryDef(
+      "q61_ks_test",
+      (s, d) => {
+        val rf = col("l_returnflag")
+        val counts = t(s, d, "lineitem")
+          .filter(rf.isin("A", "R"))
+          .groupBy(col("l_quantity").as("v"))
+          .agg(
+            count(when(rf === "A", 1)).as("ca"),
+            count(when(rf === "R", 1)).as("cb"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(Long.MinValue, 0)
+        val totals = counts.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        counts
+          .withColumn("cuma", sum(col("ca")).over(w))
+          .withColumn("cumb", sum(col("cb")).over(w))
+          .crossJoin(broadcast(totals))
+          .groupBy("na", "nb")
+          .agg(max(abs(
+            col("cuma").cast("double") / col("na").cast("double") -
+              col("cumb").cast("double") / col("nb").cast("double")))
+            .as("ks_d"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT l_quantity AS v,
+            COUNT(*) FILTER (l_returnflag = 'A') AS ca,
+            COUNT(*) FILTER (l_returnflag = 'R') AS cb
+          FROM lineitem WHERE l_returnflag IN ('A', 'R')
+          GROUP BY l_quantity),
+        cdf AS (
+          SELECT
+            SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+            SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+            SUM(ca) OVER () AS na,
+            SUM(cb) OVER () AS nb
+          FROM counts)
+        SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+          MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
+        FROM cdf""")),
   )
 }

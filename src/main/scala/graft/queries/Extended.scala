@@ -229,6 +229,30 @@ object Extended extends QueryPack {
           string_agg(c_name, ',' ORDER BY c_name) AS names
         FROM customer GROUP BY c_nationkey""")),
 
+    // ---- RANGE-frame window: 10-minute trailing aggregate per user.
+    //      ROWS frames (q11/q39) count physical rows; a RANGE frame is
+    //      bounded by the ORDER-BY VALUE, so ties are all-in and the
+    //      result is deterministic under any row order — the form
+    //      sliding event-time analytics need. ----
+    QueryDef(
+      "q62_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-600000000L, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("ts_us"))
+          .withColumn("n_10min", count(lit(1)).over(w))
+          .withColumn("sum_ids_10min", sum(col("event_id")).over(w))
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          COUNT(*) OVER w AS n_10min,
+          CAST(SUM(event_id) OVER w AS BIGINT) AS sum_ids_10min
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""")),
+
     // ---- relational PIVOT operator proper (q38 is the CASE-expansion
     //      form; this is `RelationalGroupedDataset.pivot` with pinned
     //      values — pinning skips Spark's extra distinct-values job and

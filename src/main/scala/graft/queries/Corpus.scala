@@ -243,5 +243,29 @@ object Corpus extends QueryPack {
             i * $ChunkStride + $ChunkLen)) AS n_toks
         FROM n, unnest(range(0, (nt + ${ChunkStride - 1}) // $ChunkStride))
           AS u(i)""")),
+
+    // ---- Deterministic stratified sampling: fixed N per stratum,
+    //      selected by hash order — balanced-corpus sampling that is
+    //      reproducible across engines, partitionings, and reruns
+    //      (md5 gives the shuffle, doc_id breaks ties; no RNG state,
+    //      unlike df.sample whose output is engine-specific) ----
+    QueryDef(
+      "q63_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(md5(col("text")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select("lang", "rk", "doc_id", "n_chars")
+      },
+      Some("""
+        SELECT lang, rk, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(text), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20""")),
   )
 }

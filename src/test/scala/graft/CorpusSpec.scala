@@ -40,6 +40,23 @@ class CorpusSpec extends SparkTestBase {
     assert(once === again)
   }
 
+  test("stratified sample is stable across partitionings and caps per stratum") {
+    import spark.implicits._
+    val docs = (1 to 300)
+      .map(i => (i.toLong, s"text body $i", if (i % 3 == 0) "en" else "fr",
+        "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("corpusspec").toString
+    val q = Corpus.defs.find(_.name == "q63_stratified_sample").get
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val once = q.fn(spark, dir).collect().toSet
+    docs.repartition(16).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = q.fn(spark, dir).collect().toSet
+    assert(once === again)
+    val perLang = once.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(perLang === Map("en" -> 20, "fr" -> 20))
+  }
+
   test("contamination: a verbatim benchmark copy scores ratio 1.0") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"

@@ -25,6 +25,7 @@ object SparkEntry {
     graft.queries.Temporal.defs,
     graft.queries.Layout.defs,
     graft.queries.Corpus.defs,
+    graft.queries.Reports.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

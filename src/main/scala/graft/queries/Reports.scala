@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+
+/** The four reporting-job shapes (see [[graft.jobs.Reports]]) as
+  * oracle-checked queries over the driver tables — the reference's
+  * per-science-case batch reports re-expressed as filter + one
+  * window/agg on the object key:
+  *
+  *   q64 slsn     — threshold filter → idxmax-per-object
+  *                  (ref: bin/ztf/archive_slsn_candidates.py:235-259)
+  *   q65 hostless — statistic range + valid-size cuts → global
+  *                  processed-count attach
+  *                  (ref: bin/ztf/archive_hostless.py:126-133)
+  *   q66 anomaly  — per-model top-N → isin/semi-join back → row key
+  *                  (ref: bin/ztf/archive_anomaly.py:95-130)
+  *   q67 tns      — early filter → min-per-object → anti-join sent set
+  *                  (ref: bin/ztf/push_to_tns.py:79-96)
+  *
+  * Scale notes: every shape filters FIRST (pushed to the scan), then
+  * reduces per object — the keyed shuffle sees only candidates, never
+  * the lake. q65's global count is a one-row broadcast cross-join (the
+  * scalar-attach idiom); q66's id set is limit-N and broadcast-semi-
+  * joined (the distributed form of the reference's collect-then-isin);
+  * q67's sent set is broadcast anti-joined. Nothing collects.
+  */
+object Reports extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- slsn shape: score threshold → per-object max-"ndethist" row.
+    // The window runs over post-filter candidates only; event_id is
+    // unique so the row_number is deterministic without a tie column.
+    QueryDef(
+      "q64_report_slsn",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+        t(s, d, "events")
+          .filter(col("value") >= 150.0)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("user_id", "event_id", "event_type", "value")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY event_id DESC) AS rk
+          FROM events WHERE value >= 150.0)
+        WHERE rk = 1""")),
+
+    // ---- hostless shape: element-range cuts on an array statistic,
+    // valid-element size cut, and the night's global processed count
+    // attached to every surviving row (one-row broadcast cross-join).
+    // All compared values are raw column bits (float→double widening is
+    // exact) — no float arithmetic crosses the oracle.
+    QueryDef(
+      "q65_report_hostless",
+      (s, d) => {
+        val filt = t(s, d, "embeddings")
+          .withColumn("e1", element_at(col("embedding"), 1).cast("double"))
+          .withColumn("e2", element_at(col("embedding"), 2).cast("double"))
+          .withColumn("n_pos",
+            size(filter(col("embedding"), x => x > 0)).cast("long"))
+          .filter(col("e1") >= 0.0 && col("e1") <= 0.1 &&
+            col("e2") >= -0.15 && col("e2") <= 0.15 &&
+            col("n_pos") <= 36)
+        val nProcessed = filt.agg(count(lit(1)).as("n_processed"))
+        filt.crossJoin(broadcast(nProcessed))
+          .select("vec_id", "label", "e1", "e2", "n_pos", "n_processed")
+      },
+      Some("""
+        WITH filt AS (
+          SELECT vec_id, label,
+            CAST(embedding[1] AS DOUBLE) AS e1,
+            CAST(embedding[2] AS DOUBLE) AS e2,
+            len(list_filter(embedding, x -> x > 0)) AS n_pos
+          FROM embeddings
+          WHERE CAST(embedding[1] AS DOUBLE) BETWEEN 0.0 AND 0.1
+            AND CAST(embedding[2] AS DOUBLE) BETWEEN -0.15 AND 0.15
+            AND len(list_filter(embedding, x -> x > 0)) <= 36)
+        SELECT vec_id, label, e1, e2, n_pos,
+          (SELECT COUNT(*) FROM filt) AS n_processed
+        FROM filt""")),
+
+    // ---- anomaly shape: per-model top-N most anomalous → id set →
+    // semi-join the full frame (the reference's collect+isin, without
+    // the driver round-trip) → serving row key.
+    QueryDef(
+      "q66_report_anomaly",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id"))
+        val ids = ev
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select("event_id")
+        ev.join(broadcast(ids), Seq("event_id"), "left_semi")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            concat_ws("_", col("event_id").cast("string"),
+              col("user_id").cast("string")).as("row_key"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT event_id FROM (
+            SELECT event_id,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS rk
+            FROM events)
+          WHERE rk <= 10)
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+          CAST(e.event_id AS VARCHAR) || '_' || CAST(e.user_id AS VARCHAR)
+            AS row_key
+        FROM events e
+        WHERE e.event_id IN (SELECT event_id FROM ids)""")),
+
+    // ---- tns shape: early-candidate filter → min-per-object (the
+    // discovery row) → anti-join the already-reported object set.
+    QueryDef(
+      "q67_report_tns",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val past = ev.select("user_id").distinct()
+          .filter(col("user_id") % 7 === 0)
+        ev.filter(col("event_type") === "signup" && col("value") <= 20.0)
+          .groupBy("user_id")
+          .agg(
+            min(col("event_id")).as("first_event"),
+            min(col("value")).as("min_value"),
+            count(lit(1)).as("n_alerts"))
+          .join(broadcast(past), Seq("user_id"), "left_anti")
+      },
+      Some("""
+        SELECT user_id,
+          min(event_id) AS first_event,
+          min(value) AS min_value,
+          COUNT(*) AS n_alerts
+        FROM events
+        WHERE event_type = 'signup' AND value <= 20.0
+          AND user_id NOT IN (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+        GROUP BY user_id""")),
+  )
+}

@@ -38,6 +38,67 @@ object Corpus extends QueryPack {
   /** Non-distinct whitespace tokens — term frequency needs duplicates. */
   private def rawTokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Deterministic stratified sample: the k smallest rows per `lang`
+    * stratum under the (md5(text), doc_id) order, with `rk` their rank.
+    *
+    * Scale design — the naive form (window over the whole corpus
+    * partitioned by stratum) shuffles EVERYTHING into one task per
+    * stratum: with 5 languages at 100 TB that is 5 tasks each sorting
+    * billions of rows. Instead the corpus is pre-filtered map-side on a
+    * per-stratum md5-prefix cutoff sized to keep ~k×`safety` rows, so
+    * the per-stratum window sorts thousands of rows, not billions:
+    *
+    *   1. per-stratum totals (column-pruned scan + 5-row aggregate)
+    *   2. cutoff_s = hash-space × k×safety / n_total_s (keep-all when
+    *      the stratum is small); survivors = rows with 32-bit md5
+    *      prefix below cutoff — a map-side filter, nothing shuffles
+    *   3. exactness guard, fully declarative: a stratum is `ok` iff it
+    *      kept ≥ min(k, n_total) survivors. The survivor set is a
+    *      PREFIX of the hash order (hv < cutoff), so ok ⇒ it contains
+    *      the true top-k: any non-survivor row is out-ranked by every
+    *      one of the ≥ k survivors (its 8-hex prefix, hence its full
+    *      md5 string, is strictly larger). Non-ok strata — md5
+    *      uniformity makes them ~impossible at safety 8, but exactness
+    *      must not rest on a probabilistic bound — fall back to the
+    *      full stratum via a union branch that filters to zero rows in
+    *      the normal case.
+    *   4. one window over survivors ∪ fallback rows.
+    *
+    * The result is bit-identical to the naive window for ANY input —
+    * CorpusSpec checks equivalence incl. an adversarial safety=0 run
+    * that forces the fallback branch. */
+  def stratifiedSample(docs: DataFrame, k: Int, safety: Long = 8L): DataFrame = {
+    val space = 1L << 32
+    // 32-bit numeric prefix of md5(text): lexicographic order on the
+    // fixed-width lowercase-hex md5 string == numeric order on hv
+    val hv = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val budget = k.toLong * safety
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val cut = counts.withColumn("cutoff",
+      when(col("n_total") <= budget, lit(space))
+        .otherwise((lit(space.toDouble) * lit(budget.toDouble) /
+          col("n_total").cast("double")).cast("long")))
+    val tagged = docs.withColumn("hv", hv)
+      .join(broadcast(cut), Seq("lang"))
+    val surv = tagged.filter(col("hv") < col("cutoff"))
+    val strata = surv.groupBy("lang").agg(count(lit(1)).as("n_surv"))
+      .join(cut, Seq("lang"))
+      .withColumn("ok", col("n_surv") >= least(lit(k.toLong), col("n_total")))
+    // strata with zero survivors never appear in `strata`; they are
+    // non-ok by definition and only reachable when cutoff == 0 rows
+    // (safety = 0) — the anti-join below catches them too.
+    val okLangs = strata.filter(col("ok")).select("lang")
+    val good = surv.join(broadcast(okLangs), Seq("lang"), "left_semi")
+    val bad = tagged.join(broadcast(okLangs), Seq("lang"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("text")), col("doc_id"))
+    good.unionByName(bad)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("hv", "cutoff", "n_total")
+  }
+
   /** One BM25 term score: odds-idf × saturated tf, all IEEE-exact ops. */
   private def bm25Term(tf: Column, df: Column, n: Column, dl: Column,
       avgdl: Column): Column = {
@@ -251,15 +312,8 @@ object Corpus extends QueryPack {
     //      unlike df.sample whose output is engine-specific) ----
     QueryDef(
       "q63_stratified_sample",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang")
-          .orderBy(md5(col("text")), col("doc_id"))
-        t(s, d, "documents")
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 20)
-          .select("lang", "rk", "doc_id", "n_chars")
-      },
+      (s, d) => stratifiedSample(t(s, d, "documents"), k = 20)
+        .select("lang", "rk", "doc_id", "n_chars"),
       Some("""
         SELECT lang, rk, doc_id, n_chars FROM (
           SELECT lang, doc_id, n_chars,

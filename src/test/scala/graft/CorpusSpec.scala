@@ -57,6 +57,46 @@ class CorpusSpec extends SparkTestBase {
     assert(perLang === Map("en" -> 20, "fr" -> 20))
   }
 
+  test("stratified sample: prefiltered plan equals the naive window, " +
+      "incl. forced-fallback safety levels") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 500)
+      .map(i => (i.toLong, s"doc payload $i", i % 4 match {
+        case 0 => "en"; case 1 => "fr"; case 2 => "de"; case _ => "tiny"
+      }, "s", 10L))
+      // "tiny" stratum smaller than k: keep-all path must hold
+      .filter { case (id, _, l, _, _) => l != "tiny" || id <= 30 }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    val naive = docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 7)
+      .select("lang", "rk", "doc_id").collect().toSet
+    // safety=8 (normal), safety=1 (cutoff likely under-delivers → some
+    // strata take the fallback branch), safety=0 (cutoff 0 → EVERY
+    // stratum falls back) must all be bit-identical to the naive window
+    for (safety <- Seq(8L, 1L, 0L)) {
+      val got = Corpus.stratifiedSample(docs, k = 7, safety = safety)
+        .select("lang", "rk", "doc_id").collect().toSet
+      assert(got === naive, s"mismatch at safety=$safety")
+    }
+  }
+
+  test("stratified sample: the corpus is filtered BEFORE the stratum window") {
+    val dir = SharedSpark.Sf0001
+    val df = Corpus.defs.find(_.name == "q63_stratified_sample").get
+      .fn(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the per-stratum window must sit above the hv<cutoff survivor
+    // filter (plus the fallback union), never directly above the scan
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0, "no Window in plan")
+    val below = plan.substring(wIdx)
+    assert(below.contains("Union"), s"no fallback union under the window:\n$plan")
+    assert(below.contains("cutoff"), s"no cutoff prefilter under the window:\n$plan")
+  }
+
   test("contamination: a verbatim benchmark copy scores ratio 1.0") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"

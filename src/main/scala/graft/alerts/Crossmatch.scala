@@ -173,6 +173,53 @@ object Crossmatch {
       ra, dec, idx, nside, radiusDeg, default)
   }
 
+  /** [[pixelIndex]] generalized to carry per-row catalog PROPERTIES:
+    * pixel → (rowId, ra, dec) entries plus the aligned value table, for
+    * the map-returning expression crossmatch ([[nearestPropsExpr]]).
+    * Same small-catalog index-build contract as [[pixelIndex]].
+    */
+  def propsIndex(
+      catalog: DataFrame,
+      radiusDeg: Double,
+      propCols: Seq[String],
+      nsideOpt: Option[Int] = None)
+      : (Map[Long, Array[(Int, Double, Double)]], Array[Array[String]], Int) = {
+    val nside = nsideOpt.getOrElse(nsideFor(radiusDeg))
+    val rows = catalog.select(
+      (Seq(col("cat_ra"), col("cat_dec")) ++
+        propCols.map(c => col(c).cast("string"))): _*).collect()
+    val values = rows.map(r =>
+      propCols.indices.map(i =>
+        if (r.isNullAt(i + 2)) null else r.getString(i + 2)).toArray)
+    val m = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]]
+    rows.zipWithIndex.foreach { case (r, id) =>
+      val (ra, dec) = (r.getDouble(0), r.getDouble(1))
+      discCoverPixels(nside, ra, dec, radiusDeg).foreach { p =>
+        m.getOrElseUpdate(p,
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]) +=
+          ((id, ra, dec))
+      }
+    }
+    (m.view.mapValues(_.toArray).toMap, values, nside)
+  }
+
+  /** Nearest in-radius catalog row's properties as map<string,string>
+    * (all-null-valued map when unmatched) — the reference's `mangrove`
+    * column shape (ztf/science.py:192-196), zero exchanges on the
+    * alert side.
+    */
+  def nearestPropsExpr(
+      ra: Column,
+      dec: Column,
+      catalog: DataFrame,
+      radiusDeg: Double,
+      propCols: Seq[String]): Column = {
+    val (idx, values, nside) = propsIndex(catalog, radiusDeg, propCols)
+    graft.functions.SpatialFunctions.nearestCatalogMap(
+      ra, dec, idx, propCols.toArray, values, nside, radiusDeg)
+  }
+
   /** The reference's enrichment semantics: every alert kept, the nearest
     * in-radius catalog name attached or "Unknown" (ref cdsxmatch column,
     * ztf/science.py:100-154).

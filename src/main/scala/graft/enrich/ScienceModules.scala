@@ -277,6 +277,52 @@ object ScienceModules {
           radiusArcsec / 3600.0, default))
   }
 
+  /** Property-map crossmatch: the nearest in-radius catalog row's
+    * properties attached as one map<string,string> column — the
+    * reference's `mangrove` enrichment shape (nearest Mangrove galaxy
+    * within 1 arcmin; ref ztf/science.py:192-196, output schema
+    * utest/datasets/schemas/schema_20190903.avsc). Unmatched alerts get
+    * every key mapped to null, keeping the schema stable. Same
+    * zero-exchange spine contract as [[Xmatch]].
+    */
+  final case class XmatchProps(colName: String, catalog: DataFrame,
+      radiusArcsec: Double, propCols: Seq[String]) extends Stage {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(colName,
+        Crossmatch.nearestPropsExpr(
+          col("candidate.ra"), col("candidate.dec"), catalog,
+          radiusArcsec / 3600.0, propCols))
+  }
+
+  /** Multi-class scorer emitting one map<string,float> column — the
+    * reference's `t2` column shape (per-class transformer scores packed
+    * with create_map, ref rubin/science.py:337-351; map<string,float>
+    * in schema_20190903.avsc). Stand-in scores are a deterministic
+    * softmax over the history features, gated on roid like the other
+    * scorers; the column contract (stable key set, float values) is the
+    * reference's.
+    */
+  object T2Score extends Stage {
+    val classes: Seq[String] = Seq("SNIa", "SNII", "KN", "AGN", "RRLyr")
+    def transform(df: DataFrame): DataFrame = {
+      // deterministic per-class logits from the masked history folds
+      val logits: Seq[Column] = Seq(
+        -MagnitudeRate(df) * 8.0,
+        -MagnitudeRate(df) * 4.0,
+        abs(MagnitudeRate(df)) * 10.0 - lit(2.0),
+        stdArr(col("cmagpsf")) * 2.0,
+        when(col("cdsxmatch") === "RRLyr", 4.0).otherwise(-2.0))
+      // clamp before exp: a near-zero Δt makes mag_rate arbitrarily
+      // large and exp overflow turns the softmax into NaN
+      val exps = logits.map(l => exp(least(greatest(l, lit(-20.0)), lit(20.0))))
+      val z = exps.reduce(_ + _)
+      val entries = classes.zip(exps).flatMap { case (k, e) =>
+        Seq(lit(k), (e / z).cast("float"))
+      }
+      df.withColumn("t2", map(entries: _*))
+    }
+  }
+
   /** Deterministic stand-in catalogs for the spine's crossmatch stages
     * (seeded positions over the sphere; class vocabularies shaped like
     * the reference's CDS / GCVS / VSX outputs).
@@ -295,6 +341,25 @@ object ScienceModules {
     }.toDF("cat_name", "cat_ra", "cat_dec")
   }
 
+  /** Mangrove-shaped fixture: galaxy catalog with the reference's four
+    * property columns (HyperLEDA_name, 2MASS_name, lum_dist, ang_dist —
+    * ztf/science.py:192-196).
+    */
+  def fixtureGalaxyCatalog(spark: SparkSession, n: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val ra = rng.nextDouble() * 360.0
+      val dec = math.toDegrees(math.asin(rng.nextDouble() * 2 - 1))
+      (s"PGC$i", f"2MASXJ$i%07d", f"${rng.nextDouble() * 400}%.2f",
+        f"${rng.nextDouble() * 60}%.3f", ra, dec)
+    }.toDF("HyperLEDA_name", "TwoMASS_name", "lum_dist", "ang_dist",
+      "cat_ra", "cat_dec")
+  }
+
+  val mangroveKeys: Seq[String] =
+    Seq("HyperLEDA_name", "TwoMASS_name", "lum_dist", "ang_dist")
+
   def defaultXmatches(spark: SparkSession): Seq[Stage] = Seq(
     Xmatch("cdsxmatch",
       fixtureCatalog(spark, Seq("Star", "RRLyr", "QSO", "AGN", "EB*"), 200, 11L),
@@ -305,12 +370,24 @@ object ScienceModules {
     Xmatch("vsx",
       fixtureCatalog(spark, Seq("ROT", "DSCT", "EA"), 120, 13L),
       radiusArcsec = 1.5),
+    // YSO candidates (reference's spicy crossmatch, ztf/science.py:172-190)
+    Xmatch("spicy_class",
+      fixtureCatalog(spark, Seq("YSO", "FlatSpec", "ClassII"), 80, 15L),
+      radiusArcsec = 1.2),
+    // blazar catalogs (3HSP/4LAC, ztf/science.py:156-170) — wider cone
+    Xmatch("x3hsp",
+      fixtureCatalog(spark,
+        (1 to 60).map(i => f"3HSPJ$i%06d"), 60, 16L),
+      radiusArcsec = 30.0, default = ""),
     // TNS counterpart name; empty string when unmatched (the reference
     // keys its tns index table on tns != "", bin/ztf/archive_index.py)
     Xmatch("tns",
       fixtureCatalog(spark,
         (1 to 40).map(i => s"SN 2024${('a' + i % 26).toChar}$i"), 40, 14L),
-      radiusArcsec = 1.5, default = ""))
+      radiusArcsec = 1.5, default = ""),
+    // nearest-galaxy property map (mangrove shape, 1 arcmin cone)
+    XmatchProps("mangrove", fixtureGalaxyCatalog(spark, 150, 17L),
+      radiusArcsec = 60.0, propCols = mangroveKeys))
 
   /** The post-crossmatch scorer chain, reference order
     * (ztf/science.py:259-330).
@@ -335,11 +412,11 @@ object ScienceModules {
 
   /** Science output columns the pipeline guarantees (spec contract). */
   val outputColumns: Seq[String] = Seq(
-    "cdsxmatch", "gcvs", "vsx", "tns", "roid", "rf_snia_vs_nonia",
-    "snn_snia_vs_nonia", "snn_sn_vs_all", "mulens", "nalerthist",
-    "rf_kn_vs_nonkn", "mag_rate", "anomaly_score", "lc_features_g",
-    "lc_features_r", "rate", "sigma_rate", "from_upper", "is_transient",
-    "slsn_score", "classification")
+    "cdsxmatch", "gcvs", "vsx", "spicy_class", "x3hsp", "tns", "mangrove",
+    "roid", "rf_snia_vs_nonia", "snn_snia_vs_nonia", "snn_sn_vs_all",
+    "mulens", "nalerthist", "rf_kn_vs_nonkn", "mag_rate", "anomaly_score",
+    "lc_features_g", "lc_features_r", "rate", "sigma_rate", "from_upper",
+    "is_transient", "slsn_score", "t2", "classification")
 
   /** The full enrichment: concat 11 histories → crossmatches → scorers →
     * per-band features → fast-transient expand → transient gate → SLSN →
@@ -355,7 +432,7 @@ object ScienceModules {
     val withHist = AlertFunctions.concatCols(df, historyFields)
     val stages: Seq[Stage] =
       xmatches(df) ++ scorers ++
-        Seq(LcFeatures, FastTransient, TransientFlags, SlsnScore)
+        Seq(LcFeatures, FastTransient, TransientFlags, SlsnScore, T2Score)
     val scored = stages.foldLeft(withHist)((d, s) => s.transform(d))
     scored
       .withColumn("classification",

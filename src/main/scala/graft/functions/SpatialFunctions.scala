@@ -98,6 +98,80 @@ case class NearestCatalogLabel(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[NearestCatalogLabel]] generalized to return the matched catalog
+  * row's PROPERTY MAP — the shape of the reference's `mangrove`
+  * map<string,string> enrichment column (nearest Mangrove galaxy within
+  * 1 arcmin; ref: fink_broker/ztf/science.py:192-196, output schema
+  * utest/datasets/schemas/schema_20190903.avsc). No match → every key
+  * mapped to null (the reference's "None"-valued dict), so the column
+  * schema is stable for downstream Avro serialization.
+  *
+  * `index` maps pixel → (rowId, raDeg, decDeg); `values(rowId)` holds
+  * the row's property values aligned with `keys`. Plain strings are
+  * stored and the Catalyst MapData instances are built once per
+  * executor (@transient lazy), keeping the expression serializable.
+  */
+case class NearestCatalogMap(
+    left: Expression,
+    right: Expression,
+    index: Map[Long, Array[(Int, Double, Double)]],
+    keys: Array[String],
+    values: Array[Array[String]],
+    nside: Int,
+    radiusDeg: Double)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType, valueContainsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_catalog_map"
+
+  @transient private lazy val keyData =
+    new GenericArrayData(keys.map(UTF8String.fromString(_)).toArray[Any])
+  @transient private lazy val rowMaps: Array[MapData] = values.map { vs =>
+    new ArrayBasedMapData(keyData,
+      new GenericArrayData(vs.map(v =>
+        if (v == null) null else UTF8String.fromString(v)).toArray[Any]))
+  }
+  @transient private lazy val noMatch: MapData =
+    new ArrayBasedMapData(keyData,
+      new GenericArrayData(Array.fill[Any](keys.length)(null)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raV = left.eval(input)
+    val decV = right.eval(input)
+    if (raV == null || decV == null) noMatch
+    else {
+      val ra = raV.asInstanceOf[Double]
+      val dec = decV.asInstanceOf[Double]
+      index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
+        case None => noMatch
+        case Some(entries) =>
+          var best = -1
+          var bestSep = radiusDeg
+          var i = 0
+          while (i < entries.length) {
+            val e = entries(i)
+            val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
+            if (sep <= bestSep) { best = e._1; bestSep = sep }
+            i += 1
+          }
+          if (best < 0) noMatch else rowMaps(best)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SpatialFunctions {
 
   /** Haversine angular separation in degrees (scalar twin of
@@ -125,6 +199,21 @@ object SpatialFunctions {
         shims.expression(ra.cast("double")),
         shims.expression(dec.cast("double")),
         index, nside, radiusDeg, default))
+
+  /** Column form of [[NearestCatalogMap]]. */
+  def nearestCatalogMap(
+      ra: Column,
+      dec: Column,
+      index: Map[Long, Array[(Int, Double, Double)]],
+      keys: Array[String],
+      values: Array[Array[String]],
+      nside: Int,
+      radiusDeg: Double): Column =
+    shims.column(
+      NearestCatalogMap(
+        shims.expression(ra.cast("double")),
+        shims.expression(dec.cast("double")),
+        index, keys, values, nside, radiusDeg))
 
   /** Nested healpix pixel of (ra, dec) degree columns at `nside`. */
   def ang2pix(ra: Column, dec: Column, nside: Int): Column =

@@ -98,6 +98,54 @@ class ScienceModulesSpec extends SparkTestBase {
     assert(upperAlerts.filter(col("rf_snia_vs_nonia").isNull).count() === 0)
   }
 
+  test("mangrove is map<string,string> with the reference key set on every row") {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    assert(enriched.schema("mangrove").dataType ===
+      MapType(StringType, StringType, valueContainsNull = true))
+    // stable schema: matched or not, every row carries the full key set
+    // in catalog column order (the reference's None-valued dict shape)
+    val keyRows = enriched
+      .select(map_keys(col("mangrove")).as("k")).distinct().collect()
+    assert(keyRows.length === 1)
+    assert(keyRows.head.getSeq[String](0) === ScienceModules.mangroveKeys)
+  }
+
+  test("property-map crossmatch attaches the nearest row's props") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("PGC1", "100.0", 10.0, 10.0),
+      ("PGC2", "250.0", 200.0, -45.0),
+      ("PGC3", "17.5", 10.003, 10.003) // ~15 arcsec from PGC1
+    ).toDF("HyperLEDA_name", "lum_dist", "cat_ra", "cat_dec")
+    val probes = Seq(
+      (1L, 10.0, 10.0),     // nearest = PGC1
+      (2L, 10.0029, 10.003), // nearest = PGC3
+      (3L, 100.0, 50.0)     // unmatched → all-null-valued map
+    ).toDF("id", "ra", "dec")
+    val got = probes.withColumn("m",
+      Crossmatch.nearestPropsExpr(col("ra"), col("dec"), catalog,
+        60.0 / 3600.0, Seq("HyperLEDA_name", "lum_dist")))
+      .select(col("id"), col("m").getItem("HyperLEDA_name"),
+        col("m").getItem("lum_dist"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) === (("PGC1", "100.0")))
+    assert(got(2L) === (("PGC3", "17.5")))
+    assert(got(3L) === ((null, null)))
+  }
+
+  test("t2 is map<string,float> over a stable vocabulary, a probability simplex") {
+    import org.apache.spark.sql.types.{FloatType, MapType, StringType}
+    assert(enriched.schema("t2").dataType ===
+      MapType(StringType, FloatType, valueContainsNull = true))
+    val rows = enriched.select(
+      map_keys(col("t2")),
+      aggregate(map_values(col("t2")), lit(0.0), (a, x) => a + x)).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === ScienceModules.T2Score.classes)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-5, s"t2 scores must sum to 1: $r")
+    }
+  }
+
   test("from_upper flags that the latest history entry was an upper limit") {
     val rows = enriched.select(
       col("from_upper"),

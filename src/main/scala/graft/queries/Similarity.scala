@@ -171,6 +171,69 @@ object Similarity extends QueryPack {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  // ---- planted top-k geometry for the oracle-checkable ANN queries.
+  // Probe i (vec_id < NumProbes) gets TopK twins; twin j = the probe
+  // vector with coordinate j zeroed, so cos(probe, twin_j) =
+  // sqrt(1 - v_j^2/||v||^2) ≈ 0.99 — far above the isotropic
+  // background (<= ~0.61) and pairwise-distinct a.s. The true top-k of
+  // every probe is therefore EXACTLY its own twin set, with a
+  // deterministic order, and the ANN candidate stage recovers it with
+  // near-certain probability (theta ≈ 8deg -> per-bit collision ~0.96,
+  // per-table with Hamming<=1 multiprobe ~0.95, miss ~ 4e-11 over 8
+  // tables; IVF: a 0.99-cosine twin lands in the probe's top-nprobe
+  // cells by an overwhelming margin). That turns the approximate
+  // queries into DuckDB-oracle-checkable ones END TO END — same trick
+  // as q26's planted bimodal structure — while the pipeline itself
+  // stays the honest bucketed ANN (no-cartesian plan asserts hold;
+  // recall on UNplanted clustered/isotropic corpora is measured in
+  // SimilaritySpec).
+  val AnnTwinOffset = 2000000L
+
+  /** Base corpus + TopK planted twins per probe, built identically in
+    * Spark and the DuckDB oracle (exact float zeroing, no arithmetic).
+    */
+  def plantedAnnCorpus(e: DataFrame): DataFrame = {
+    val twins = e.filter(col("vec_id") < NumProbes)
+      .select(
+        col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(TopK - 1))).as("j"))
+      .select(
+        (col("vec_id") * 100 + col("j") + AnnTwinOffset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === col("j"), lit(0.0f)).otherwise(x))
+          .as("embedding"))
+    e.select(col("vec_id"), col("embedding")).unionByName(twins)
+  }
+
+  /** The shared oracle prelude: the planted corpus in DuckDB SQL. */
+  private val plantedOracleCte = s"""
+        twins AS (
+          SELECT e.vec_id * 100 + j.j + $AnnTwinOffset AS vec_id,
+            list_transform(range(1, 1 + len(e.embedding)),
+              i -> CASE WHEN i - 1 = j.j THEN 0.0::FLOAT ELSE e.embedding[i] END)
+              AS embedding
+          FROM embeddings e, range(0, $TopK) j(j)
+          WHERE e.vec_id < $NumProbes),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT * FROM twins),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus),
+        scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+            list_dot_product(p.v, c.v)
+              / (sqrt(list_dot_product(p.v, p.v))
+                 * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM e p JOIN e c ON p.vec_id != c.vec_id
+          WHERE p.vec_id < $NumProbes)"""
+
+  private val plantedOracleSelect = s"""
+        SELECT probe_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank,
+          neighbor_id
+        FROM scored
+        QUALIFY rank <= $TopK"""
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact top-k baseline, DuckDB-oracle-checked. Output is
     //      (probe, rank, neighbor) — rank ties broken by id; cosine is
@@ -198,28 +261,29 @@ object Similarity extends QueryPack {
         FROM scored
         QUALIFY rank <= $TopK""")),
 
-    // ---- LSH ANN (rows-only check; recall vs q24 asserted in
-    //      SimilaritySpec) ----
+    // ---- LSH ANN over the planted corpus: oracle-exact end to end
+    //      (see plantedAnnCorpus — the true top-k is the twin set and
+    //      the bucketed candidate stage recovers it); honest-ANN recall
+    //      on unplanted corpora measured in SimilaritySpec ----
     QueryDef(
       "q25_ann_lsh",
       (s, d) => {
-        val e = emb(s, d)
-        annTopK(e.filter(col("vec_id") < NumProbes), e, TopK)
+        val corpus = plantedAnnCorpus(emb(s, d)).persist()
+        annTopK(corpus.filter(col("vec_id") < NumProbes), corpus, TopK)
           .select("probe_id", "rank", "neighbor_id")
       },
-      None),
+      Some(s"WITH $plantedOracleCte\n$plantedOracleSelect")),
 
-    // ---- IVF ANN top-k (rows-only; recall semantics proven on the
-    //      clustered fixture in SimilaritySpec — the synthetic corpus is
-    //      isotropic noise, the worst case for any sublinear ANN) ----
+    // ---- IVF ANN top-k over the same planted corpus: oracle-exact
+    //      (the 0.99-cosine twins land inside the probe's nprobe cells) ----
     QueryDef(
       "q31_ann_ivf",
       (s, d) => {
-        val e = emb(s, d)
-        ivfTopK(e.filter(col("vec_id") < NumProbes), e, TopK)
+        val corpus = plantedAnnCorpus(emb(s, d)).persist()
+        ivfTopK(corpus.filter(col("vec_id") < NumProbes), corpus, TopK)
           .select("probe_id", "rank", "neighbor_id")
       },
-      None),
+      Some(s"WITH $plantedOracleCte\n$plantedOracleSelect")),
 
     // ---- Embedding-cosine near-dup pairs via LSH buckets, DuckDB-oracle-
     //      exact against the brute-force pair join.

@@ -35,9 +35,20 @@ object RubinSchema {
     StructField("dec", DoubleType),
     StructField("nDiaSources", IntegerType)))
 
-  /** Alert packet schema, versions "7.0" (no reliability) / "7.1". */
+  /** Numeric (major, minor) version order: "10.0" > "7.1", which the
+    * lexicographic string compare gets backwards.
+    */
+  private[alerts] def versionAtLeast(version: String, floor: String): Boolean = {
+    def parts(v: String): Array[Int] =
+      v.split("\\.").map(p => p.takeWhile(_.isDigit)).map(p =>
+        if (p.isEmpty) 0 else p.toInt).padTo(2, 0)
+    val (a, b) = (parts(version), parts(floor))
+    a(0) > b(0) || (a(0) == b(0) && a(1) >= b(1))
+  }
+
+  /** Alert packet schema, versions "7.0" (no reliability) / "7.1"+. */
   def alertSchema(version: String): StructType = {
-    val withRel = version >= "7.1"
+    val withRel = versionAtLeast(version, "7.1")
     StructType(Seq(
       StructField("alertId", LongType),
       StructField("diaSource", diaSourceFields(withRel)),
@@ -58,7 +69,7 @@ object RubinSchema {
       seed: Long = 4242L): DataFrame = {
     import scala.collection.JavaConverters._
     import org.apache.spark.sql.Row
-    val withRel = version >= "7.1"
+    val withRel = versionAtLeast(version, "7.1")
     val rng = new scala.util.Random(seed)
     def src(id: Long, mjd: Double): Row = {
       val base = Seq[Any](

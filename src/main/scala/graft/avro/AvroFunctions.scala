@@ -81,7 +81,16 @@ case class FromAvro(
       val rec = reader.read(null, decoder)
       AvroCodec.avroToCatalyst(rec, dataType)
     } catch {
-      case e: Exception if permissive =>
+      // quarantine only the failure classes corrupt PAYLOADS produce
+      // (truncation → IOException/EOF, mangled length prefixes →
+      // out-of-bounds/negative-size, malformed unions/enums →
+      // AvroRuntimeException). A deterministic codec or schema bug
+      // (ClassCastException, NPE, ...) still surfaces instead of
+      // silently nulling 100% of rows.
+      case e @ (_: java.io.IOException
+          | _: org.apache.avro.AvroRuntimeException
+          | _: IndexOutOfBoundsException
+          | _: NegativeArraySizeException) if permissive =>
         // scratch decoder state is unspecified after a failed read —
         // drop it so the next row starts clean
         decoder = null

@@ -20,9 +20,11 @@ object GraftSession {
     */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // managed tables (bucketed-layout operators) land in tmp, not CWD
+      // managed tables (bucketed-layout operators) land in tmp, not CWD;
+      // pid-scoped so concurrent JVMs (sbt test vs a Verify run) can't
+      // clobber each other's managed-table locations
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -29,12 +29,21 @@ object Bucketing {
       table: String,
       key: String,
       buckets: Int): Unit = {
+    // a qualified name would map to <warehouse>/<db>.<tbl> instead of
+    // the catalog's <db>.db/<tbl> location — reject rather than delete
+    // the wrong path
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc =
-      new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
+    val known = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`") // managed: drops data too
+    if (!known) {
+      // leftover location from a dead session whose catalog is gone
+      val loc =
+        new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     // one file per bucket: without the repartition, each writing task
     // emits its own file per bucket and the reader must re-sort before
     // merging

@@ -174,6 +174,9 @@ object Dedup extends QueryPack {
   def prefixJaccardPairs(
       docs: DataFrame,
       threshold: Double = 0.95): DataFrame = {
+    // persist() lives until the caller materializes the result; the
+    // mains clear it per-query (spark.catalog.clearCache()), long-lived
+    // sessions own the same responsibility
     val sets = hashedTokenSets(docs).persist()
     // global document frequency per token hash — the prefix order
     val df = sets

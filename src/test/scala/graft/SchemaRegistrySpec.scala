@@ -101,4 +101,69 @@ class SchemaRegistrySpec extends SparkTestBase {
     assert(hofs.filter(col("maxT").isNull).count() === 0)
     assert(hofs.filter(col("nRecent") < 0).count() === 0)
   }
+
+  test("schema version compare is numeric, not lexicographic") {
+    import graft.alerts.RubinSchema
+    // "10.0" >= "7.1" numerically (lexicographic says no — ADVICE r4);
+    // future majors must keep the reliability field
+    for (v <- Seq("7.1", "7.2", "8.0", "10.0"))
+      assert(RubinSchema.alertSchema(v)("diaSource").dataType
+        .asInstanceOf[StructType].fieldNames.contains("reliability"), v)
+    for (v <- Seq("7.0", "6.9", "2.0"))
+      assert(!RubinSchema.alertSchema(v)("diaSource").dataType
+        .asInstanceOf[StructType].fieldNames.contains("reliability"), v)
+  }
+
+  test("third survey: ELAsTICC classification packing and per-class routing") {
+    import graft.alerts.ElasticcSchema
+    import graft.streaming.FilterRegistry
+
+    SchemaRegistry.register("elasticc", "0.9", ElasticcSchema.alertSchema())
+    for (s <- Seq("elasticc"))
+      assert(SchemaRegistry.latest(s).map(_._1) === Some("0.9"))
+
+    val df = SchemaRegistry.stamp(ElasticcSchema.fixture(spark, 40), "0.9")
+    assert(SchemaRegistry.probeVersion(df) === Some("0.9"))
+
+    // version-dispatched formatting, like the other two surveys
+    val formatted = SchemaRegistry.dispatch(df)(Map(
+      "0.9" -> (d => ElasticcSchema.formatForElasticc(d, "5.0"))))
+
+    // exact output projection + classifications schema (the reference's
+    // cast(classifications_schema), distribute_elasticc.py:57-77)
+    assert(formatted.columns.toSeq === Seq(
+      "alertId", "diaSourceId", "elasticcPublishTimestamp",
+      "brokerIngestTimestamp", "brokerName", "brokerVersion",
+      "classifications"))
+    assert(formatted.schema("classifications").dataType ===
+      ArrayType(ElasticcSchema.classificationType))
+
+    // MJD → epoch-millis conversion: one day past the unix epoch
+    val ms = spark.range(1)
+      .select(ElasticcSchema.mjdToMillis(lit(40588.0))).collect()(0).getLong(0)
+    assert(ms === 86400000L)
+
+    // per-class explode: every alert fans into its 5 classification rows
+    val routed = ElasticcSchema.explodePerClass(formatted)
+    assert(routed.count() === 40 * 5)
+    assert(routed.filter(col("topic") =!=
+      concat_ws("_", lit("elasticc"), col("classId"))).count() === 0)
+
+    // FilterRegistry routes per-class topics: the three taxonomy filters
+    // tile the exploded set exactly
+    val names = ElasticcSchema.registerClassFilters(
+      Seq(ElasticcSchema.OtherClass, ElasticcSchema.SnLikeClass,
+        ElasticcSchema.AgnLikeClass))
+    assert(names === Seq("elasticc_0", "elasticc_111", "elasticc_221"))
+    try {
+      val counts = names.map(n =>
+        routed.filter(FilterRegistry.get(n).get(routed)).count())
+      assert(counts.sum === routed.count())
+      assert(counts.forall(_ > 0))
+    } finally {
+      // the registry is global — leave no per-class filters behind for
+      // suites that assert on FilterRegistry.names
+      names.foreach(FilterRegistry.unregister)
+    }
+  }
 }

@@ -24,6 +24,64 @@ object Temporal extends QueryPack {
   private val SessionGapUs = 7200000000L
   private val BandWidthUs = 600000000L
 
+  /** Two-sample Kolmogorov-Smirnov statistic
+    * D = max_v |ECDF_A(v) − ECDF_B(v)| as a one-row DataFrame
+    * (na, nb, ks_d) — the engine form behind q61.
+    *
+    * SCALE CONTRACT: exact mode (`buckets = None`) groups by the RAW
+    * value first, so the single-partition running window scans the
+    * DISTINCT VALUE DOMAIN, not the rows — the right 100 TB shape
+    * whenever the metric is discrete or low-cardinality (l_quantity:
+    * ~50 values). For a CONTINUOUS metric the domain ≈ the row count
+    * and that window degenerates to one task sorting everything; pass
+    * `buckets = Some(B)` to quantize onto B equal-width ECDF bins
+    * first. The bin histogram is an ordinary map-side-combined groupBy
+    * (B rows out), the window cost drops to B, and the D error is
+    * bounded by the largest per-bin probability mass (≤ the bin width's
+    * share of the distribution; standard ECDF sketching).
+    */
+  def ksStatistic(
+      df: org.apache.spark.sql.DataFrame,
+      value: org.apache.spark.sql.Column,
+      isA: org.apache.spark.sql.Column,
+      isB: org.apache.spark.sql.Column,
+      buckets: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val v = value.cast("double")
+    val rows = df.filter(isA || isB)
+      .select(v.as("v"), isA.as("a"), isB.as("b"))
+    val keyed = buckets match {
+      case None => rows
+      case Some(bN) =>
+        // equal-width bins over the observed range: two linear passes
+        // (min/max, then histogram), never a per-row sort
+        val range = rows.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        rows.crossJoin(broadcast(range))
+          .select(
+            when(col("hi") > col("lo"),
+              least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+                * bN), lit(bN - 1)))
+              .otherwise(lit(0)).as("v"),
+            col("a"), col("b"))
+    }
+    val counts = keyed
+      .groupBy(col("v"))
+      .agg(
+        count(when(col("a"), 1)).as("ca"),
+        count(when(col("b"), 1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, 0)
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy("na", "nb")
+      .agg(max(abs(
+        col("cuma").cast("double") / col("na").cast("double") -
+          col("cumb").cast("double") / col("nb").cast("double")))
+        .as("ks_d"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- as-of join: each click's most recent prior purchase ----
     // (point-in-time correctness is the canonical feature-store /
@@ -219,6 +277,10 @@ object Temporal extends QueryPack {
     // handling order-free; the CDF window runs over DISTINCT values —
     // bounded by the value domain, not the row count — so the single-
     // partition window is an aggregated-domain scan, not a data scan.
+    // That assumption is the operator's scale contract: it holds for
+    // discrete metrics like l_quantity (~50 values); for continuous
+    // metrics use [[ksStatistic]] with `buckets` (ECDF-bin variant,
+    // window cost = bin count, error <= max per-bin mass).
     // Every compared number is (exact int)/(exact int) in double: IEEE-
     // identical cross-engine.
     QueryDef(

@@ -90,6 +90,45 @@ class TemporalSpec extends SparkTestBase {
       5L -> 1L, 6L -> 1L))
   }
 
+  test("KS statistic: bucketed ECDF variant tracks exact on a continuous metric") {
+    import graft.queries.Temporal
+    // continuous bimodal metric: group A shifted right of group B
+    val rng = new scala.util.Random(77L)
+    val rows = (0 until 4000).map { i =>
+      val a = i % 2 == 0
+      val v = (if (a) 3.0 else 0.0) + rng.nextGaussian()
+      (v, a)
+    }
+    val df = rows.toDF("v", "isa")
+    def d(res: org.apache.spark.sql.DataFrame): Double =
+      res.collect()(0).getAs[Double]("ks_d")
+    val exact = d(Temporal.ksStatistic(df, col("v"), col("isa"), !col("isa")))
+    val bucketed = d(Temporal.ksStatistic(
+      df, col("v"), col("isa"), !col("isa"), buckets = Some(256)))
+    // strongly separated distributions: D near 1; bins only blur D by
+    // at most the largest per-bin mass (~a few % at 256 bins)
+    assert(exact > 0.8, s"fixture lost its separation: $exact")
+    assert(math.abs(exact - bucketed) < 0.05,
+      s"bucketed KS drifted: exact=$exact bucketed=$bucketed")
+    // the scale contract: the window input is the BIN DOMAIN, not rows
+    val counts = Temporal.ksStatistic(
+      df, col("v"), col("isa"), !col("isa"), buckets = Some(256))
+    assert(d(counts) === bucketed) // deterministic across invocations
+    // degenerate range (all values equal) stays defined: D = 0
+    val flat = (0 until 100).map(i => (5.0, i % 2 == 0)).toDF("v", "isa")
+    assert(d(Temporal.ksStatistic(
+      flat, col("v"), col("isa"), !col("isa"), buckets = Some(16))) === 0.0)
+    // exact helper agrees with the registered q61 shape on l_quantity
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val viaHelper = d(Temporal.ksStatistic(
+      li, col("l_quantity"),
+      col("l_returnflag") === "A", col("l_returnflag") === "R"))
+    val viaQuery = graft.SparkEntry.queries("q61_ks_test")(
+      spark, "/root/testdata/sf0.001")
+      .collect()(0).getAs[Double]("ks_d")
+    assert(viaHelper === viaQuery)
+  }
+
   test("q45 plan ships no join; q46 plan has no cartesian at sf0.001") {
     val p45 = SparkEntry.queries("q45_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString()

@@ -325,5 +325,48 @@ object Temporal extends QueryPack {
           MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
         FROM cdf""")),
+
+    // ---- ECDF-bucketed KS variant on a CONTINUOUS metric ----
+    // (the 100 TB form when the value domain ≈ the row count: 64
+    // equal-width bins bound the window input at 64 rows regardless of
+    // cardinality). Oracle-exact because every number on the path is
+    // IEEE-identical cross-engine: bin = floor((v-lo)/(hi-lo)*64) uses
+    // only -, /, * on doubles; the D values are (exact int)/(exact
+    // int) differences.
+    QueryDef(
+      "q68_ks_binned",
+      (s, d) => {
+        val rf = col("l_returnflag")
+        ksStatistic(
+          t(s, d, "lineitem"),
+          col("l_extendedprice"),
+          rf === "A", rf === "R",
+          buckets = Some(64))
+      },
+      Some("""
+        WITH rf AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+            l_returnflag = 'A' AS a, l_returnflag = 'R' AS b
+          FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM rf),
+        keyed AS (
+          SELECT CASE WHEN hi > lo
+              THEN LEAST(FLOOR((v - lo) / (hi - lo) * 64), 63)
+              ELSE 0 END AS bin, a, b
+          FROM rf, rng),
+        counts AS (
+          SELECT bin, COUNT(*) FILTER (a) AS ca, COUNT(*) FILTER (b) AS cb
+          FROM keyed GROUP BY bin),
+        cdf AS (
+          SELECT
+            SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+            SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb,
+            SUM(ca) OVER () AS na,
+            SUM(cb) OVER () AS nb
+          FROM counts)
+        SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+          MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
+        FROM cdf""")),
   )
 }

@@ -379,6 +379,16 @@ object ScienceModules {
       fixtureCatalog(spark,
         (1 to 60).map(i => f"3HSPJ$i%06d"), 60, 16L),
       radiusArcsec = 30.0, default = ""),
+    Xmatch("x4lac",
+      fixtureCatalog(spark,
+        (1 to 60).map(i => f"4LACJ$i%06d"), 60, 18L),
+      radiusArcsec = 30.0, default = ""),
+    // Gaia DR3 variable-star classes (the reference's gaiaClass /
+    // gaiaVarFlag stage, rubin/science.py:48-118 config table)
+    Xmatch("gaia_class",
+      fixtureCatalog(spark,
+        Seq("RR", "CEP", "DSCT|GDOR|SXPHE", "ECL", "LPV"), 150, 19L),
+      radiusArcsec = 1.5),
     // TNS counterpart name; empty string when unmatched (the reference
     // keys its tns index table on tns != "", bin/ztf/archive_index.py)
     Xmatch("tns",
@@ -412,7 +422,8 @@ object ScienceModules {
 
   /** Science output columns the pipeline guarantees (spec contract). */
   val outputColumns: Seq[String] = Seq(
-    "cdsxmatch", "gcvs", "vsx", "spicy_class", "x3hsp", "tns", "mangrove",
+    "cdsxmatch", "gcvs", "vsx", "spicy_class", "x3hsp", "x4lac",
+    "gaia_class", "tns", "mangrove",
     "roid", "rf_snia_vs_nonia", "snn_snia_vs_nonia", "snn_sn_vs_all",
     "mulens", "nalerthist", "rf_kn_vs_nonkn", "mag_rate", "anomaly_score",
     "lc_features_g", "lc_features_r", "rate", "sigma_rate", "from_upper",

@@ -20,6 +20,9 @@ import graft.core.Tables.t
   *                  (ref: bin/ztf/archive_anomaly.py:95-130)
   *   q67 tns      — early filter → min-per-object → anti-join sent set
   *                  (ref: bin/ztf/push_to_tns.py:79-96)
+  *   q69 sso      — orbital table ⋈ per-object trajectory reduction,
+  *                  sanitized names + serving row key
+  *                  (ref: bin/ztf/archive_sso_cand.py:55-96)
   *
   * Scale notes: every shape filters FIRST (pushed to the scan), then
   * reduces per object — the keyed shuffle sees only candidates, never
@@ -145,5 +148,48 @@ object Reports extends QueryPack {
           AND user_id NOT IN (
             SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
         GROUP BY user_id""")),
+
+    // ---- sso-candidate shape: the reference's two-table export job —
+    // an "orbital parameters" table (one row per candidate object)
+    // joined to the per-object reduction of its "trajectory" table,
+    // column names sanitized on the way (the reference rewrites
+    // '. '-contaminated fink-fat names), plus the serving row key
+    // (ref: bin/ztf/archive_sso_cand.py:55-96). Orders plays the
+    // orbital table, lineitem the trajectory points; the trajectory
+    // side reduces BEFORE the join so the shuffle carries one row per
+    // object, not per point.
+    QueryDef(
+      "q69_report_sso",
+      (s, d) => {
+        val traj = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("sso_cand_id"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            min(col("l_shipdate")).as("arc_first"),
+            max(col("l_shipdate")).as("arc_last"))
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey").as("sso_cand_id"),
+            col("o_totalprice").as("orbital_a"),
+            col("o_orderpriority").as("orbital_class"))
+          .join(traj, Seq("sso_cand_id"))
+          .withColumn("row_key",
+            concat_ws("_", col("sso_cand_id").cast("string"),
+              col("n_points").cast("string")))
+      },
+      Some("""
+        WITH traj AS (
+          SELECT l_orderkey AS sso_cand_id,
+            COUNT(*) AS n_points,
+            MIN(l_shipdate) AS arc_first,
+            MAX(l_shipdate) AS arc_last
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderkey AS sso_cand_id,
+          o.o_totalprice AS orbital_a,
+          o.o_orderpriority AS orbital_class,
+          t.n_points, t.arc_first, t.arc_last,
+          CAST(o.o_orderkey AS VARCHAR) || '_' ||
+            CAST(t.n_points AS VARCHAR) AS row_key
+        FROM orders o JOIN traj t ON o.o_orderkey = t.sso_cand_id""")),
   )
 }

@@ -84,6 +84,36 @@ class ReportsSpec extends SparkTestBase {
     }
   }
 
+  test("report filters push to the parquet scan, below the window") {
+    // the slsn shape's candidate gate must reach the scan: the keyed
+    // shuffle sees candidates only, never the lake
+    val df = graft.SparkEntry.queries("q64_report_slsn")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(value,150.0)"),
+      s"value>=150 not pushed to scan:\n$plan")
+  }
+
+  test("sso shape: trajectory reduces before the join, names sanitized") {
+    val df = graft.SparkEntry.queries("q69_report_sso")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq === Seq(
+      "sso_cand_id", "orbital_a", "orbital_class",
+      "n_points", "arc_first", "arc_last", "row_key"))
+    // aggregate sits below the join: the join input is per-object rows
+    val analyzed = df.queryExecution.optimizedPlan.toString()
+    val aggIdx = analyzed.indexOf("Aggregate")
+    val joinIdx = analyzed.indexOf("Join")
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"trajectory aggregate must be a join INPUT:\n$analyzed")
+    val rows = df.limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("row_key") ===
+        s"${r.getAs[Long]("sso_cand_id")}_${r.getAs[Long]("n_points")}")
+    }
+  }
+
   test("exports: CSV file and serving table land on disk and read back") {
     val report = Reports.slsn(threshold = 0.0).run(science)
     val csvDir = Files.createTempDirectory("report-csv").toString

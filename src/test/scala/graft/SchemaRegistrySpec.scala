@@ -160,6 +160,25 @@ class SchemaRegistrySpec extends SparkTestBase {
         routed.filter(FilterRegistry.get(n).get(routed)).count())
       assert(counts.sum === routed.count())
       assert(counts.forall(_ > 0))
+
+      // and the same routing end to end as a STREAMING fan-out: one
+      // query per class topic over a shared exploded source (T5, the
+      // reference's distribute topology for this survey)
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val lake = Files.createTempDirectory("graft_elc_").toString
+      routed.write.mode("overwrite").parquet(lake)
+      val src = spark.readStream.schema(routed.schema).parquet(lake)
+      val ckpt = Files.createTempDirectory("graft_elc_ck_").toString
+      val queries = FilterRegistry.fanOut(
+        src, names, ckpt, Trigger.AvailableNow()) { (filtered, name, ck) =>
+        filtered.writeStream.format("memory").queryName(s"cls_$name")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      queries.foreach(_.awaitTermination(60000))
+      val streamed = names.map(n => spark.table(s"cls_$n").count())
+      assert(streamed === counts)
     } finally {
       // the registry is global — leave no per-class filters behind for
       // suites that assert on FilterRegistry.names

@@ -129,6 +129,43 @@ class TemporalSpec extends SparkTestBase {
     assert(viaHelper === viaQuery)
   }
 
+  test("KS binning sandwich holds on random data: D_binned <= D_exact <= D_binned + max bin mass") {
+    import graft.queries.Temporal
+    // sup over bin boundaries is a sup over a SUBSET of the value axis,
+    // so binning can only lose: D_binned <= D_exact. And the exact
+    // argmax sits inside some bin whose mass bounds the loss.
+    for (seed <- Seq(1L, 42L, 2026L)) {
+      val rng = new scala.util.Random(seed)
+      val df = (0 until 2000).map { _ =>
+        val a = rng.nextBoolean()
+        (if (a) rng.nextGaussian() * (1 + rng.nextDouble())
+         else rng.nextDouble() * 4 - 1, a)
+      }.toDF("v", "isa")
+      def d(b: Option[Int]): Double =
+        Temporal.ksStatistic(df, col("v"), col("isa"), !col("isa"), b)
+          .collect()(0).getAs[Double]("ks_d")
+      val exact = d(None)
+      val bins = 32
+      val binned = d(Some(bins))
+      assert(binned <= exact + 1e-12, s"seed=$seed: $binned > $exact")
+      // max combined bin mass, computed with the same binning
+      val r = df.agg(min(col("v")), max(col("v"))).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val masses = df
+        .withColumn("bin",
+          least(floor((col("v") - lo) / (hi - lo) * bins), lit(bins - 1)))
+        .groupBy("bin")
+        .agg(
+          (count(when(col("isa"), 1)) /
+            sum(count(when(col("isa"), 1))).over() +
+            count(when(!col("isa"), 1)) /
+              sum(count(when(!col("isa"), 1))).over()).as("m"))
+        .agg(max(col("m"))).collect()(0).getDouble(0)
+      assert(exact <= binned + masses + 1e-12,
+        s"seed=$seed: exact=$exact binned=$binned maxMass=$masses")
+    }
+  }
+
   test("q45 plan ships no join; q46 plan has no cartesian at sf0.001") {
     val p45 = SparkEntry.queries("q45_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString()

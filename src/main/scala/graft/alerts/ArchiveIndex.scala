@@ -171,8 +171,23 @@ object ArchiveIndex {
           col("candid")),
       Seq("tns", "jd", "objectId"))
 
-  /** All 8 index tables for one night (ref builds the same set,
-    * bin/ztf/archive_index.py:47-300).
+  /** Cutouts/images index (ref: bin/ztf/archive_images.py:49-80): the
+    * lake row's PROVENANCE — objectId, jd, candid plus the hdfs file
+    * path from input_file_name (X10) — keyed objectId_jd, so a cutout
+    * fetch resolves to its parquet file without storing image bytes in
+    * the serving table twice.
+    */
+  def imagesIndex(science: DataFrame): DataFrame =
+    RowKeys.rowKey(
+      science.select(
+        col("objectId"),
+        col("candidate.jd").as("jd"),
+        col("candid"),
+        input_file_name().as("hdfs_path")),
+      Seq("objectId", "jd"))
+
+  /** All 9 index tables for one night (ref builds the same set,
+    * bin/ztf/archive_index.py:47-300 + archive_images.py).
     */
   def all(scienceWithTracklets: DataFrame, nside: Int = 128): Map[String, DataFrame] =
     Map(
@@ -183,5 +198,6 @@ object ArchiveIndex {
       "upper_objectId_jd" -> upperLimits(scienceWithTracklets),
       "uppervalid_objectId_jd" -> upperValid(scienceWithTracklets),
       "ssnamenr_jd" -> ssnamenrIndex(scienceWithTracklets),
-      "tns_jd_objectId" -> tnsIndex(scienceWithTracklets))
+      "tns_jd_objectId" -> tnsIndex(scienceWithTracklets),
+      "cutouts_objectId_jd" -> imagesIndex(scienceWithTracklets))
 }

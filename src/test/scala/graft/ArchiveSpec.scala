@@ -19,10 +19,12 @@ class ArchiveSpec extends SparkTestBase {
 
   test("index tables project and key correctly") {
     val tables = ArchiveIndex.all(science)
-    // the reference's full 8-table set (bin/ztf/archive_index.py:47-300)
+    // the reference's full set (bin/ztf/archive_index.py:47-300 +
+    // archive_images.py)
     assert(tables.keySet === Set("objectId_jd", "pixel128_jd_objectId",
       "class_jd_objectId", "tracklet_objectId", "upper_objectId_jd",
-      "uppervalid_objectId_jd", "ssnamenr_jd", "tns_jd_objectId"))
+      "uppervalid_objectId_jd", "ssnamenr_jd", "tns_jd_objectId",
+      "cutouts_objectId_jd"))
 
     val oid = tables("objectId_jd")
     assert(oid.count() === science.count())
@@ -36,6 +38,22 @@ class ArchiveSpec extends SparkTestBase {
     val ids = cls.select("classification", "class_id").distinct().collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(ids.forall { case (k, v) => ArchiveIndex.classIds(k) == v })
+  }
+
+  test("cutouts index: file provenance resolves to the lake parquet path") {
+    // the images job keys (objectId, jd) -> the parquet FILE holding the
+    // cutouts (ref archive_images.py:51-60) — provenance only appears
+    // when the frame actually comes from files
+    val dir = java.nio.file.Files.createTempDirectory("graft_img_").toString
+    science.write.mode("overwrite").parquet(dir)
+    val fromLake = spark.read.parquet(dir)
+    val idx = ArchiveIndex.imagesIndex(fromLake)
+    assert(idx.columns.toSeq ===
+      Seq("objectId", "jd", "candid", "hdfs_path", "row_key"))
+    assert(idx.count() === science.count())
+    val paths = idx.select("hdfs_path").distinct().collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains(new java.io.File(dir).getName) && p.endsWith(".parquet")))
   }
 
   test("upper/uppervalid tables: null-edge explode-then-filter semantics") {

@@ -95,6 +95,18 @@ class ReportsSpec extends SparkTestBase {
       s"value>=150 not pushed to scan:\n$plan")
   }
 
+  test("anomaly/tns shapes: the id sets broadcast — the lake side never shuffles for them") {
+    for ((q, joinType) <- Seq(
+        "q66_report_anomaly" -> "LeftSemi",
+        "q67_report_tns" -> "LeftAnti")) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect() // AQE: read the final adaptive plan
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin") && plan.contains(joinType),
+        s"$q should $joinType against a broadcast id set:\n$plan")
+    }
+  }
+
   test("sso shape: trajectory reduces before the join, names sanitized") {
     val df = graft.SparkEntry.queries("q69_report_sso")(
       spark, "/root/testdata/sf0.001")

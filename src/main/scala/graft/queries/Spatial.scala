@@ -58,6 +58,61 @@ object Spatial extends QueryPack {
             + cos(radians(dec)) * cos(radians(cat_dec))
               * pow(sin(radians(cat_ra - ra) / 2), 2)))) <= 5.0""")),
 
+    // ---- property-map crossmatch (the mangrove shape): every alert
+    // keeps the NEAREST in-radius catalog row's properties, surfaced
+    // from the map<string,string> column via getItem so DuckDB can
+    // check them value-for-value (nearest = min-separation window; the
+    // 25-entry pseudo-catalog has no near-ties, so the ordering is
+    // engine-stable). Certifies NearestCatalogMap end to end. ----
+    QueryDef(
+      "q70_crossmatch_props",
+      (s, d) => {
+        val alerts = t(s, d, "customer").select(
+          col("c_custkey").as("id"),
+          pseudoRa(col("c_custkey"), 997).as("ra"),
+          pseudoDec(col("c_custkey"), 613).as("dec"))
+        val catalog = t(s, d, "nation").select(
+          col("n_name"),
+          col("n_regionkey"),
+          pseudoRa(col("n_nationkey"), 1493).as("cat_ra"),
+          pseudoDec(col("n_nationkey"), 761).as("cat_dec"))
+        alerts
+          .withColumn("m", Crossmatch.nearestPropsExpr(
+            col("ra"), col("dec"), catalog, 5.0,
+            Seq("n_name", "n_regionkey")))
+          .select(
+            col("id"),
+            col("m").getItem("n_name").as("near_name"),
+            col("m").getItem("n_regionkey").as("near_region"))
+      },
+      Some("""
+        WITH alerts AS (
+          SELECT c_custkey AS id,
+            (c_custkey * 997 % 36000)::DOUBLE / 100.0 AS ra,
+            (c_custkey * 613 % 17000)::DOUBLE / 100.0 - 85.0 AS dec
+          FROM customer),
+        cat AS (
+          SELECT n_name, n_regionkey,
+            (n_nationkey * 1493 % 36000)::DOUBLE / 100.0 AS cat_ra,
+            (n_nationkey * 761 % 17000)::DOUBLE / 100.0 - 85.0 AS cat_dec
+          FROM nation),
+        pairs AS (
+          SELECT a.id, c.n_name, c.n_regionkey,
+            degrees(2 * asin(sqrt(
+              pow(sin(radians(c.cat_dec - a.dec) / 2), 2)
+              + cos(radians(a.dec)) * cos(radians(c.cat_dec))
+                * pow(sin(radians(c.cat_ra - a.ra) / 2), 2)))) AS sep
+          FROM alerts a, cat c),
+        nearest AS (
+          SELECT id, n_name, n_regionkey,
+            row_number() OVER (PARTITION BY id ORDER BY sep ASC) AS rk
+          FROM pairs WHERE sep <= 5.0)
+        SELECT a.id,
+          n.n_name AS near_name,
+          CAST(n.n_regionkey AS VARCHAR) AS near_region
+        FROM alerts a
+        LEFT JOIN nearest n ON a.id = n.id AND n.rk = 1""")),
+
     // healpix pixel histogram of the pseudo-sky (no healpix in DuckDB →
     // rows-only; pixel math certified by HealpixSpec/GraftProperties)
     QueryDef(

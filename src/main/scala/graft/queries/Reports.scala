@@ -191,5 +191,76 @@ object Reports extends QueryPack {
           CAST(o.o_orderkey AS VARCHAR) || '_' ||
             CAST(t.n_points AS VARCHAR) AS row_key
         FROM orders o JOIN traj t ON o.o_orderkey = t.sso_cand_id""")),
+
+    // ---- ELAsTICC distribution shape end to end on driver data:
+    // score columns → classifications array pack → broker metadata
+    // (MJD→epoch-millis) → per-class explode + topic stamp
+    // ([[graft.alerts.ElasticcSchema]]; ref bin/elasticc/
+    // distribute_elasticc.py:57-160). Oracle-exact by construction:
+    // scores are DYADIC rationals (k/256 etc.), so float casts and the
+    // 1−p complements are bit-identical cross-engine, and midPointTai
+    // uses k/128 so the millis product is an exact integer (truncating
+    // vs rounding long casts agree). ----
+    QueryDef(
+      "q71_elasticc_route",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("event_id").as("alertId"),
+          struct(
+            (col("event_id") + 1000000L).as("diaSourceId"),
+            (lit(60000.0) + (col("event_id") % 128).cast("double") / 128.0)
+              .as("midPointTai"),
+            lit(0.0).as("ra"), lit(0.0).as("decl"),
+            lit(0.0f).as("psFlux"), lit(0.0f).as("psFluxErr"),
+            lit("r").as("filterName")).as("diaSource"),
+          (col("event_id") * 1000).as("brokerIngestTimestamp"),
+          ((col("event_id") % 256).cast("double") / 256.0)
+            .as("snn_snia_vs_nonia"),
+          ((col("event_id") % 128).cast("double") / 128.0)
+            .as("snn_sn_vs_all"),
+          ((col("event_id") % 64).cast("double") / 64.0)
+            .as("rf_snia_vs_nonia"))
+        val routed = graft.alerts.ElasticcSchema.explodePerClass(
+          graft.alerts.ElasticcSchema.formatForElasticc(ev, "5.1"))
+        routed.select(
+          col("alertId"), col("diaSourceId"),
+          col("elasticcPublishTimestamp"), col("brokerIngestTimestamp"),
+          col("brokerName"), col("brokerVersion"),
+          col("classification.classifierName").as("classifier_name"),
+          col("classId").as("class_id"),
+          col("classification.probability").as("probability"),
+          col("topic"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id AS alertId,
+            event_id + 1000000 AS diaSourceId,
+            60000.0 + (event_id % 128)::DOUBLE / 128.0 AS mjd,
+            event_id * 1000 AS brokerIngestTimestamp,
+            (event_id % 256)::DOUBLE / 256.0 AS snn,
+            (event_id % 128)::DOUBLE / 128.0 AS broad,
+            (event_id % 64)::DOUBLE / 64.0 AS early
+          FROM events),
+        entries AS (
+          SELECT *, 'SuperNNova SN Ia classifier' AS classifier_name,
+            111 AS class_id, snn::FLOAT AS probability FROM base
+          UNION ALL SELECT *, 'SuperNNova SN Ia classifier',
+            0, (1.0 - snn)::FLOAT FROM base
+          UNION ALL SELECT *, 'SuperNNova broad classifier',
+            CASE WHEN broad >= 0.5 THEN 221 ELSE 111 END,
+            broad::FLOAT FROM base
+          UNION ALL SELECT *, 'EarlySN classifier',
+            111, early::FLOAT FROM base
+          UNION ALL SELECT *, 'EarlySN classifier',
+            0, (1.0 - early)::FLOAT FROM base)
+        SELECT alertId, diaSourceId,
+          CAST((mjd - 40587.0) * 86400000.0 AS BIGINT)
+            AS elasticcPublishTimestamp,
+          brokerIngestTimestamp,
+          'graft' AS brokerName,
+          '5.1' AS brokerVersion,
+          classifier_name, class_id, probability,
+          'elasticc_' || CAST(class_id AS VARCHAR) AS topic
+        FROM entries""")),
   )
 }

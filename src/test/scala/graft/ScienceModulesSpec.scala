@@ -131,6 +131,21 @@ class ScienceModulesSpec extends SparkTestBase {
     assert(got(1L) === (("PGC1", "100.0")))
     assert(got(2L) === (("PGC3", "17.5")))
     assert(got(3L) === ((null, null)))
+
+    // null coordinates (position-less alert) must yield the stable
+    // all-null-valued map, not a null column or an exception
+    val nullPos = probes.select(col("id"),
+        when(col("id") === 1L, col("ra")).as("ra"),
+        when(col("id") === 1L, col("dec")).as("dec"))
+      .withColumn("m", Crossmatch.nearestPropsExpr(
+        col("ra"), col("dec"), catalog, 60.0 / 3600.0,
+        Seq("HyperLEDA_name", "lum_dist")))
+    assert(nullPos.filter(col("m").isNull).count() === 0)
+    val nm = nullPos.filter(col("id") === 3L)
+      .select(map_keys(col("m")), col("m").getItem("HyperLEDA_name"))
+      .collect()(0)
+    assert(nm.getSeq[String](0) === Seq("HyperLEDA_name", "lum_dist"))
+    assert(nm.isNullAt(1))
   }
 
   test("t2 is map<string,float> over a stable vocabulary, a probability simplex") {

@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.Layout.defs,
     graft.queries.Corpus.defs,
     graft.queries.Reports.defs,
+    graft.queries.Curation.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

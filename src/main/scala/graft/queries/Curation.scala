@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+
+/** Corpus-curation operators for the LLM-training-data pipeline
+  * (SURVEY §7.5 "beyond-parity" set): inter-document repeated-n-gram
+  * dedup statistics (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better"), Gopher-style repetition quality
+  * rules (Rae et al. 2021 §A1.1), PII redaction, and deterministic
+  * per-source budget sampling (data mixing).
+  *
+  * Scale design:
+  *  - q72 ships ONLY (doc_id, md5(gram)) pairs through the two
+  *    gram-keyed shuffles — 16-byte fingerprints, never gram text, the
+  *    ids-only discipline of the MinHash pipeline (queries/Dedup.scala).
+  *    Shuffle volume is linear in corpus token count.
+  *  - q73's three gram-count aggregations are keyed by (doc_id, gram)
+  *    then doc_id — both map-side combinable; nothing crosses documents,
+  *    so the reduction parallelism is corpus-wide at any scale.
+  *  - q74/q75 are pure per-row expressions: zero shuffles, trivially
+  *    codegen'd, linear scans at 100 TB.
+  *
+  * Oracle parity notes: every fraction divides two identical integers
+  * (one IEEE division per row in both engines ⇒ bit-identical doubles);
+  * regex patterns avoid lookarounds so Java and RE2 agree; the q75
+  * sampling byte reuses q53's md5-hex-digit trick (exact in both
+  * engines); planted PII suffixes are built by the SAME expressions in
+  * Spark and the oracle SQL.
+  */
+object Curation extends QueryPack {
+
+  /** Whitespace tokens of trimmed text (q16's tokenizer). */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Positional word n-grams as space-joined strings; empty when the
+    * doc is shorter than n (guarded — Spark's `sequence(1, 0)` would
+    * count DOWN, unlike DuckDB's empty `generate_series(1, 0)`).
+    */
+  def ngrams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** 16-byte gram fingerprints for cross-document shuffles. */
+  def ngramIds(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => md5(array_join(slice(tk, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repeated-n-gram statistics vs the whole corpus:
+    * for each doc, the fraction of its n-gram positions whose n-gram
+    * also occurs in at least one OTHER document. Docs shorter than n
+    * grams drop out (consistently in both engines).
+    *
+    * Two shuffles, both on the 16-byte fingerprint: gram → distinct-doc
+    * count, then the positional stream re-joins the per-gram doc counts.
+    */
+  def ngramDupStats(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(ngramIds(toks(col("text")), n)).as("g"))
+    val perGram = grams
+      .groupBy("g")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    grams
+      .join(perGram, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
+  }
+
+  /** Gopher-style per-document repetition metrics: most-frequent-token
+    * fraction, and the fraction of 2-gram / 3-gram positions covered by
+    * within-doc duplicated grams. Thresholds picked from the driver
+    * corpus distribution (medians ≈ 0.093 / 0.056 / 0.0) so `keep`
+    * splits the corpus.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    def gramCounts(n: Int): DataFrame = base
+      .select(col("doc_id"), explode(ngrams(col("tk"), n)).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+    val uni = gramCounts(1)
+      .groupBy("doc_id")
+      .agg(max("c").as("top_cnt"), sum("c").as("n_tok"))
+    def dup(n: Int, tag: String): DataFrame = gramCounts(n)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$tag"),
+        sum("c").as(s"n$tag"))
+    uni
+      .join(dup(2, "2"), Seq("doc_id"))
+      .join(dup(3, "3"), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (col("top_cnt") / col("n_tok")).as("top_token_frac"),
+        (col("dup2") / col("n2")).as("dup_2gram_frac"),
+        (col("dup3") / col("n3")).as("dup_3gram_frac"))
+      .withColumn("keep",
+        when(col("top_token_frac") <= 0.10 &&
+          col("dup_2gram_frac") <= 0.08 &&
+          col("dup_3gram_frac") <= 0.05, 1L).otherwise(0L))
+  }
+
+  // Lookaround-free patterns, identical semantics in Java and RE2.
+  val EmailPat = "[a-z0-9.]+@[a-z]+\\.[a-z]+"
+  val PhonePat = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+  val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails → phones → IPs, in that order. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]"),
+      IpPat, "[IP]")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- Inter-document repeated 5-gram dedup statistics ----
+    QueryDef(
+      "q72_ngram_corpus_dedup",
+      (s, d) => ngramDupStats(t(s, d, "documents"), 5),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 4, 0)),
+            i -> md5(array_to_string(tk[i:i+4], ' ')))) AS g
+          FROM d),
+        pg AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY g)
+        SELECT g.doc_id,
+          count(*) AS n_grams,
+          sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+          sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END)
+            / count(*) AS dup_frac
+        FROM g JOIN pg USING (g)
+        GROUP BY g.doc_id""")),
+
+    // ---- Gopher repetition quality rules ----
+    QueryDef(
+      "q73_repetition_rules",
+      (s, d) => repetitionStats(t(s, d, "documents")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents),
+        u AS (
+          SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tok FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(tk) AS g FROM d)
+            GROUP BY doc_id, g)
+          GROUP BY doc_id),
+        d2 AS (
+          SELECT doc_id,
+            sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup2,
+            sum(c) AS n2 FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 1, 0)),
+                i -> array_to_string(tk[i:i+1], ' '))) AS g
+              FROM d)
+            GROUP BY doc_id, g)
+          GROUP BY doc_id),
+        d3 AS (
+          SELECT doc_id,
+            sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+            sum(c) AS n3 FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 0)),
+                i -> array_to_string(tk[i:i+2], ' '))) AS g
+              FROM d)
+            GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT u.doc_id,
+          u.top_cnt / u.n_tok AS top_token_frac,
+          d2.dup2 / d2.n2 AS dup_2gram_frac,
+          d3.dup3 / d3.n3 AS dup_3gram_frac,
+          CAST(CASE WHEN u.top_cnt / u.n_tok <= 0.10
+            AND d2.dup2 / d2.n2 <= 0.08
+            AND d3.dup3 / d3.n3 <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM u
+        JOIN d2 USING (doc_id)
+        JOIN d3 USING (doc_id)""")),
+
+    // ---- PII redaction over deterministically planted spans ----
+    // The driver corpus is letters-only word salad, so PII-bearing
+    // suffixes are planted by the SAME expression in both engines
+    // (the q26 planted-structure trick): every 5th doc an email, every
+    // 7th a phone, every 11th an IP.
+    QueryDef(
+      "q74_pii_redact",
+      (s, d) => {
+        val aug = concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" reach me at user"), col("doc_id").cast("string"),
+              lit("@mail.net"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" or call +98-765-4321 today")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from host 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+        t(s, d, "documents")
+          .withColumn("aug", aug)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(EmailPat), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(PhonePat), lit(0)))
+              .cast("long").as("n_phones"),
+            size(regexp_extract_all(col("aug"), lit(IpPat), lit(0)))
+              .cast("long").as("n_ips"),
+            redactPii(col("aug")).as("redacted"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+                 || CAST(doc_id AS VARCHAR) || '@mail.net' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' or call +98-765-4321 today' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS aug
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(aug,
+            '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS n_emails,
+          len(regexp_extract_all(aug,
+            '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          len(regexp_extract_all(aug,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(aug,
+            '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+            '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')
+            AS redacted
+        FROM a""")),
+
+    // ---- Deterministic per-source budget sampling (data mixing) ----
+    // Each source family gets a dyadic keep-rate (1, 1/2, 3/4, 1/4 by
+    // source index mod 4); the keep decision reuses q53's md5-first-
+    // byte trick so the sample is reproducible and exact in both
+    // engines, and every kept row carries its importance weight
+    // (256/threshold — one IEEE division of identical ints).
+    QueryDef(
+      "q75_budget_sample",
+      (s, d) => {
+        val hex = lit("0123456789abcdef")
+        val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+        val b =
+          (instr(hex, substring(h, 1, 1)) - 1) * 16 +
+            (instr(hex, substring(h, 2, 1)) - 1)
+        val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
+        val thr = when(srcIdx === 0, 256)
+          .when(srcIdx === 1, 128)
+          .when(srcIdx === 2, 192)
+          .otherwise(64)
+        t(s, d, "documents")
+          .withColumn("thr", thr)
+          .withColumn("b", b)
+          .filter(col("b") < col("thr"))
+          .select(
+            col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            (col("thr").cast("double") / 256.0).as("rate"),
+            (lit(256.0) / col("thr")).as("weight"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, source, lang, n_chars,
+            (strpos('0123456789abcdef',
+              substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16 +
+            (strpos('0123456789abcdef',
+              substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS b,
+            CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 192
+              ELSE 64 END AS thr
+          FROM documents)
+        SELECT doc_id, source, lang, n_chars,
+          CAST(thr AS DOUBLE) / 256.0 AS rate,
+          256.0 / thr AS weight
+        FROM a WHERE b < thr""")),
+  )
+}

@@ -23,6 +23,13 @@ import graft.core.Tables.t
   *   q69 sso      — orbital table ⋈ per-object trajectory reduction,
   *                  sanitized names + serving row key
   *                  (ref: bin/ztf/archive_sso_cand.py:55-96)
+  *   q76 known-tde — lake filter → broadcast join vs small known-object
+  *                  list → per-object last-seen reduction → formatted
+  *                  notification string
+  *                  (ref: bin/ztf/archive_known_tde.py:55-75)
+  *   q77 nightly statistics — one wide stats row per night: totals,
+  *                  distincts, per-band conditional counts
+  *                  (ref: bin/ztf/archive_statistics.py:87-133)
   *
   * Scale notes: every shape filters FIRST (pushed to the scan), then
   * reduces per object — the keyed shuffle sees only candidates, never
@@ -262,5 +269,81 @@ object Reports extends QueryPack {
           classifier_name, class_id, probability,
           'elasticc_' || CAST(class_id AS VARCHAR) AS topic
         FROM entries""")),
+
+    // ---- known-TDE shape: remove "asteroids" (one event class), match
+    // the lake against a small known-object list (broadcast — the
+    // reference's known-TDE catalog is a few dozen rows), reduce to the
+    // latest measurement per object, and emit the notification string
+    // the reference posts to its messaging channel. Only strings,
+    // bigints and raw column bits cross the formatter — no float
+    // formatting, so the text is bit-identical cross-engine.
+    QueryDef(
+      "q76_report_known_tde",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val known = ev.select("user_id").distinct()
+          .filter(col("user_id") % 97 === 0)
+          .withColumn("tde_name",
+            concat(lit("TDE"), col("user_id").cast("string")))
+        ev.filter(col("event_type") =!= "click")
+          .withColumn("ts_us", expr("ts DIV 1000"))
+          .join(broadcast(known), Seq("user_id"))
+          .groupBy("user_id", "tde_name")
+          .agg(
+            max(col("ts_us")).as("last_seen_us"),
+            count(lit(1)).as("n_obs"),
+            max(col("value")).as("peak"))
+          .withColumn("notice",
+            concat(lit("• "), col("tde_name"), lit(" — last seen "),
+              date_format(timestamp_micros(col("last_seen_us")),
+                "yyyy-MM-dd HH:mm:ss"),
+              lit(" ("), col("n_obs").cast("string"), lit(" obs)")))
+      },
+      Some("""
+        WITH known AS (
+          SELECT DISTINCT user_id,
+            'TDE' || CAST(user_id AS VARCHAR) AS tde_name
+          FROM events WHERE user_id % 97 = 0)
+        SELECT e.user_id, k.tde_name,
+          max(epoch_us(e.ts)) AS last_seen_us,
+          COUNT(*) AS n_obs,
+          max(e.value) AS peak,
+          '• ' || k.tde_name || ' — last seen '
+            || strftime(make_timestamp(max(epoch_us(e.ts))),
+                 '%Y-%m-%d %H:%M:%S')
+            || ' (' || CAST(COUNT(*) AS VARCHAR) || ' obs)' AS notice
+        FROM events e JOIN known k USING (user_id)
+        WHERE e.event_type <> 'click'
+        GROUP BY e.user_id, k.tde_name""")),
+
+    // ---- nightly-statistics shape: the reference's one-row-per-night
+    // aggregation job — total alerts, distinct objects, per-band
+    // conditional counts, distinct exposures, classified count — as a
+    // single wide aggregate (its collect-per-metric loop collapses to
+    // one scan with map-side partial aggregation).
+    QueryDef(
+      "q77_report_statistics",
+      (s, d) =>
+        t(s, d, "events").agg(
+          count(lit(1)).as("n_alerts"),
+          countDistinct(col("user_id")).as("n_objects"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_band_g"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_band_r"),
+          countDistinct(expr("(ts DIV 1000) DIV 86400000000"))
+            .as("n_exposures"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L))
+            .as("n_classified")),
+      Some("""
+        SELECT COUNT(*) AS n_alerts,
+          COUNT(DISTINCT user_id) AS n_objects,
+          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS n_band_g,
+          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS n_band_r,
+          COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_exposures,
+          SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS n_classified
+        FROM events""")),
   )
 }

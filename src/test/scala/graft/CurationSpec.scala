@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Curation
+
+/** Planted-fixture evidence for the curation pack (the DuckDB oracle
+  * certifies full-corpus values; these pin the semantics on inputs with
+  * known answers) plus the scale plan-asserts: the per-row ops must
+  * compile to shuffle-free plans.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("ngrams: positional grams, short docs yield empty") {
+    val df = docs((1L, "a b c d e f"), (2L, "a b c"))
+      .select(col("doc_id"), Curation.ngrams(split(col("text"), " "), 5).as("g"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) === Seq("a b c d e", "b c d e f"))
+    assert(m(2L) === Seq.empty)
+  }
+
+  test("ngramDupStats: shared 5-gram marks both docs, unique doc stays clean") {
+    // docs 1 and 2 share exactly one 5-gram span; doc 3 shares nothing
+    val df = Curation.ngramDupStats(
+      docs(
+        (1L, "x1 x2 q q q q q y1 y2"),
+        (2L, "z1 z2 q q q q q w1 w2"),
+        (3L, "a b c d e f g h i")),
+      5)
+    val m = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 9 tokens → 5 gram positions each; "q q q q q" occurs in docs 1+2
+    assert(m(1L)._1 === 5 && m(1L)._2 === 1)
+    assert(m(2L)._1 === 5 && m(2L)._2 === 1)
+    assert(m(3L) === ((5L, 0L)))
+  }
+
+  test("repetitionStats: repetitive doc dropped, diverse doc kept") {
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")
+    val repetitive = Seq.fill(20)("spam ham").mkString(" ")
+    val df = Curation.repetitionStats(docs((1L, diverse), (2L, repetitive)))
+    val m = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(4)))
+      .toMap
+    assert(m(1L)._1 === 1.0 / 40.0)
+    assert(m(1L)._3 === 1L, "diverse doc must be kept")
+    assert(m(2L)._1 === 0.5) // 20/40 "spam"
+    assert(m(2L)._2 === 1.0) // every 2-gram duplicated
+    assert(m(2L)._3 === 0L, "repetitive doc must be dropped")
+  }
+
+  test("redactPii replaces all three span kinds, counts match") {
+    val df = docs((1L, "hi user9@mail.net or +12-345-6789 at 10.0.3.44 ok"))
+      .select(
+        Curation.redactPii(col("text")).as("r"),
+        size(regexp_extract_all(col("text"), lit(Curation.EmailPat), lit(0)))
+          .as("ne"))
+    val row = df.head()
+    assert(row.getString(0) === "hi [EMAIL] or [PHONE] at [IP] ok")
+    assert(row.getInt(1) === 1)
+  }
+
+  test("budget sample is deterministic and weights invert rates") {
+    val q = SparkEntry.queries("q75_budget_sample")
+    val a = q(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = q(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "resampling must be reproducible")
+    val w = q(spark, sf).select("rate", "weight").distinct().collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    w.foreach { case (rate, weight) =>
+      assert(rate * weight === 1.0, s"rate $rate × weight $weight ≠ 1")
+    }
+  }
+
+  test("per-row curation ops are shuffle-free plans") {
+    for (q <- Seq("q74_pii_redact", "q75_budget_sample")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("corpus-gram pipelines never degenerate into products") {
+    for (q <- Seq("q72_ngram_corpus_dedup", "q73_repetition_rules")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated:\n$p")
+    }
+  }
+}

@@ -189,6 +189,21 @@ object Similarity extends QueryPack {
   // SimilaritySpec).
   val AnnTwinOffset = 2000000L
 
+  /** q26/q78's planted near-dup corpus: each vec_id < NeardupPlanted
+    * gets a twin with coordinates 0 and 32 zeroed (cos(v, twin) =
+    * ||twin||/||v|| >= 0.92 on this data vs a <= 0.61 isotropic
+    * background) — built by the SAME expression in the DuckDB oracles.
+    */
+  def plantedNeardupCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < NeardupPlanted).select(
+      (col("vec_id") + TwinIdOffset).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
+        .as("embedding"))
+    base.unionByName(twins)
+  }
+
   /** Base corpus + TopK planted twins per probe, built identically in
     * Spark and the DuckDB oracle (exact float zeroing, no arithmetic).
     */
@@ -233,6 +248,55 @@ object Similarity extends QueryPack {
           neighbor_id
         FROM scored
         QUALIFY rank <= $TopK"""
+
+  // SemDeDup (Abbas et al. 2023) geometry: cluster the corpus into K
+  // cells, then near-dedup WITHIN cells only — the clustering bounds
+  // the pairing cost (cell_size² per cell instead of corpus²; at real
+  // scale K grows with the corpus so cells stay bounded).
+  val SemCells = 16
+  val SemThreshold = 0.8
+
+  /** Deterministic "k-means" substitute for the semantic-dedup coarse
+    * clustering: the K corpus vectors with the smallest
+    * (md5(vec_id), vec_id) — a seeded sample exactly expressible in
+    * BOTH engines (unlike xxhash64, which DuckDB lacks), so the cell
+    * assignment itself is oracle-checkable. Driver-side by design: a
+    * K-row index-build step, like training a coarse quantizer.
+    */
+  def semCentroids(corpus: DataFrame, k: Int): Array[Array[Float]] =
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Semantic dedup: assign every vector to its nearest centroid (a
+    * per-row expression against the broadcast centroid matrix — zero
+    * shuffles), generate candidate pairs by a cell equi-join carrying
+    * ONLY (cell, id), re-attach embeddings to candidates, verify at
+    * the cosine threshold, and drop every doc with a smaller-id
+    * near-dup in its cell. Returns (dropped_id, cell).
+    */
+  def semDedupDropped(corpus: DataFrame, cells: Int = SemCells,
+      threshold: Double = SemThreshold): DataFrame = {
+    val cents = semCentroids(corpus, cells)
+    val assigned = corpus.select(
+      col("vec_id"),
+      ivfCell(col("embedding"), cents).cast("long").as("cell"))
+    val cand = assigned.select(col("cell"), col("vec_id").as("id_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_b")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+    cand
+      .join(corpus.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a")), Seq("id_a"))
+      .join(corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b")), Seq("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("dropped_id"), col("cell"))
+      .distinct()
+  }
 
   def defs: Seq[QueryDef] = Seq(
     // ---- Exact top-k baseline, DuckDB-oracle-checked. Output is
@@ -306,18 +370,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q26_embedding_neardup",
       (s, d) => {
-        val base = emb(s, d).select(col("vec_id"), col("embedding"))
-        val twins = base.filter(col("vec_id") < NeardupPlanted).select(
-          (col("vec_id") + TwinIdOffset).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
-            .as("embedding"))
         // persist both: the corpus feeds the bucket build plus two
         // re-attach joins (3 derivations of the twin transform without
         // it), and the bucket table feeds BOTH self-join sides
         // (computing the 8x17-key multiprobe expansion once, q21's
         // discipline)
-        val corpus = base.unionByName(twins).persist()
+        val corpus = plantedNeardupCorpus(emb(s, d)).persist()
         val buckets = corpus.select(
           col("vec_id"),
           explode(lshProbeBuckets(
@@ -355,5 +413,57 @@ object Similarity extends QueryPack {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= $NeardupThreshold""")))
+               * sqrt(list_dot_product(b.v, b.v))) >= $NeardupThreshold""")),
+
+    // ---- Semantic dedup (SemDeDup): deterministic coarse clustering +
+    //      within-cell near-dedup, oracle-exact END TO END — the oracle
+    //      replicates the exact centroid choice and argmax assignment
+    //      (cosines are identical double folds in both engines, so the
+    //      argmax and every verified pair agree bit-for-bit). Runs over
+    //      the same planted near-dup corpus as q26 so dropped rows are
+    //      guaranteed to exist. ----
+    QueryDef(
+      "q78_semdedup",
+      (s, d) => {
+        val corpus = plantedNeardupCorpus(emb(s, d)).persist()
+        semDedupDropped(corpus)
+      },
+      Some(s"""
+        WITH twins AS (
+          SELECT vec_id + $TwinIdOffset AS vec_id,
+            list_transform(range(1, 1 + len(embedding)),
+              i -> CASE WHEN (i-1) % 32 = 0 THEN 0.0::FLOAT ELSE embedding[i] END)
+              AS embedding
+          FROM embeddings WHERE vec_id < $NeardupPlanted),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT * FROM twins),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus),
+        hc AS (
+          SELECT vec_id, v FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SemCells),
+        cents AS (
+          SELECT row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cidx, v
+          FROM hc),
+        scored AS (
+          SELECT e.vec_id, c.cidx,
+            list_dot_product(e.v, c.v)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, cidx ASC) AS rn
+            FROM scored)
+          WHERE rn = 1)
+        SELECT DISTINCT b.vec_id AS dropped_id, bb.cell
+        FROM assign aa
+        JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+        JOIN e a ON a.vec_id = aa.vec_id
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold""")))
 }

@@ -165,4 +165,21 @@ class SimilaritySpec extends SparkTestBase {
     val byId = buckets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((byId(0L) & byId(1L)).nonEmpty, "near-identical vectors must share a bucket")
   }
+
+  test("semdedup drops the twin, keeps the representative, deterministically") {
+    val corpus = Similarity.plantedNeardupCorpus(
+      spark.read.parquet(s"$sf/embeddings.parquet")).persist()
+    val dropped = Similarity.semDedupDropped(corpus)
+      .collect().map(_.getLong(0)).toSet
+    // pairs are (base, base+TwinIdOffset) with cos >= 0.92: the dropped
+    // side must always be the twin (larger id) — SemDeDup keeps one
+    // representative per duplicate group
+    assert(dropped.nonEmpty, "planted twins must produce drops")
+    assert(dropped.forall(_ >= Similarity.TwinIdOffset),
+      s"only twins may be dropped, got ${dropped.filter(_ < Similarity.TwinIdOffset)}")
+    val again = Similarity.semDedupDropped(corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === again, "semantic dedup must be deterministic")
+    corpus.unpersist()
+  }
 }

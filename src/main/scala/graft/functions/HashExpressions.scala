@@ -200,6 +200,98 @@ case class WordNGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL word n-grams (space-joined, duplicates kept) in one
+  * compiled pass — value-identical to the `transform(sequence) +
+  * slice + array_join` HOF form; shorter-than-n inputs yield empty.
+  * The repetition-rule kernel (q73): per-position grams feed within-
+  * document duplicate counting, so first-occurrence dedup (WordNGrams)
+  * would be wrong here.
+  */
+case class NgramJoin(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "ngram_join"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = org.apache.spark.unsafe.types.UTF8String
+          .concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** POSITIONAL md5 fingerprints of word n-grams from a token array in
+  * one compiled pass — value-identical to the
+  * `transform(sequence) + slice + array_join + md5` HOF form (one
+  * lowercase-hex md5 per gram position, single-space joins, shorter-
+  * than-n inputs yield empty) without the per-position interpreted
+  * slice/concat/digest lambda. The corpus-dedup shuffle kernel (q72):
+  * at 100 TB the explode of this array is the pipeline's map stage.
+  */
+case class NgramMd5(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "ngram_md5"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = org.apache.spark.unsafe.types.UTF8String
+          .concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(s.getBytes)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection cardinality of two SORTED long arrays (e.g. hashed
   * token sets) by linear merge — 8-byte compares instead of string
   * compares. With 64-bit hashes, collisions distort a set-similarity
@@ -245,6 +337,12 @@ object HashFunctions {
 
   def wordNGrams(tokens: Column, n: Int): Column =
     shims.column(WordNGrams(shims.expression(tokens), n))
+
+  def ngramMd5(tokens: Column, n: Int): Column =
+    shims.column(NgramMd5(shims.expression(tokens), n))
+
+  def ngramJoin(tokens: Column, n: Int): Column =
+    shims.column(NgramJoin(shims.expression(tokens), n))
 
   def minhashSig(shingles: Column, k: Int): Column =
     shims.column(MinHashSig(shims.expression(shingles), k))

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Float-vector × literal-matrix product as one expression.
   *
@@ -114,6 +114,50 @@ case class HyperplaneLshBuckets(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Pairwise cosine similarity of two vector columns as one primitive-
+  * loop expression — value-identical to the `zip_with`+`aggregate` HOF
+  * form in VectorFunctions.cosineHof (same sequential fold:
+  * dot = ((0+x0y0)+x1y1)+…, result = dot / (sqrt(aa)·sqrt(bb)), NULL
+  * when either norm is 0), without rows×dim interpreted lambda steps.
+  * This is the verify-stage kernel of the candidate-pair pipelines
+  * (q24/q26/q78), where millions of candidate cosines dominate.
+  */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vec_cosine"
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val dim = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = elem(a, i, leftIsFloat)
+      val y = elem(b, i, rightIsFloat)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val n = math.sqrt(na) * math.sqrt(nb)
+    if (n > 0) d / n else null
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object VectorExpressions {

@@ -23,12 +23,25 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (NaN-free for zero vectors: yields NULL). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity (NaN-free for zero vectors: yields NULL) — the
+    * `zip_with`+`aggregate` reference form; value-identical to the
+    * primitive-loop expression below (equivalence-tested).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n > 0, d / n)
   }
+
+  /** Cosine similarity via the single-pass primitive-loop expression
+    * ([[FloatVecCosine]]) — same fold order and zero-norm semantics as
+    * [[cosineHof]], minus the interpreted per-element lambdas. This is
+    * the hot verify kernel of the candidate-pair pipelines.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.shims.column(FloatVecCosine(
+      org.apache.spark.sql.graft.shims.expression(a),
+      org.apache.spark.sql.graft.shims.expression(b)))
 
   /** Deterministic unit-free random hyperplanes: `n` rows of `dim`
     * doubles in [-1, 1), from a seeded PRNG. Signs of projections onto

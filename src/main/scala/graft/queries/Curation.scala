@@ -58,21 +58,30 @@ object Curation extends QueryPack {
     * also occurs in at least one OTHER document. Docs shorter than n
     * grams drop out (consistently in both engines).
     *
-    * Two shuffles, both on the 16-byte fingerprint: gram → distinct-doc
-    * count, then the positional stream re-joins the per-gram doc counts.
+    * Shape: the compiled [[graft.functions.NgramMd5]] pass emits one
+    * 32-hex fingerprint per position; positions collapse to distinct
+    * (doc, gram, count) rows FIRST (one map-side-combinable shuffle),
+    * so per-gram doc counts are a plain `count(*)` (no distinct
+    * aggregation buffers) and the join back touches distinct pairs,
+    * not positions. Everything that crosses the wire is (id, 32-hex,
+    * small int).
     */
   def ngramDupStats(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), explode(ngramIds(toks(col("text")), n)).as("g"))
-    val perGram = grams
+    val gc = docs
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.ngramMd5(toks(col("text")), n))
+          .as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+    val perGram = gc
       .groupBy("g")
-      .agg(countDistinct("doc_id").as("ndocs"))
-    grams
+      .agg(count(lit(1)).as("ndocs"))
+    gc
       .join(perGram, Seq("g"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        sum(col("c")).as("n_grams"),
+        sum(when(col("ndocs") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
   }
 
@@ -84,8 +93,13 @@ object Curation extends QueryPack {
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    // unigrams explode the token array directly; 2/3-grams go through
+    // the compiled positional-gram pass (NgramJoin; HOF-equivalence-
+    // tested against `ngrams`)
     def gramCounts(n: Int): DataFrame = base
-      .select(col("doc_id"), explode(ngrams(col("tk"), n)).as("g"))
+      .select(col("doc_id"),
+        explode(if (n == 1) col("tk")
+          else graft.functions.HashFunctions.ngramJoin(col("tk"), n)).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("c"))
     val uni = gramCounts(1)

@@ -23,6 +23,26 @@ class CurationSpec extends SparkTestBase {
     assert(m(2L) === Seq.empty)
   }
 
+  test("compiled NgramMd5 equals the HOF transform+slice+md5 reference form") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(
+        graft.functions.HashFunctions
+          .ngramMd5(split(trim(col("text")), "\\s+"), 5).as("fast"),
+        Curation.ngramIds(split(trim(col("text")), "\\s+"), 5).as("ref"))
+    assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
+  }
+
+  test("compiled NgramJoin equals the HOF positional-gram reference form") {
+    for (n <- Seq(2, 3)) {
+      val df = spark.read.parquet(s"$sf/documents.parquet")
+        .select(
+          graft.functions.HashFunctions
+            .ngramJoin(split(trim(col("text")), "\\s+"), n).as("fast"),
+          Curation.ngrams(split(trim(col("text")), "\\s+"), n).as("ref"))
+      assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
+    }
+  }
+
   test("ngramDupStats: shared 5-gram marks both docs, unique doc stays clean") {
     // docs 1 and 2 share exactly one 5-gram span; doc 3 shares nothing
     val df = Curation.ngramDupStats(

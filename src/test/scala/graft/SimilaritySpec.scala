@@ -166,6 +166,30 @@ class SimilaritySpec extends SparkTestBase {
     assert((byId(0L) & byId(1L)).nonEmpty, "near-identical vectors must share a bucket")
   }
 
+  test("native cosine expression is bit-identical to the HOF reference form") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong,
+        Array.fill(Similarity.Dim)(rng.nextFloat() * 2 - 1),
+        Array.fill(Similarity.Dim)(rng.nextFloat() * 2 - 1))
+    } :+ ((999L, Array.fill(Similarity.Dim)(0.0f),
+      Array.fill(Similarity.Dim)(1.0f))) // zero norm → NULL in both
+    val df = rows.toDF("id", "a", "b")
+      .select(
+        VectorFunctions.cosine(col("a"), col("b")).as("fast"),
+        VectorFunctions.cosineHof(col("a"), col("b")).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) {
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"${r.getDouble(0)} != ${r.getDouble(1)}")
+      }
+    }
+  }
+
   test("semdedup drops the twin, keeps the representative, deterministically") {
     val corpus = Similarity.plantedNeardupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet")).persist()

@@ -345,5 +345,72 @@ object Reports extends QueryPack {
           COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_exposures,
           SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS n_classified
         FROM events""")),
+
+    // ---- ssoft shape: the reference's per-object feature-table batch
+    // product (ref: bin/ztf/generate_ssoft.py:33-130) — aggregate every
+    // object's full lightcurve, drop objects below nmin=50 points, and
+    // fit a per-object model. The reference minimizes a phase-curve
+    // model per object (the grouped-map path our A6 tracklet operator
+    // covers); here the fit is the closed-form OLS trend, computed from
+    // decimal-EXACT moments (q49's discipline: day numbers and
+    // 2-decimal values sum exactly; every double that follows is the
+    // same IEEE expression on identical operands in both engines). One
+    // keyed shuffle, all moments map-side combinable — the feature
+    // store stays linear at any corpus size.
+    QueryDef(
+      "q79_ssoft_features",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val day = expr("(ts DIV 1000) DIV 86400000000")
+        val x = day.cast(DecimalType(18, 0))
+        val y = col("value").cast(DecimalType(18, 2))
+        val n = col("n").cast("double")
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            min(day).as("arc_first_day"),
+            max(day).as("arc_last_day"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            min(col("value")).as("v_min"),
+            max(col("value")).as("v_max"))
+          .filter(col("n") >= 50)
+          .withColumn("arc_days",
+            col("arc_last_day") - col("arc_first_day"))
+          .withColumn("slope",
+            (n * col("sxy") - col("sx") * col("sy")) /
+              (n * col("sxx") - col("sx") * col("sx")))
+          .withColumn("intercept",
+            (col("sy") - col("slope") * col("sx")) / n)
+      },
+      Some("""
+        SELECT user_id, n, arc_first_day, arc_last_day, sx, sxx, sy, sxy,
+          v_min, v_max, arc_days,
+          (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS slope,
+          (sy - ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)) * sx)
+            / n_d AS intercept
+        FROM (
+          SELECT user_id,
+            COUNT(*) AS n,
+            CAST(COUNT(*) AS DOUBLE) AS n_d,
+            MIN(epoch_us(ts) // 86400000000) AS arc_first_day,
+            MAX(epoch_us(ts) // 86400000000) AS arc_last_day,
+            CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,0)))
+              AS DOUBLE) AS sx,
+            CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,0))
+                   * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,0)))
+              AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,0))
+                   * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+            MIN(value) AS v_min,
+            MAX(value) AS v_max,
+            MAX(epoch_us(ts) // 86400000000)
+              - MIN(epoch_us(ts) // 86400000000) AS arc_days
+          FROM events GROUP BY user_id)
+        WHERE n >= 50""")),
   )
 }

@@ -56,6 +56,29 @@ object Stateful {
         col(key), col("n"))
   }
 
+  /** Streaming exact dedup — the continuous-ingestion form of the
+    * batch exact-dedup operator (queries/Dedup q20): keep the first
+    * row per key, dropping re-deliveries. With
+    * `withinWatermark = Some(w)` the key state expires once the
+    * event-time watermark passes `w` beyond a key's last sighting
+    * (`dropDuplicatesWithinWatermark`) — the 100 TB form: unbounded
+    * streams cannot keep every key forever, and upstream re-delivery
+    * windows (e.g. a night's Kafka replay) are finite in practice.
+    * Without it the dedup is global and state grows with distinct keys.
+    */
+  def streamingDedup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String = "",
+      withinWatermark: Option[String] = None): DataFrame =
+    withinWatermark match {
+      case Some(w) =>
+        df.withWatermark(eventTimeCol, w)
+          .dropDuplicatesWithinWatermark(keyCols)
+      case None =>
+        df.dropDuplicates(keyCols)
+    }
+
   /** Session windows by inactivity gap: the streaming counterpart of
     * the batch gap-sessionization operator (operators/Sessionize) —
     * state is one open session per key, closed and emitted once the

@@ -114,4 +114,40 @@ class StatefulSpec extends SparkTestBase {
         && s._4 == 1L), sessions.toString)
     } finally q.stop()
   }
+
+  test("streaming dedup drops re-deliveries across batches; state expires past watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Stateful.streamingDedup(
+      src.toDF().toDF("ts", "k"), Seq("k"), "ts",
+      withinWatermark = Some("10 minutes"))
+    val q = out.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_dedup_").toString)
+      .start()
+    try {
+      src.addData((ts("2026-01-01 00:00:00"), "a"), (ts("2026-01-01 00:00:30"), "a"))
+      q.processAllAvailable()
+      // re-delivery in a LATER batch, inside the watermark: dropped
+      src.addData((ts("2026-01-01 00:01:00"), "a"), (ts("2026-01-01 00:02:00"), "b"))
+      q.processAllAvailable()
+      val early = spark.table("dedup_stream").collect()
+        .map(r => r.getString(1))
+      assert(early.count(_ == "a") === 1, s"re-delivery not dropped: ${early.toSeq}")
+      assert(early.count(_ == "b") === 1)
+      // advance event time far beyond the watermark window: key state
+      // for 'a' has expired, so a fresh 'a' is emitted again (bounded
+      // state by design, not a correctness bug)
+      src.addData((ts("2026-01-01 01:00:00"), "c"))
+      q.processAllAvailable()
+      src.addData((ts("2026-01-01 01:01:00"), "a"))
+      q.processAllAvailable()
+      val all = spark.table("dedup_stream").collect().map(_.getString(1))
+      assert(all.count(_ == "a") === 2,
+        s"expired key must re-emit (bounded state): ${all.toSeq}")
+    } finally q.stop()
+  }
 }

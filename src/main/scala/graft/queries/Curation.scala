@@ -308,5 +308,41 @@ object Curation extends QueryPack {
           CAST(thr AS DOUBLE) / 256.0 AS rate,
           256.0 / thr AS weight
         FROM a WHERE b < thr""")),
+
+    // ---- Domain-level blocklist filtering (C4-style) ----
+    // Web-corpus curation stage: parse each document's URL, drop
+    // blocklisted domains, report per-domain corpus mass. URLs are
+    // planted deterministically (the corpus has none), the domain comes
+    // out of the same regex in both engines, and the blocklist is a
+    // literal broadcast — the corpus is scanned once, the only shuffle
+    // is the final domain-keyed aggregate (23 keys, map-side combined).
+    QueryDef(
+      "q80_domain_filter",
+      (s, d) => {
+        val url = concat(lit("https://site"),
+          (col("doc_id") % 23).cast("string"), lit(".example/p/"),
+          col("doc_id").cast("string"))
+        val blocked = Seq("site0.example", "site7.example", "site14.example")
+        t(s, d, "documents")
+          .withColumn("domain",
+            regexp_extract(url, "https://([a-z0-9.]+)/", 1))
+          .filter(!col("domain").isin(blocked: _*))
+          .groupBy("domain")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, n_chars,
+            regexp_extract('https://site' || CAST(doc_id % 23 AS VARCHAR)
+              || '.example/p/' || CAST(doc_id AS VARCHAR),
+              'https://([a-z0-9.]+)/', 1) AS domain
+          FROM documents)
+        SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM u
+        WHERE domain NOT IN
+          ('site0.example', 'site7.example', 'site14.example')
+        GROUP BY domain""")),
   )
 }

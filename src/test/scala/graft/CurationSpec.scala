@@ -43,6 +43,26 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("compiled gram kernels equal HOF forms on randomized adversarial tokens") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "βγ", "x1", "", "émü", " ", "zz", "0", "längre")
+    val docs = Seq.tabulate(300) { i =>
+      val n = rng.nextInt(8) // includes shorter-than-n docs
+      (i.toLong, Vector.fill(n)(vocab(rng.nextInt(vocab.size))))
+    }.toDF("doc_id", "tk")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = docs.select(
+        graft.functions.HashFunctions.ngramJoin(col("tk"), n).as("fj"),
+        Curation.ngrams(col("tk"), n).as("rj"),
+        graft.functions.HashFunctions.ngramMd5(col("tk"), n).as("fm"),
+        Curation.ngramIds(col("tk"), n).as("rm"))
+        .filter(not(col("fj") === col("rj")) || not(col("fm") === col("rm")))
+        .count()
+      assert(bad === 0, s"n=$n mismatch")
+    }
+  }
+
   test("ngramDupStats: shared 5-gram marks both docs, unique doc stays clean") {
     // docs 1 and 2 share exactly one 5-gram span; doc 3 shares nothing
     val df = Curation.ngramDupStats(
@@ -110,6 +130,22 @@ class CurationSpec extends SparkTestBase {
         .queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated:\n$p")
+    }
+  }
+
+  test("q72's gram join carries only (gram, id, count) — never text") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q72_ngram_corpus_dedup")(spark, sf)
+    // the width contract is a logical-plan property (column pruning),
+    // and the optimized logical plan is not hidden behind AQE stages
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      j.children.foreach { c =>
+        assert(c.output.size <= 3, s"join input too wide:\n$j")
+        assert(!c.output.exists(_.name == "text"),
+          s"document text crossed into the gram join:\n$j")
+      }
     }
   }
 }

@@ -218,18 +218,10 @@ case class NgramJoin(child: Expression, n: Int)
     val toks = input.asInstanceOf[ArrayData]
     val total = toks.numElements()
     if (total < n) return new GenericArrayData(Array.empty[Any])
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val out = new Array[Any](total - n + 1)
     var i = 0
     while (i <= total - n) {
-      var s = toks.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = org.apache.spark.unsafe.types.UTF8String
-          .concat(s, space, toks.getUTF8String(i + j))
-        j += 1
-      }
-      out(i) = s
+      out(i) = HashExpressionsInternal.joinGram(toks, i, n)
       i += 1
     }
     new GenericArrayData(out)
@@ -237,6 +229,29 @@ case class NgramJoin(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+private[functions] object HashExpressionsInternal {
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Space-join of tokens [i, i+n) with `array_join` null semantics:
+    * null elements are skipped (no doubled separator) — exact HOF
+    * parity for the slice+array_join reference forms.
+    */
+  def joinGram(toks: ArrayData, i: Int, n: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var s: org.apache.spark.unsafe.types.UTF8String = null
+    var j = 0
+    while (j < n) {
+      if (!toks.isNullAt(i + j)) {
+        val t = toks.getUTF8String(i + j)
+        s = if (s == null) t
+        else org.apache.spark.unsafe.types.UTF8String.concat(s, space, t)
+      }
+      j += 1
+    }
+    if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
+  }
 }
 
 /** POSITIONAL md5 fingerprints of word n-grams from a token array in
@@ -261,17 +276,10 @@ case class NgramMd5(child: Expression, n: Int)
     val total = toks.numElements()
     if (total < n) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val out = new Array[Any](total - n + 1)
     var i = 0
     while (i <= total - n) {
-      var s = toks.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = org.apache.spark.unsafe.types.UTF8String
-          .concat(s, space, toks.getUTF8String(i + j))
-        j += 1
-      }
+      val s = HashExpressionsInternal.joinGram(toks, i, n)
       md.reset()
       val d = md.digest(s.getBytes)
       val hex = new Array[Char](32)

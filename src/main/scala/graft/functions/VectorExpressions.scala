@@ -142,10 +142,16 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val dim = math.min(a.numElements(), b.numElements())
+    // HOF parity: zip_with pads unequal lengths with nulls, which
+    // poison the aggregate folds → NULL (mismatched dims are a bug
+    // upstream; surfacing NULL matches the reference form exactly)
+    if (a.numElements() != b.numElements()) return null
+    val dim = a.numElements()
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < dim) {
+      // HOF parity: a null element poisons the aggregate folds → NULL
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elem(a, i, leftIsFloat)
       val y = elem(b, i, rightIsFloat)
       d += x * y; na += x * x; nb += y * y

@@ -190,6 +190,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native cosine matches HOF NULL semantics: null elements, length mismatch") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (Seq[Option[Float]](Some(1.0f), None, Some(2.0f)),
+        Seq[Option[Float]](Some(1.0f), Some(1.0f), Some(1.0f))),
+      (Seq[Option[Float]](Some(1.0f), Some(2.0f)),
+        Seq[Option[Float]](Some(1.0f))))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.cosine(col("a"), col("b")).as("fast"),
+        VectorFunctions.cosineHof(col("a"), col("b")).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1), "HOF reference must be NULL here")
+      assert(r.isNullAt(0), "native form must match the NULL")
+    }
+  }
+
   test("semdedup drops the twin, keeps the representative, deterministically") {
     val corpus = Similarity.plantedNeardupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet")).persist()

@@ -344,5 +344,54 @@ object Curation extends QueryPack {
         WHERE domain NOT IN
           ('site0.example', 'site7.example', 'site14.example')
         GROUP BY domain""")),
+
+    // ---- Sequence packing into token-budget context windows ----
+    // The pretraining batch-prep op: documents are packed into
+    // fixed-budget (2048-token) bins, deterministically — docs stream
+    // in md5 order within their SOURCE shard and bin id is the number
+    // of full budgets before the doc starts (cumulative-sum binning,
+    // the streaming next-fit approximation; a bin can overflow by less
+    // than one doc at a boundary, which real packers handle by
+    // splitting the straddling doc). Output: per (source, bin) packing
+    // manifest. Scale: the window runs per source shard, so
+    // parallelism is the shard count — at corpus scale the shard key
+    // becomes (source, md5-prefix) to bound shard size; the cumsum is
+    // one sort per shard, no global order anywhere.
+    QueryDef(
+      "q81_sequence_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .withColumn("n_tokens", nTok)
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin", expr("(cum - n_tokens) DIV 2048"))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT source,
+          CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+          COUNT(*) AS n_docs,
+          SUM(n_tokens) AS sum_tokens,
+          MIN(doc_id) AS first_doc
+        FROM c
+        GROUP BY source, CAST((cum - n_tokens) // 2048 AS BIGINT)""")),
   )
 }

@@ -134,6 +134,29 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing conserves tokens and respects the budget bound") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val totals = docs.groupBy("source").agg(
+      sum("n").as("tot"), max("n").as("maxdoc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packed = SparkEntry.queries("q81_sequence_pack")(spark, sf).collect()
+    val bySource = packed.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      // conservation: every token lands in exactly one bin
+      assert(rows.map(_.getLong(3)).sum === totals(src)._1, src)
+      // next-fit bound: a bin holds < budget + one straddling doc
+      rows.foreach { r =>
+        assert(r.getLong(3) < 2048L + totals(src)._2,
+          s"$src bin ${r.getLong(1)} overflows: ${r.getLong(3)}")
+      }
+      // bins are contiguous from 0
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head === 0L && bins === (0L until bins.size).toArray.toSeq.sorted, src)
+    }
+  }
+
   test("q72's gram join carries only (gram, id, count) — never text") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = SparkEntry.queries("q72_ngram_corpus_dedup")(spark, sf)

@@ -157,6 +157,20 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("curation scans prune to the columns each query needs") {
+    // q72 reads only (doc_id, text); q81 only (doc_id, source, text)
+    val p72 = SparkEntry.queries("q72_ngram_corpus_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    for (c <- Seq("lang", "source", "n_chars")) {
+      assert(!p72.contains(c), s"q72 scan reads unneeded column $c")
+    }
+    val p81 = SparkEntry.queries("q81_sequence_pack")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    for (c <- Seq("lang", "n_chars")) {
+      assert(!p81.contains(c), s"q81 scan reads unneeded column $c")
+    }
+  }
+
   test("q72's gram join carries only (gram, id, count) — never text") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = SparkEntry.queries("q72_ngram_corpus_dedup")(spark, sf)

@@ -47,6 +47,12 @@ def eq(a, b):
 
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    # --skip q24,q40,... excludes queries whose ORACLE side is
+    # quadratic in DuckDB (pair joins / recursive closure) — they run
+    # in minutes at sf0.01 but tens of minutes to hours at sf0.1.
+    skip = set()
+    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+        skip = {s.strip() for s in sys.argv[4].split(",")}
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -55,6 +61,9 @@ def main():
     n_exact = n_approx = n_fail = 0
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
+        if any(name.startswith(s) for s in skip):
+            print(f"  {name}: skipped by request")
+            continue
         spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         s_rows, s_cols = canon(spark_rel.fetchall(), spark_rel.columns)
         if name not in oracle:

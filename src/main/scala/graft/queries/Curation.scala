@@ -393,5 +393,58 @@ object Curation extends QueryPack {
           MIN(doc_id) AS first_doc
         FROM c
         GROUP BY source, CAST((cum - n_tokens) // 2048 AS BIGINT)""")),
+
+    // ---- Per-document TF-IDF top terms (keyword extraction) ----
+    // The per-doc corpus-weighted term profile (BM25/q52 scores a
+    // QUERY against docs; this weights every doc's own terms): term
+    // counts per doc (one map-side-combinable shuffle), document
+    // frequency from the same distinct pairs (second shuffle), the
+    // corpus size as a one-row broadcast, and a per-doc window keeps
+    // the top 5. The idf is the probabilistic (odds-ratio) form,
+    // tfidf = c · (N − df + 0.5)/(df + 0.5) — q52's discipline: ln()
+    // differs by 1 ulp between libm and the JVM on some inputs
+    // (measured: 139/2500 rows), while ints into one division keep
+    // every value bit-exact cross-engine; ties break on the term.
+    QueryDef(
+      "q82_tfidf_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val tc = docs
+          .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("c"))
+        val df_ = tc.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tc.join(df_, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("c") * ((col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5)))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("doc_id", "rk", "term", "tfidf")
+      },
+      Some("""
+        WITH tc AS (
+          SELECT doc_id, g AS term, count(*) AS c FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS g
+            FROM documents)
+          GROUP BY doc_id, g),
+        df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tc.doc_id, tc.term,
+            tc.c * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS tfidf
+          FROM tc JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rk,
+          term, tfidf
+        FROM scored
+        QUALIFY rk <= 5""")),
   )
 }

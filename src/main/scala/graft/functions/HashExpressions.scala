@@ -170,6 +170,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   */
 case class WordNGrams(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -209,6 +210,7 @@ case class WordNGrams(child: Expression, n: Int)
   */
 case class NgramJoin(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -264,6 +266,7 @@ private[functions] object HashExpressionsInternal {
   */
 case class NgramMd5(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)

@@ -131,6 +131,24 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "float_vec_cosine"
 
+  // Reject non-float/double element types at analysis time: elem()
+  // reads via getFloat/getDouble only, so an array<int>/array<decimal>
+  // input (which the HOF form would cast) must not reach execution.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.catalogString} and " +
+          s"${right.dataType.catalogString}")
+  }
+
   @transient private lazy val leftIsFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val rightIsFloat =

@@ -137,6 +137,28 @@ object Curation extends QueryPack {
         PhonePat, "[PHONE]"),
       IpPat, "[IP]")
 
+  /** Deterministic next-fit sequence packing into `budget`-token bins,
+    * windowed over the composite (source, md5-first-hex) shard key so
+    * parallelism is 16× the source count (see q81 notes).
+    */
+  def sequencePack(docs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("source", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Inter-document repeated 5-gram dedup statistics ----
     QueryDef(
@@ -154,9 +176,10 @@ object Curation extends QueryPack {
         pg AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY g)
         SELECT g.doc_id,
           count(*) AS n_grams,
-          sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
-          sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END)
-            / count(*) AS dup_frac
+          CAST(sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_grams,
+          CAST(sum(CASE WHEN pg.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS dup_frac
         FROM g JOIN pg USING (g)
         GROUP BY g.doc_id""")),
 
@@ -339,7 +362,8 @@ object Curation extends QueryPack {
               || '.example/p/' || CAST(doc_id AS VARCHAR),
               'https://([a-z0-9.]+)/', 1) AS domain
           FROM documents)
-        SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        SELECT domain, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM u
         WHERE domain NOT IN
           ('site0.example', 'site7.example', 'site14.example')
@@ -348,51 +372,42 @@ object Curation extends QueryPack {
     // ---- Sequence packing into token-budget context windows ----
     // The pretraining batch-prep op: documents are packed into
     // fixed-budget (2048-token) bins, deterministically — docs stream
-    // in md5 order within their SOURCE shard and bin id is the number
-    // of full budgets before the doc starts (cumulative-sum binning,
-    // the streaming next-fit approximation; a bin can overflow by less
-    // than one doc at a boundary, which real packers handle by
-    // splitting the straddling doc). Output: per (source, bin) packing
-    // manifest. Scale: the window runs per source shard, so
-    // parallelism is the shard count — at corpus scale the shard key
-    // becomes (source, md5-prefix) to bound shard size; the cumsum is
-    // one sort per shard, no global order anywhere.
+    // in md5 order within their (source, shard) slice and bin id is
+    // the number of full budgets before the doc starts (cumulative-sum
+    // binning, the streaming next-fit approximation; a bin can
+    // overflow by less than one doc at a boundary, which real packers
+    // handle by splitting the straddling doc). Output: per
+    // (source, shard, bin) packing manifest. Scale: the shard key is
+    // the COMPOSITE (source, md5-first-hex) — 16 shards per source —
+    // so window parallelism is 16× the source count and a single hot
+    // source at 100 TB fans out across shards instead of collapsing
+    // to one sort task (widen the prefix to 2–3 hex digits for
+    // 256–4096 shards/source as the corpus grows); the cumsum is one
+    // sort per shard, no global order anywhere.
     QueryDef(
       "q81_sequence_pack",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
-        val w = Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "documents")
-          .withColumn("n_tokens", nTok)
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .withColumn("bin", expr("(cum - n_tokens) DIV 2048"))
-          .groupBy("source", "bin")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("sum_tokens"),
-            min(col("doc_id")).as("first_doc"))
-      },
+      (s, d) => sequencePack(t(s, d, "documents"), 2048),
       Some("""
         WITH t AS (
           SELECT doc_id, source,
+            md5(CAST(doc_id AS VARCHAR)) AS h,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
           FROM documents),
         c AS (
-          SELECT doc_id, source, n_tokens,
-            SUM(n_tokens) OVER (PARTITION BY source
-              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          SELECT doc_id, source, shard, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source, shard
+              ORDER BY h, doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM t)
-        SELECT source,
+        SELECT source, shard,
           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
           COUNT(*) AS n_docs,
-          SUM(n_tokens) AS sum_tokens,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
           MIN(doc_id) AS first_doc
         FROM c
-        GROUP BY source, CAST((cum - n_tokens) // 2048 AS BIGINT)""")),
+        GROUP BY source, shard,
+          CAST((cum - n_tokens) // 2048 AS BIGINT)""")),
 
     // ---- Per-document TF-IDF top terms (keyword extraction) ----
     // The per-doc corpus-weighted term profile (BM25/q52 scores a

@@ -338,12 +338,13 @@ object Reports extends QueryPack {
       Some("""
         SELECT COUNT(*) AS n_alerts,
           COUNT(DISTINCT user_id) AS n_objects,
-          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-            AS n_band_g,
-          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-            AS n_band_r,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_band_g,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_band_r,
           COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_exposures,
-          SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS n_classified
+          CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_classified
         FROM events""")),
 
     // ---- ssoft shape: the reference's per-object feature-table batch
@@ -380,17 +381,22 @@ object Reports extends QueryPack {
           .filter(col("n") >= 50)
           .withColumn("arc_days",
             col("arc_last_day") - col("arc_first_day"))
+          // NULL (not Inf/NaN) when all points share one day: Spark
+          // double x/0 is Inf but DuckDB's is NULL, so both engines
+          // must take the NULL branch for the oracle to agree.
           .withColumn("slope",
-            (n * col("sxy") - col("sx") * col("sy")) /
-              (n * col("sxx") - col("sx") * col("sx")))
+            when(n * col("sxx") - col("sx") * col("sx") =!= 0.0,
+              (n * col("sxy") - col("sx") * col("sy")) /
+                (n * col("sxx") - col("sx") * col("sx"))))
           .withColumn("intercept",
             (col("sy") - col("slope") * col("sx")) / n)
       },
       Some("""
         SELECT user_id, n, arc_first_day, arc_last_day, sx, sxx, sy, sxy,
           v_min, v_max, arc_days,
-          (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS slope,
-          (sy - ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)) * sx)
+          (n_d * sxy - sx * sy) / nullif(n_d * sxx - sx * sx, 0) AS slope,
+          (sy - ((n_d * sxy - sx * sy)
+            / nullif(n_d * sxx - sx * sx, 0)) * sx)
             / n_d AS intercept
         FROM (
           SELECT user_id,

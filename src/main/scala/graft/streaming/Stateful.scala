@@ -69,10 +69,11 @@ object Stateful {
   def streamingDedup(
       df: DataFrame,
       keyCols: Seq[String],
-      eventTimeCol: String = "",
-      withinWatermark: Option[String] = None): DataFrame =
+      withinWatermark: Option[(String, String)] = None): DataFrame =
     withinWatermark match {
-      case Some(w) =>
+      // (eventTimeCol, delay) travel together — a watermark without its
+      // event-time column (or vice versa) is unrepresentable.
+      case Some((eventTimeCol, w)) =>
         df.withWatermark(eventTimeCol, w)
           .dropDuplicatesWithinWatermark(keyCols)
       case None =>

@@ -142,19 +142,40 @@ class CurationSpec extends SparkTestBase {
       sum("n").as("tot"), max("n").as("maxdoc"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val packed = SparkEntry.queries("q81_sequence_pack")(spark, sf).collect()
-    val bySource = packed.groupBy(_.getString(0))
-    bySource.foreach { case (src, rows) =>
-      // conservation: every token lands in exactly one bin
-      assert(rows.map(_.getLong(3)).sum === totals(src)._1, src)
+    packed.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      // conservation: every token lands in exactly one (shard, bin)
+      assert(rows.map(_.getLong(4)).sum === totals(src)._1, src)
       // next-fit bound: a bin holds < budget + one straddling doc
       rows.foreach { r =>
-        assert(r.getLong(3) < 2048L + totals(src)._2,
-          s"$src bin ${r.getLong(1)} overflows: ${r.getLong(3)}")
+        assert(r.getLong(4) < 2048L + totals(src)._2,
+          s"$src shard ${r.getString(1)} bin ${r.getLong(2)} " +
+            s"overflows: ${r.getLong(4)}")
       }
-      // bins are contiguous from 0
-      val bins = rows.map(_.getLong(1)).sorted
-      assert(bins.head === 0L && bins === (0L until bins.size).toArray.toSeq.sorted, src)
     }
+    // bins are contiguous from 0 within each (source, shard)
+    packed.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case ((src, sh), rows) =>
+        val bins = rows.map(_.getLong(2)).sorted
+        assert(bins.head === 0L &&
+          bins === (0L until bins.size).toArray.toSeq.sorted, s"$src/$sh")
+    }
+  }
+
+  test("q81 window shards on (source, md5-prefix), not source alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q81_sequence_pack")(spark, sf)
+    // plan-level: the packing window partitions on the COMPOSITE key,
+    // so one hot source cannot collapse the sort into a single task
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.size === 2,
+        s"window must shard on (source, shard): ${w.partitionSpec}")
+    }
+    // data-level: granularity strictly exceeds the source count
+    val nSrc = df.select("source").distinct().count()
+    val nShard = df.select("source", "shard").distinct().count()
+    assert(nShard > nSrc, s"shards=$nShard sources=$nSrc")
   }
 
   test("curation scans prune to the columns each query needs") {

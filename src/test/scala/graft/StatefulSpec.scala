@@ -120,8 +120,8 @@ class StatefulSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(java.sql.Timestamp, String)]
     val out = Stateful.streamingDedup(
-      src.toDF().toDF("ts", "k"), Seq("k"), "ts",
-      withinWatermark = Some("10 minutes"))
+      src.toDF().toDF("ts", "k"), Seq("k"),
+      withinWatermark = Some(("ts", "10 minutes")))
     val q = out.writeStream
       .format("memory").queryName("dedup_stream")
       .outputMode("append")

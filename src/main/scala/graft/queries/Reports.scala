@@ -30,6 +30,15 @@ import graft.core.Tables.t
   *   q77 nightly statistics — one wide stats row per night: totals,
   *                  distincts, per-band conditional counts
   *                  (ref: bin/ztf/archive_statistics.py:87-133)
+  *   q83 symbiotic/CV — "name,cat" label split → two category branches
+  *                  at different thresholds → channel-tagged union
+  *                  (ref: bin/ztf/archive_symbiotic_and_cv_stars.py)
+  *   q84 blazar states — map-column stat extraction → low/high state
+  *                  branches → state-tagged union + serving row key
+  *                  (ref: bin/ztf/archive_extreme_states_blazar.py)
+  *   q85 AL loop   — |p−0.5| boundary ranking + high-prob ranking, both
+  *                  budget-capped, branch-tagged union
+  *                  (ref: bin/ztf/archive_ia_active_learning.py:146-196)
   *
   * Scale notes: every shape filters FIRST (pushed to the scan), then
   * reduces per object — the keyed shuffle sees only candidates, never
@@ -418,5 +427,151 @@ object Reports extends QueryPack {
               - MIN(epoch_us(ts) // 86400000000) AS arc_days
           FROM events GROUP BY user_id)
         WHERE n >= 50""")),
+
+    // ---- symbiotic/CV shape: crossmatch label carrying "name,category"
+    // → split → fast-decline cut → two category branches with different
+    // thresholds, each tagged with its channel, unioned
+    // (ref: bin/ztf/archive_symbiotic_and_cv_stars.py:103-136). The
+    // label is planted by the SAME expression in both engines; dmag is
+    // one IEEE division+negation on identical operands.
+    QueryDef(
+      "q83_report_symbiotic_cv",
+      (s, d) => {
+        val lab = when(col("user_id") % 13 === 0,
+            concat(lit("SY"), col("user_id").cast("string"),
+              lit(",symbiotic_stars")))
+          .when(col("user_id") % 13 === 1,
+            concat(lit("CV"), col("user_id").cast("string"),
+              lit(",cataclysmic_variables")))
+          .otherwise(lit("Unknown"))
+        val base = t(s, d, "events")
+          .withColumn("symbiotic", lab)
+          .filter(col("symbiotic") =!= "Unknown")
+          .withColumn("dmag", -col("value") / 50.0)
+          .filter(col("dmag") <= -0.5)
+          .withColumn("name", split(col("symbiotic"), ",").getItem(0))
+          .withColumn("cat", split(col("symbiotic"), ",").getItem(1))
+        val sym = base.filter(col("cat") === "symbiotic_stars")
+          .withColumn("channel", lit("@fink_symbiotic_stars"))
+        val cvs = base.filter(col("cat") === "cataclysmic_variables" &&
+          col("dmag") <= -3.0)
+          .withColumn("channel", lit("@fink_cv_stars"))
+        sym.unionByName(cvs)
+          .select("event_id", "user_id", "name", "cat", "dmag", "channel")
+      },
+      Some("""
+        WITH lab AS (
+          SELECT event_id, user_id, value,
+            CASE WHEN user_id % 13 = 0 THEN 'SY'
+                   || CAST(user_id AS VARCHAR) || ',symbiotic_stars'
+                 WHEN user_id % 13 = 1 THEN 'CV'
+                   || CAST(user_id AS VARCHAR) || ',cataclysmic_variables'
+                 ELSE 'Unknown' END AS symbiotic
+          FROM events),
+        base AS (
+          SELECT event_id, user_id,
+            split_part(symbiotic, ',', 1) AS name,
+            split_part(symbiotic, ',', 2) AS cat,
+            -value / 50.0 AS dmag
+          FROM lab
+          WHERE symbiotic <> 'Unknown' AND -value / 50.0 <= -0.5)
+        SELECT event_id, user_id, name, cat, dmag,
+          '@fink_symbiotic_stars' AS channel
+        FROM base WHERE cat = 'symbiotic_stars'
+        UNION ALL
+        SELECT event_id, user_id, name, cat, dmag, '@fink_cv_stars'
+        FROM base
+        WHERE cat = 'cataclysmic_variables' AND dmag <= -3.0""")),
+
+    // ---- blazar extreme-states shape: per-row statistics packed into a
+    // map column, extracted via getItem, low/high state branches off one
+    // scan, unioned with a state tag + serving row key
+    // (ref: bin/ztf/archive_extreme_states_blazar.py:106-160). The map
+    // build+extract is the Spark-side operator under test (X4); the
+    // oracle computes the same DYADIC values directly, so every double
+    // is bit-identical cross-engine.
+    QueryDef(
+      "q84_report_blazar_states",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("blazar_stats", map(
+            lit("instantness"),
+            (col("event_id") % 256).cast("double") / 256.0,
+            lit("robustness"),
+            (col("event_id") % 128).cast("double") / 128.0))
+          .withColumn("instantness",
+            col("blazar_stats").getItem("instantness"))
+          .withColumn("robustness",
+            col("blazar_stats").getItem("robustness"))
+        val low = ev
+          .filter(col("instantness") <= 0.125 && col("robustness") <= 0.25)
+          .withColumn("state", lit("low"))
+        val high = ev
+          .filter(col("instantness") >= 0.875 && col("robustness") >= 0.75)
+          .withColumn("state", lit("high"))
+        low.unionByName(high)
+          .withColumn("row_key",
+            concat_ws("_", col("event_id").cast("string"),
+              col("user_id").cast("string")))
+          .select("event_id", "user_id", "instantness", "robustness",
+            "state", "row_key")
+      },
+      Some("""
+        WITH s AS (
+          SELECT event_id, user_id,
+            (event_id % 256)::DOUBLE / 256.0 AS instantness,
+            (event_id % 128)::DOUBLE / 128.0 AS robustness
+          FROM events)
+        SELECT event_id, user_id, instantness, robustness,
+          'low' AS state,
+          CAST(event_id AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)
+            AS row_key
+        FROM s WHERE instantness <= 0.125 AND robustness <= 0.25
+        UNION ALL
+        SELECT event_id, user_id, instantness, robustness, 'high',
+          CAST(event_id AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)
+        FROM s WHERE instantness >= 0.875 AND robustness >= 0.75""")),
+
+    // ---- Ia active-learning shape: distance to the 0.5 decision
+    // boundary, stacked quality gates, then TWO capped rankings off the
+    // same filtered frame — closest-to-boundary ascending (the learner's
+    // next queries) and high-probability descending — unioned with a
+    // branch tag (ref: bin/ztf/archive_ia_active_learning.py:146-196).
+    // Scores are dyadic (k/256) so |p−0.5| is exact; ties break on
+    // event_id, making both LIMITs deterministic cross-engine.
+    QueryDef(
+      "q85_report_al_loop",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("al_score",
+            (col("event_id") % 256).cast("double") / 256.0)
+          .withColumn("dist_center", abs(col("al_score") - 0.5))
+          .filter(col("event_type").isin("view", "click") &&
+            col("user_id") % 3 =!= 0 && col("value") <= 150.0)
+        val queried = ev
+          .orderBy(col("dist_center").asc, col("event_id").asc)
+          .limit(30).withColumn("branch", lit("queried"))
+        val high = ev.filter(col("al_score") > 0.5)
+          .orderBy(col("al_score").desc, col("event_id").asc)
+          .limit(30).withColumn("branch", lit("highprob"))
+        queried.unionByName(high)
+          .select("event_id", "user_id", "al_score", "dist_center", "branch")
+      },
+      Some("""
+        WITH f AS (
+          SELECT event_id, user_id,
+            (event_id % 256)::DOUBLE / 256.0 AS al_score,
+            abs((event_id % 256)::DOUBLE / 256.0 - 0.5) AS dist_center
+          FROM events
+          WHERE event_type IN ('view', 'click') AND user_id % 3 <> 0
+            AND value <= 150.0)
+        SELECT event_id, user_id, al_score, dist_center,
+          'queried' AS branch
+        FROM (SELECT * FROM f
+              ORDER BY dist_center ASC, event_id ASC LIMIT 30)
+        UNION ALL
+        SELECT event_id, user_id, al_score, dist_center, 'highprob'
+        FROM (SELECT * FROM f
+              ORDER BY al_score DESC, event_id ASC LIMIT 30)""")),
   )
 }

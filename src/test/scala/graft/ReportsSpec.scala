@@ -126,6 +126,130 @@ class ReportsSpec extends SparkTestBase {
     }
   }
 
+  test("dwarf-agn: asteroids removed, only catalog associations survive") {
+    // catalog planted at the first alerts' positions so matches exist
+    val cat = science
+      .select(col("objectId"), col("candidate.ra").as("cat_ra"),
+        col("candidate.dec").as("cat_dec"))
+      .limit(8)
+      .withColumn("cat_name", concat(lit("MaNGA-"), col("objectId")))
+      .select("cat_name", "cat_ra", "cat_dec")
+    val out = Reports.dwarfAgn(cat, radiusArcsec = 5.0).run(science)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "planted catalog produced no associations")
+    rows.foreach(r =>
+      assert(r.getAs[String]("manga").startsWith("MaNGA-")))
+    // asteroid rows (roid == 3) never reach the crossmatch
+    val asteroidIds = science.filter(col("roid") === 3)
+      .select("candid").as[Long].collect().toSet
+    rows.foreach(r => assert(!asteroidIds.contains(r.getAs[Long]("candid"))))
+  }
+
+  test("early-tde: score/age/counterpart gates hold, ranked by score") {
+    val out = Reports.earlyTde(scoreThreshold = 0.0, maxAgeDays = 1e9)
+      .run(science).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("tde_score") >= 0.0)
+    }
+    val scores = out.map(_.getAs[Double]("tde_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "report must rank by tde_score descending")
+    // every survivor has no catalog counterpart
+    val unknownIds = science.filter(col("cdsxmatch") === "Unknown")
+      .select("candid").as[Long].collect().toSet
+    out.foreach(r => assert(unknownIds.contains(r.getAs[Long]("candid"))))
+  }
+
+  test("blazar states: map extraction + two branches, row key stamped") {
+    // blazar_stats arrives from an upstream science module; plant a
+    // deterministic map so both branches are populated
+    val withStats = science.withColumn("blazar_stats", map(
+      lit("instantness_low"), (col("candid") % 10).cast("double"),
+      lit("robustness_low"), (col("candid") % 7).cast("double"),
+      lit("instantness_high"), (col("candid") % 5).cast("double"),
+      lit("robustness_high"), (col("candid") % 3).cast("double")))
+    val out = Reports.blazarStates(lowMax = 2.0, highMin = 2.0)
+      .run(withStats).collect()
+    assert(out.nonEmpty)
+    val states = out.map(_.getAs[String]("state")).toSet
+    assert(states === Set("low", "high"), s"both branches must fire: $states")
+    out.foreach { r =>
+      if (r.getAs[String]("state") == "low") {
+        assert(r.getAs[Double]("instantness_low") <= 2.0 &&
+          r.getAs[Double]("robustness_low") <= 2.0)
+      } else {
+        assert(r.getAs[Double]("instantness_high") >= 2.0 &&
+          r.getAs[Double]("robustness_high") >= 2.0)
+      }
+      assert(r.getAs[String]("jd_objectId").contains("_ZTF"))
+    }
+  }
+
+  test("symbiotic/cv: label split + per-category thresholds route channels") {
+    val cat = science
+      .select(col("objectId"), col("candidate.ra").as("cat_ra"),
+        col("candidate.dec").as("cat_dec"))
+      .limit(20)
+      .withColumn("cat_name",
+        concat(lit("V"), col("objectId"),
+          when(length(col("objectId")) % 2 === 0, lit(",symbiotic_stars"))
+            .otherwise(lit(",cataclysmic_variables"))))
+      .select("cat_name", "cat_ra", "cat_dec")
+    // Δt chosen so dmag = mag_rate × Δt crosses both thresholds
+    val out = Reports.symbioticCv(cat, deltaTime = lit(5.0),
+      radiusArcsec = 5.0).run(science).collect()
+    out.foreach { r =>
+      val (catg, dmag, ch) = (r.getAs[String]("cat"),
+        r.getAs[Double]("dmag"), r.getAs[String]("channel"))
+      assert(dmag <= -0.5)
+      assert(!r.getAs[String]("name").contains(","), "name must be split")
+      if (catg == "symbiotic_stars") assert(ch === "@fink_symbiotic_stars")
+      else {
+        assert(catg === "cataclysmic_variables" && ch === "@fink_cv_stars")
+        assert(dmag <= -3.0, "CVs carry the stricter cut")
+      }
+    }
+  }
+
+  test("vast: distance/dec footprint + confirmed-or-candidate OR filter") {
+    // the 200-alert fixture has no in-radius mangrove galaxy (1-arcmin
+    // cones over a random sky are almost always empty) — plant the map
+    // so matched/unmatched and near/far cases all occur
+    val withMangrove = science.withColumn("mangrove", map(
+      lit("lum_dist"),
+      when(col("candid") % 3 === 0,
+        (col("candid") % 500).cast("string"))
+        .otherwise(lit(null).cast("string"))))
+    val out = Reports.vast(maxLumDist = 400.0, maxDec = 90.0,
+      snThreshold = 0.0).run(withMangrove).collect()
+    assert(out.nonEmpty)
+    // survivors = exactly the rows with a counterpart inside 400 Mpc
+    val expected = withMangrove
+      .filter(element_at(col("mangrove"), "lum_dist").cast("float") <= 400.0f)
+      .count()
+    assert(out.length.toLong === expected,
+      s"got ${out.length}, expected $expected")
+  }
+
+  test("al loop: budget caps, boundary ranking ascending, high-prob branch") {
+    val hosts = science.select("cdsxmatch").distinct().as[String].collect()
+    val out = Reports.iaActiveLearning(hosts.toSeq, budget = 5)
+      .run(science).collect()
+    val byBranch = out.groupBy(_.getAs[String]("branch"))
+    assert(byBranch.keySet.subsetOf(Set("queried", "highprob")))
+    byBranch.values.foreach(rows => assert(rows.length <= 5))
+    val queried = byBranch.getOrElse("queried", Array.empty)
+    assert(queried.nonEmpty, "queried branch empty")
+    val dists = queried.map(_.getAs[Double]("dist_center"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+      "queried branch must rank by boundary distance ascending")
+    byBranch.getOrElse("highprob", Array.empty).foreach { r =>
+      assert(r.getAs[Double]("al_snia_vs_nonia") > 0.5 &&
+        r.getAs[Double]("age_days") <= 10.0)
+    }
+  }
+
   test("exports: CSV file and serving table land on disk and read back") {
     val report = Reports.slsn(threshold = 0.0).run(science)
     val csvDir = Files.createTempDirectory("report-csv").toString

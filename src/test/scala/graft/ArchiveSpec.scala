@@ -183,6 +183,64 @@ class ArchiveSpec extends SparkTestBase {
     assert(n === 3 && batches === 3 && rows === 50L)
   }
 
+  test("sso resolver: alias fan-out, decimal-first order, @k dedup, point lookup") {
+    import spark.implicits._
+    // per-object aggregation rows: native id + resolved name/number;
+    // "Vesta" resolves twice (two native ids) to force the @k marking,
+    // one object is unnumbered, one unresolved (null name)
+    val agg = Seq(
+      ("ZTF-a1", "Ceres", "1"),
+      ("ZTF-a2", "Vesta", "4"),
+      ("ZTF-a3", "Vesta", "4"),
+      ("ZTF-b7", "2010 JO69", null),
+      ("ZTF-c9", null, null)
+    ).toDF("ssnamenr", "sso_name", "sso_number")
+    val idx = graft.serving.Resolvers.ssoResolverIndex(agg)
+    val rows = idx.collect()
+    // 3 blocks: 5 names + 3 valid numbers + 5 natives = 13 alias rows
+    assert(rows.length === 13)
+    // every key is unique and lowercased with an @k suffix
+    val keys = rows.map(_.getString(0))
+    assert(keys.distinct.length === keys.length)
+    keys.foreach(k => assert(k === k.toLowerCase && k.contains("@"), k))
+    // duplicate resolution: Vesta appears once per native id, @0 then @1
+    assert(keys.count(_.startsWith("vesta@")) === 2)
+    assert(keys.contains("vesta@0") && keys.contains("vesta@1"))
+    // unresolved name falls back to the native id (reference None-fill)
+    assert(keys.contains("ztf-c9@0"))
+    // decimal keys order numerically before non-decimal keys
+    val firstRaw = rows.map(_.getString(0)).map(_.split("@")(0))
+    val decPrefix = firstRaw.takeWhile(_.matches("[0-9]+"))
+    assert(decPrefix.nonEmpty, "numeric keys must lead the index")
+    assert(decPrefix.map(_.toLong).toSeq === decPrefix.map(_.toLong).sorted.toSeq)
+    assert(firstRaw.drop(decPrefix.length).forall(!_.matches("[0-9]+")))
+    // serving-table round trip: a point lookup on an alias resolves
+    // back to the native designation
+    val dir = Files.createTempDirectory("sso-resolver").toString
+    graft.serving.Resolvers.writeSsoResolver(idx, dir)
+    val hit = ServingTable.lookup(spark, dir, "vesta@0").collect()
+    assert(hit.length === 1 && hit(0).getAs[String]("ssnamenr") === "ZTF-a2")
+    val byNum = ServingTable.lookup(spark, dir, "4@0").collect()
+    assert(byNum.length === 1 && byNum(0).getAs[String]("name") === "Vesta")
+  }
+
+  test("tns resolver: concatenated lowercase key, point lookup") {
+    import spark.implicits._
+    val cat = Seq(
+      ("SN 2024abc", "2024abc", "SN Ia"),
+      ("AT 2024xyz", "2024xyz", null)
+    ).toDF("fullname", "internal_name", "type")
+    val idx = graft.serving.Resolvers.tnsResolverIndex(
+      cat, Seq("fullname", "internal_name"))
+    val keys = idx.select("tns_key").as[String].collect().toSet
+    assert(keys === Set("sn 2024abc_2024abc", "at 2024xyz_2024xyz"))
+    val dir = Files.createTempDirectory("tns-resolver").toString
+    graft.serving.Resolvers.writeTnsResolver(idx, dir,
+      Seq("fullname", "internal_name"))
+    val hit = ServingTable.lookup(spark, dir, "sn 2024abc_2024abc").collect()
+    assert(hit.length === 1 && hit(0).getAs[String]("type") === "SN Ia")
+  }
+
   test("SQL-string filter form equals the Column form (F3)") {
     val alerts = AlertSchema.fixture(spark, 200)
     val viaString = alerts

@@ -209,32 +209,77 @@ case class WordNGrams(child: Expression, n: Int)
   * would be wrong here.
   */
 case class NgramJoin(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "ngram_join"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val total = toks.numElements()
-    if (total < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](total - n + 1)
-    var i = 0
-    while (i <= total - n) {
-      out(i) = HashExpressionsInternal.joinGram(toks, i, n)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.ngramJoin(input.asInstanceOf[ArrayData], n)
+
+  // Call the shared kernel from generated code: the child (typically a
+  // split() over the document) stays inside WholeStageCodegen instead
+  // of being re-evaluated interpreted, and the kernel is the SAME
+  // method eval uses — bit-identical by construction.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.ngramJoin($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-private[functions] object HashExpressionsInternal {
+/** Shared n-gram kernels, called from both interpreted eval and
+  * generated code (public object: codegen'd classes live outside this
+  * package).
+  */
+object HashExpressionsInternal {
   private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Positional space-joined n-grams; shorter-than-n inputs → empty. */
+  def ngramJoin(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      out(i) = joinGram(toks, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional lowercase-hex md5 fingerprints of space-joined n-grams. */
+  def ngramMd5(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val s = joinGram(toks, i, n)
+      md.reset()
+      val d = md.digest(s.getBytes)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Space-join of tokens [i, i+n) with `array_join` null semantics:
     * null elements are skipped (no doubled separator) — exact HOF
@@ -265,39 +310,24 @@ private[functions] object HashExpressionsInternal {
   * at 100 TB the explode of this array is the pipeline's map stage.
   */
 case class NgramMd5(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "ngram_md5"
 
-  private val hexDigits = "0123456789abcdef".toCharArray
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.ngramMd5(input.asInstanceOf[ArrayData], n)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val total = toks.numElements()
-    if (total < n) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Any](total - n + 1)
-    var i = 0
-    while (i <= total - n) {
-      val s = HashExpressionsInternal.joinGram(toks, i, n)
-      md.reset()
-      val d = md.digest(s.getBytes)
-      val hex = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
-        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
-        b += 1
-      }
-      out(i) = org.apache.spark.unsafe.types.UTF8String
-        .fromString(new String(hex))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  // Same shared-kernel codegen as NgramJoin: the tokenizer child stays
+  // codegen'd, the kernel is one non-virtual static-module call.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.ngramMd5($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -122,10 +122,14 @@ case class HyperplaneLshBuckets(
   * dot = ((0+x0y0)+x1y1)+…, result = dot / (sqrt(aa)·sqrt(bb)), NULL
   * when either norm is 0), without rows×dim interpreted lambda steps.
   * This is the verify-stage kernel of the candidate-pair pipelines
-  * (q24/q26/q78), where millions of candidate cosines dominate.
+  * (q24/q26/q78), where millions of candidate cosines dominate —
+  * so it code-generates the loop inline (doGenCode), keeping the whole
+  * verify stage inside WholeStageCodegen with zero per-row virtual
+  * calls; the interpreted nullSafeEval path is the bit-identical
+  * reference the equivalence tests pin.
   */
 case class FloatVecCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -178,6 +182,48 @@ case class FloatVecCosine(left: Expression, right: Expression)
     val n = math.sqrt(na) * math.sqrt(nb)
     if (n > 0) d / n else null
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val nrm = ctx.freshName("nrm")
+      val bad = ctx.freshName("anyNull")
+      val getX =
+        if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY =
+        if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // same fold order and NULL semantics as nullSafeEval, loop inlined
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $dim = $a.numElements();
+          double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+          boolean $bad = false;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            double $x = $getX;
+            double $y = $getY;
+            $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          double $nrm = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+          if ($bad || !($nrm > 0.0)) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $d / $nrm;
+          }
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -64,6 +64,29 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("kernels code-generate: kernel calls appear in generated code, no fallback") {
+    // Spark silently falls back to interpreted eval when doGenCode's
+    // output fails to compile — assert the generated source actually
+    // carries the kernel calls
+    val gramDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.HashFunctions
+        .ngramMd5(split(trim(col("text")), "\\s+"), 5).as("g"))
+    val gramCode = org.apache.spark.sql.execution.debug
+      .codegenString(gramDf.queryExecution.executedPlan)
+    assert(gramCode.contains("HashExpressionsInternal.ngramMd5"),
+      s"NgramMd5 kernel call missing from generated code:\n$gramCode")
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cosDf = emb.select(graft.functions.VectorFunctions
+      .cosine(col("embedding"), col("embedding")).as("c"))
+    val cosCode = org.apache.spark.sql.execution.debug
+      .codegenString(cosDf.queryExecution.executedPlan)
+    assert(cosCode.contains("java.lang.Math.sqrt"),
+      s"FloatVecCosine loop missing from generated code:\n$cosCode")
+    // and the results are live, not fallback artifacts
+    assert(cosDf.filter(abs(col("c") - 1.0) < 1e-9).count() === emb.count())
+  }
+
   test("ngramDupStats: shared 5-gram marks both docs, unique doc stays clean") {
     // docs 1 and 2 share exactly one 5-gram span; doc 3 shares nothing
     val df = Curation.ngramDupStats(

@@ -19,29 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * to the cost of one tokenization pass.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var j = 0
-      while (j < k) {
-        val h = XXH64.hashInt(j, h1)
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.minHashSig(input.asInstanceOf[ArrayData], k)
+
+  // shared-kernel codegen (see NgramJoin): the shingle/tokenizer child
+  // stays inside WholeStageCodegen; eval and codegen run the SAME method
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.minHashSig($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,34 +42,20 @@ case class MinHashSig(child: Expression, k: Int)
 
 /** 64-bit SimHash of a token array, one string hash per token. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val tally = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var acc = 0L
-    var b = 63
-    while (b >= 0) {
-      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
-      b -= 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.simHash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -90,38 +69,20 @@ case class SimHash64(child: Expression)
   * interpreted fold (7.0 s → sub-second at sf0.1).
   */
 case class SimHashMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_md5"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val tally = new Array[Int](32)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // first 8 hex nibbles = first 4 bytes, big-endian, unsigned
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var b = 0
-      while (b < 32) {
-        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var acc = 0L
-    var b = 31
-    while (b >= 0) {
-      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
-      b -= 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.simHashMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.simHashMd5($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -134,28 +95,24 @@ case class SimHashMd5(child: Expression)
   * `size(array_intersect(a, b))` for sorted distinct inputs.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var i = 0
-    var j = 0
-    var n = 0
-    val nx = x.numElements()
-    val ny = y.numElements()
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    n
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressionsInternal.sortedIntersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // the pair-verify join's inner kernel: keep the join projection in
+  // WholeStageCodegen, call the shared merge loop once per pair
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = " +
+        s"graft.functions.HashExpressionsInternal.sortedIntersectSize($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -242,6 +199,95 @@ object HashExpressionsInternal {
   private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** k-lane xxhash64 MinHash signature; one string digest per token. */
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, h1)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit xxhash64 SimHash; one string hash per token. */
+  def simHash64(arr: ArrayData): Long = {
+    val tally = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 63
+    while (b >= 0) {
+      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  /** 32-bit SimHash with md5-derived token hashes (oracle-portable). */
+  def simHashMd5(arr: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tally = new Array[Int](32)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 hex nibbles = first 4 bytes, big-endian, unsigned
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 31
+    while (b >= 0) {
+      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  /** Linear-merge intersection cardinality of two sorted string arrays. */
+  def sortedIntersectSize(x: ArrayData, y: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
 
   /** Positional space-joined n-grams; shorter-than-n inputs → empty. */
   def ngramJoin(toks: ArrayData, n: Int): ArrayData = {

@@ -223,8 +223,13 @@ object Relational extends QueryPack {
     QueryDef(
       "q11_running_sum",
       (s, d) => {
+        // the quantity/price tiebreaks make the frame order TOTAL even
+        // when the data collides on (shipdate, orderkey, linenumber)
+        // (sf0.1 has one such pair) — otherwise the intermediate
+        // prefix sums are engine-order-dependent
         val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem")
           .select(col("l_suppkey"), col("l_orderkey"),
@@ -236,7 +241,8 @@ object Relational extends QueryPack {
         SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
             PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber,
+              l_quantity, l_extendedprice
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         FROM lineitem""")),
 

@@ -9,6 +9,40 @@ import graft.streaming.Stateful
   */
 class StatefulSpec extends SparkTestBase {
 
+  test("streaming curation: gates drop, PII redacts, content dedup crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val out = graft.streaming.CurationStream.pipeline(
+      src.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream
+      .format("memory").queryName("curated")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_curate_").toString)
+      .start()
+    try {
+      src.addData(
+        (1L, "the quick brown fox jumps over a dog mail user1@mail.net ok"),
+        (2L, "1 2 3 4 5 6 7 8 9"), // alpha_ratio 0 → gated
+        (3L, "too short"))          // n_tokens < 5 → gated
+      q.processAllAvailable()
+      // LATER batch: same content modulo case/whitespace/PII-span —
+      // normalizes to the same fingerprint → stateful dedup drops it
+      src.addData(
+        (4L, "THE  quick brown fox jumps over a dog mail user1@mail.net ok"),
+        (5L, "an entirely different document with enough letters here"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(1L, 5L), s"kept $ids")
+      val kept1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+        .getAs[String]("text")
+      assert(kept1.contains("[EMAIL]") && !kept1.contains("user1@mail.net"),
+        s"PII not redacted: $kept1")
+    } finally q.stop()
+  }
+
   test("running counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

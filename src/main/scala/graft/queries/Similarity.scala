@@ -465,5 +465,58 @@ object Similarity extends QueryPack {
         JOIN e b ON b.vec_id = bb.vec_id
         WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold""")))
+               * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold""")),
+
+    // ---- int8 embedding quantization: the ANN-family storage/shuffle
+    //      compressor — per-vector symmetric scale q = round(x·127/amax),
+    //      4× smaller vectors for the bucket/verify pipelines (quantized
+    //      candidates rescore in float at 100 TB; the scale rides along
+    //      for dequantization). Oracle-exact arithmetic: the rounding is
+    //      the tie-free floor(y + 0.5) form — `round()` half-rule
+    //      conventions differ across engines, floor does not — and
+    //      every step (float→double widening, one division, one
+    //      multiply-add, floor) is the same IEEE op on identical
+    //      operands in both engines. Zero vectors keep scale 0 and an
+    //      all-zero code (guarded identically). Pure per-row: zero
+    //      shuffles, linear at any corpus size. ----
+    QueryDef(
+      "q86_embedding_quantize",
+      (s, d) => {
+        val amax = array_max(transform(col("embedding"), x => abs(x)))
+        emb(s, d)
+          .withColumn("amax", amax)
+          .withColumn("scale",
+            when(col("amax") > 0,
+              col("amax").cast("double") / 127.0).otherwise(0.0))
+          .withColumn("q",
+            when(col("amax") > 0,
+              transform(col("embedding"),
+                x => floor(x.cast("double") * (lit(127.0) /
+                  col("amax").cast("double")) + 0.5).cast("int")))
+              .otherwise(transform(col("embedding"), _ => lit(0))))
+          .select(col("vec_id"), col("scale"), col("q"),
+            array_max(transform(col("q"), x => abs(x))).cast("long")
+              .as("q_amax"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x))) AS amax
+          FROM embeddings)
+        SELECT vec_id,
+          CASE WHEN amax > 0 THEN CAST(amax AS DOUBLE) / 127.0
+               ELSE 0.0 END AS scale,
+          CASE WHEN amax > 0 THEN
+            list_transform(embedding, x ->
+              CAST(floor(CAST(x AS DOUBLE)
+                * (127.0 / CAST(amax AS DOUBLE)) + 0.5) AS INT))
+          ELSE list_transform(embedding, x -> 0) END AS q,
+          list_max(list_transform(
+            CASE WHEN amax > 0 THEN
+              list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE)
+                  * (127.0 / CAST(amax AS DOUBLE)) + 0.5) AS INT))
+            ELSE list_transform(embedding, x -> 0) END,
+            x -> abs(x)))::BIGINT AS q_amax
+        FROM e""")))
 }

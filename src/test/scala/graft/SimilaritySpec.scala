@@ -208,6 +208,28 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q86 quantization: int8 range, dequantization error bound, shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q86_embedding_quantize")(spark, sf)
+    // pure per-row: the compressor must never shuffle
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("q_amax") <= 127L, "code exceeds int8 range")
+    }
+    // symmetric-scale round trip: |x - q·scale| ≤ scale/2 per coordinate
+    val joined = spark.read.parquet(s"$sf/embeddings.parquet")
+      .join(df, "vec_id")
+      .select(col("scale"),
+        array_max(zip_with(col("embedding"), col("q"),
+          (x, q) => abs(x.cast("double") - q.cast("double") * col("scale"))))
+          .as("max_err"))
+    val bad = joined
+      .filter(col("max_err") > col("scale") * 0.5 * 1.0000001)
+      .count()
+    assert(bad === 0, s"$bad vectors exceed the scale/2 error bound")
+  }
+
   test("semdedup drops the twin, keeps the representative, deterministically") {
     val corpus = Similarity.plantedNeardupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet")).persist()

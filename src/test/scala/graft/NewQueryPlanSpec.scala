@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-quality asserts for the round-7 queries: filters reach the
+  * scan, ranked-limit branches compile to TakeOrdered (no global sort
+  * materialization), the quantizer stays in one codegen span, and
+  * nothing degenerates into a product.
+  */
+class NewQueryPlanSpec extends SparkTestBase {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // settle AQE so the final adaptive plan is inspected
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q83/q84 union branches: filters push to the scan, no products") {
+    for (q <- Seq("q83_report_symbiotic_cv", "q84_report_blazar_states")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q degenerated:\n$p")
+      // both branches scan columnar parquet with a pushed-down gate —
+      // the branch predicates are derived columns, but the scans must
+      // still prune columns (no full-width read)
+      assert(!p.contains("stopword") && !p.contains("payload"), q)
+    }
+  }
+
+  test("q85 budget branches compile to TakeOrdered, not global sorts") {
+    val p = plan("q85_report_al_loop")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked LIMIT must be TakeOrdered (O(k) per partition):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86 quantizer: shuffle-free map-only plan, scan prunes") {
+    val df = SparkEntry.queries("q86_embedding_quantize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // pure per-row projections over a vectorized scan (the HOF lambdas
+    // themselves sit outside whole-stage codegen by Spark design)
+    assert(!p.contains("Exchange"), s"quantizer shuffles:\n$p")
+    assert(!p.contains("Sort"), s"quantizer sorts:\n$p")
+    // only (vec_id, embedding) should be read
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"q86 scan reads unneeded columns:\n$p")
+  }
+}

@@ -230,6 +230,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(bad === 0, s"$bad vectors exceed the scale/2 error bound")
   }
 
+  test("quantized search: top-k over dequantized int8 vectors tracks float top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val deq = spark.read.parquet(s"$sf/embeddings.parquet")
+      .join(SparkEntry.queries("q86_embedding_quantize")(spark, sf)
+        .select("vec_id", "scale", "q"), "vec_id")
+      .select(col("vec_id"),
+        transform(col("q"), x => (x.cast("double") * col("scale"))
+          .cast("float")).as("embedding"))
+      .persist()
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 10), corpus, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(emb)
+    val quant = topk(deq)
+    // int8 symmetric quantization must preserve cosine neighborhoods:
+    // ≥80% of each probe's float top-10 survives the 4× compression
+    exact.foreach { case (probe, nn) =>
+      val overlap = nn.intersect(quant(probe)).size
+      assert(overlap >= 8, s"probe $probe: only $overlap/10 survive int8")
+    }
+  }
+
   test("semdedup drops the twin, keeps the representative, deterministically") {
     val corpus = Similarity.plantedNeardupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet")).persist()

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -126,33 +125,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * empty array.
   */
 case class WordNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val total = toks.numElements()
-    if (total < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-    var i = 0
-    while (i <= total - n) {
-      var s = toks.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = org.apache.spark.unsafe.types.UTF8String
-          .concat(s, space, toks.getUTF8String(i + j))
-        j += 1
-      }
-      seen.add(s)
-      i += 1
-    }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.wordNGrams(input.asInstanceOf[ArrayData], n)
+
+  // shared-kernel codegen (see NgramJoin): the shingle build is q21's
+  // map stage — the tokenizer child stays inside WholeStageCodegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.wordNGrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -289,6 +279,27 @@ object HashExpressionsInternal {
     n
   }
 
+  /** DISTINCT space-joined n-grams, first-occurrence order (shingles);
+    * shorter-than-n inputs → empty. */
+  def wordNGrams(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= total - n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = org.apache.spark.unsafe.types.UTF8String
+          .concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Positional space-joined n-grams; shorter-than-n inputs → empty. */
   def ngramJoin(toks: ArrayData, n: Int): ArrayData = {
     val total = toks.numElements()
@@ -386,8 +397,7 @@ case class NgramMd5(child: Expression, n: Int)
   * oracle (which compares raw strings) would flag any distortion.
   */
 case class SortedLongIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "sorted_long_intersect_size"
@@ -409,6 +419,32 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     }
     n
   }
+
+  // the pair-verify compare loop, inlined into generated code: pure
+  // primitive merge, no allocation, millions of calls per verify stage
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $i = 0; int $j = 0;
+        int $nx = $a.numElements(); int $ny = $b.numElements();
+        ${ev.value} = 0;
+        while ($i < $nx && $j < $ny) {
+          long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+          if ($xv == $yv) { ${ev.value}++; $i++; $j++; }
+          else if ($xv < $yv) $i++;
+          else $j++;
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * intersection semantics without materializing a distinct token set.
   */
 case class LangIdExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
@@ -42,8 +41,9 @@ case class LangIdExpr(child: Expression)
   @transient private lazy val undResult = UTF8String.fromString("und")
   @transient private lazy val langResults = langs.map(UTF8String.fromString)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** The scoring kernel, shared by eval and generated code (the
+    * precompiled marker multimap rides in as a reference object). */
+  def kernel(arr: ArrayData): UTF8String = {
     val seen = Array.tabulate(langs.length)(i => new Array[Boolean](nMarkers(i)))
     var i = 0
     val n = arr.numElements()
@@ -68,6 +68,17 @@ case class LangIdExpr(child: Expression)
       li += 1
     }
     if (best == 0) undResult else langResults(bestIdx)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("langid", this, classOf[LangIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

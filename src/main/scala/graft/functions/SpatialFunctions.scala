@@ -49,9 +49,9 @@ case class Ang2PixNest(left: Expression, right: Expression, nside: Int)
   * pixel and resolves by exact haversine separation; no candidate within
   * `radiusDeg` → "Unknown" (the reference's cdsxmatch default).
   *
-  * CodegenFallback: the map probe can't be inlined into generated Java;
-  * it splits the whole-stage-codegen span, which the enrichment spine
-  * accepts in exchange for zero exchanges (same trade as lsh_buckets).
+  * Codegen calls the kernel through a reference object (the pixel index
+  * can't be inlined into generated Java), so the enrichment projection
+  * stays inside one whole-stage span with zero exchanges.
   */
 case class NearestCatalogLabel(
     left: Expression,
@@ -60,37 +60,64 @@ case class NearestCatalogLabel(
     nside: Int,
     radiusDeg: Double,
     default: String = "Unknown")
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def nullable: Boolean = false
   override def prettyName: String = "nearest_catalog_label"
 
+  @transient private lazy val defaultUtf8Val =
+    org.apache.spark.unsafe.types.UTF8String.fromString(default)
+
+  /** Null-input (or unmatched) result. */
+  def defaultUtf8(): org.apache.spark.unsafe.types.UTF8String = defaultUtf8Val
+
+  /** Nearest in-radius catalog name, shared by eval and generated code. */
+  def resolve(ra: Double, dec: Double): org.apache.spark.unsafe.types.UTF8String =
+    index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
+      case None => defaultUtf8Val
+      case Some(entries) =>
+        var best: String = null
+        var bestSep = radiusDeg
+        var i = 0
+        while (i < entries.length) {
+          val e = entries(i)
+          val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
+          if (sep <= bestSep) { best = e._1; bestSep = sep }
+          i += 1
+        }
+        if (best == null) defaultUtf8Val
+        else org.apache.spark.unsafe.types.UTF8String.fromString(best)
+    }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val raV = left.eval(input)
     val decV = right.eval(input)
-    val label =
-      if (raV == null || decV == null) default
-      else {
-        val ra = raV.asInstanceOf[Double]
-        val dec = decV.asInstanceOf[Double]
-        index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
-          case None => default
-          case Some(entries) =>
-            var best = default
-            var bestSep = radiusDeg
-            var i = 0
-            while (i < entries.length) {
-              val e = entries(i)
-              val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
-              if (sep <= bestSep) { best = e._1; bestSep = sep }
-              i += 1
-            }
-            best
-        }
-      }
-    org.apache.spark.unsafe.types.UTF8String.fromString(label)
+    if (raV == null || decV == null) defaultUtf8Val
+    else resolve(raV.asInstanceOf[Double], decV.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("xmatchLabel", this,
+      classOf[NearestCatalogLabel].getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    // null ra/dec → the default label, never a null column value
+    val resultCode =
+      code"""
+        ${l.code}
+        ${r.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          (${l.isNull} || ${r.isNull})
+            ? $self.defaultUtf8()
+            : $self.resolve(${l.value}, ${r.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
@@ -119,8 +146,7 @@ case class NearestCatalogMap(
     values: Array[Array[String]],
     nside: Int,
     radiusDeg: Double)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
 
   import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
   import org.apache.spark.unsafe.types.UTF8String
@@ -143,28 +169,54 @@ case class NearestCatalogMap(
     new ArrayBasedMapData(keyData,
       new GenericArrayData(Array.fill[Any](keys.length)(null)))
 
+  /** No-match (or null-input) result: every key mapped to null. */
+  def noMatchMap(): MapData = noMatch
+
+  /** Nearest in-radius catalog row's property map, shared by eval and
+    * generated code. */
+  def resolve(ra: Double, dec: Double): MapData =
+    index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
+      case None => noMatch
+      case Some(entries) =>
+        var best = -1
+        var bestSep = radiusDeg
+        var i = 0
+        while (i < entries.length) {
+          val e = entries(i)
+          val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
+          if (sep <= bestSep) { best = e._1; bestSep = sep }
+          i += 1
+        }
+        if (best < 0) noMatch else rowMaps(best)
+    }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val raV = left.eval(input)
     val decV = right.eval(input)
     if (raV == null || decV == null) noMatch
-    else {
-      val ra = raV.asInstanceOf[Double]
-      val dec = decV.asInstanceOf[Double]
-      index.get(Healpix.ang2pixNest(nside, ra, dec)) match {
-        case None => noMatch
-        case Some(entries) =>
-          var best = -1
-          var bestSep = radiusDeg
-          var i = 0
-          while (i < entries.length) {
-            val e = entries(i)
-            val sep = SpatialFunctions.haversineDeg(ra, dec, e._2, e._3)
-            if (sep <= bestSep) { best = e._1; bestSep = sep }
-            i += 1
-          }
-          if (best < 0) noMatch else rowMaps(best)
-      }
-    }
+    else resolve(raV.asInstanceOf[Double], decV.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("xmatchMap", this,
+      classOf[NearestCatalogMap].getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val resultCode =
+      code"""
+        ${l.code}
+        ${r.code}
+        org.apache.spark.sql.catalyst.util.MapData ${ev.value} =
+          (${l.isNull} || ${r.isNull})
+            ? $self.noMatchMap()
+            : $self.resolve(${l.value}, ${r.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -22,7 +21,7 @@ case class FloatVecMatMul(
     child: Expression,
     matrix: Array[Array[Double]],
     cosine: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "float_vec_matmul"
@@ -30,8 +29,10 @@ case class FloatVecMatMul(
   @transient private lazy val rowNorms: Array[Double] =
     matrix.map(r => math.sqrt(r.map(x => x * x).sum))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** The tight-loop kernel, called from both interpreted eval and
+    * generated code (the matrix rides into the generated class as a
+    * reference object). */
+  def kernel(v: ArrayData): ArrayData = {
     val dim = math.min(v.numElements(), matrix(0).length)
     val out = new Array[Double](matrix.length)
     var vn = 0.0
@@ -55,6 +56,18 @@ case class FloatVecMatMul(
     new GenericArrayData(out)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("matmul", this,
+      classOf[FloatVecMatMul].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -70,14 +83,14 @@ case class HyperplaneLshBuckets(
     tables: Int,
     bitsPerTable: Int,
     multiprobe: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** The bucket-key kernel, shared by eval and generated code. */
+  def kernel(v: ArrayData): ArrayData = {
     val perTable = if (multiprobe) 1 + bitsPerTable else 1
     val out = new Array[Long](tables * perTable)
     var t = 0
@@ -110,6 +123,18 @@ case class HyperplaneLshBuckets(
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("lsh", this,
+      classOf[HyperplaneLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.kernel($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

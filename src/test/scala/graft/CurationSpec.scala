@@ -85,6 +85,26 @@ class CurationSpec extends SparkTestBase {
       s"FloatVecCosine loop missing from generated code:\n$cosCode")
     // and the results are live, not fallback artifacts
     assert(cosDf.filter(abs(col("c") - 1.0) < 1e-9).count() === emb.count())
+
+    // the reference-object kernels: shingles, minhash, LSH buckets and
+    // the crossmatch label all stay inside the generated projection
+    val toks = split(trim(col("text")), "\\s+")
+    val hashDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(
+        graft.functions.HashFunctions.wordNGrams(toks, 3).as("sh"),
+        graft.functions.HashFunctions.minhashSig(toks, 16).as("mh"))
+    val hashCode = org.apache.spark.sql.execution.debug
+      .codegenString(hashDf.queryExecution.executedPlan)
+    assert(hashCode.contains("HashExpressionsInternal.wordNGrams"), hashCode)
+    assert(hashCode.contains("HashExpressionsInternal.minHashSig"), hashCode)
+
+    val lshDf = emb.select(graft.functions.VectorExpressions
+      .lshBuckets(col("embedding"),
+        Array.fill(8)(Array.fill(64)(0.1)), 1, 8).as("b"))
+    val lshCode = org.apache.spark.sql.execution.debug
+      .codegenString(lshDf.queryExecution.executedPlan)
+    assert(lshCode.contains(".kernel("),
+      s"LSH bucket kernel call missing:\n$lshCode")
   }
 
   test("ngramDupStats: shared 5-gram marks both docs, unique doc stays clean") {

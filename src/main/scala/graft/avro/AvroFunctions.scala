@@ -7,7 +7,6 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
@@ -16,11 +15,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
   * (spark-avro is not on this classpath — the wire format is identical:
   * a raw Avro binary body, schema known out-of-band).
   *
-  * Both expressions are CodegenFallback: the per-row cost is the Avro
-  * encoder itself, which dominates any codegen gain; writer/reader and
-  * scratch buffers are reused per task via lazy fields.
+  * Generated code calls the serde kernel through a reference object:
+  * the per-row cost is the Avro encoder itself, but the surrounding
+  * projection (row-key synthesis, flatten, framing concat) stays inside
+  * one whole-stage span instead of splitting at the serde boundary.
+  * Writer/reader and scratch buffers are reused per task via lazy
+  * fields — the expression instance is per-task in both the
+  * interpreted and generated paths.
   */
-case class ToAvro(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ToAvro(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_to_avro"
@@ -33,13 +36,24 @@ case class ToAvro(child: Expression) extends UnaryExpression with CodegenFallbac
   @transient private lazy val out = new ByteArrayOutputStream()
   @transient private var encoder: BinaryEncoder = _
 
-  override protected def nullSafeEval(input: Any): Any = {
+  /** The serde kernel, shared by eval and generated code. */
+  def encode(input: Any): Array[Byte] = {
     val datum = AvroCodec.catalystToAvro(input, sparkType, avroSchema)
     out.reset()
     encoder = EncoderFactory.get().directBinaryEncoder(out, encoder)
     writer.write(datum, encoder)
     encoder.flush()
     out.toByteArray
+  }
+
+  override protected def nullSafeEval(input: Any): Any = encode(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("toAvro", this, classOf[ToAvro].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.encode($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -62,7 +76,7 @@ case class FromAvro(
     schemaJson: String,
     skipBytes: Int = 0,
     permissive: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   override lazy val dataType: DataType = AvroSchemaConverter.toSql(avroSchema)
@@ -73,8 +87,9 @@ case class FromAvro(
     new GenericDatumReader[GenericRecord](AvroCodec.unwrapUnion(avroSchema))
   @transient private var decoder: BinaryDecoder = _
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** The decode kernel, shared by eval and generated code; null on a
+    * quarantined payload (permissive mode). */
+  def decode(bytes: Array[Byte]): Any = {
     try {
       decoder = DecoderFactory.get()
         .binaryDecoder(bytes, skipBytes, bytes.length - skipBytes, decoder)
@@ -96,6 +111,24 @@ case class FromAvro(
         decoder = null
         null
     }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("fromAvro", this, classOf[FromAvro].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    // permissive decode yields null → propagate through isNull
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+        ${ev.value} = ($javaType) $self.decode($c);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

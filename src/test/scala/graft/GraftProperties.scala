@@ -37,6 +37,24 @@ object GraftProperties extends Properties("graft") {
     Healpix.ang2pixNest(nside, cra, cdec) == p
   }
 
+  // q86's arithmetic (floor(x·127/amax + 0.5), scale = amax/127) over
+  // adversarial magnitudes the parquet fixture can't produce: the code
+  // always fits int8 and the reconstruction error stays within scale/2
+  // (+1 ulp slack for the float→double rounding chain)
+  private val genVecElem = Gen.chooseNum(-1e6f, 1e6f)
+  property("quantize.int8Envelope") =
+    forAll(Gen.nonEmptyListOf(genVecElem)) { xs =>
+      val amax = xs.map(x => math.abs(x)).max.toDouble
+      amax == 0.0 || {
+        val scale = amax / 127.0
+        xs.forall { x =>
+          val q = math.floor(x.toDouble * (127.0 / amax) + 0.5)
+          q >= -127 && q <= 127 &&
+            math.abs(x.toDouble - q * scale) <= scale / 2 * 1.0000001
+        }
+      }
+    }
+
   property("healpix.neighborhoodLocality") =
     forAll(genRa, Gen.chooseNum(-80.0, 80.0)) { (ra, dec) =>
       // a point and a tiny offset of it land in the same or an adjacent

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Ang2PixNest, MinHashSig, SimHash64, SortedIntersectSize, WordNGrams}
+import graft.functions.{Ang2PixNest, FloatVecCosine, LangIdExpr, MinHashSig, NgramJoin, NgramMd5, SimHash64, SimHashMd5, SortedIntersectSize, SortedLongIntersectSize, WordNGrams}
 import graft.avro.{FromAvro, ToAvro}
 
 /** SQL surface for the graft expressions, two ways in:
@@ -61,6 +61,30 @@ object GraftExtensions {
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |A∩B| of sorted arrays"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    "graft_sorted_long_intersect_size" -> (
+      info("graft_sorted_long_intersect_size",
+        "graft_sorted_long_intersect_size(a, b) - |A∩B| of sorted long arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))),
+    "graft_cosine" -> (
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of float/double arrays"),
+      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))),
+    "graft_ngram_md5" -> (
+      info("graft_ngram_md5",
+        "graft_ngram_md5(tokens, n) - positional n-gram md5 fingerprints"),
+      (args: Seq[Expression]) => NgramMd5(args(0), intLit(args(1), "n"))),
+    "graft_ngram_join" -> (
+      info("graft_ngram_join",
+        "graft_ngram_join(tokens, n) - positional space-joined n-grams"),
+      (args: Seq[Expression]) => NgramJoin(args(0), intLit(args(1), "n"))),
+    "graft_simhash_md5" -> (
+      info("graft_simhash_md5",
+        "graft_simhash_md5(tokens) - 32-bit md5-derived simhash"),
+      (args: Seq[Expression]) => SimHashMd5(args(0))),
+    "graft_lang_id" -> (
+      info("graft_lang_id",
+        "graft_lang_id(tokens) - marker-overlap language id"),
+      (args: Seq[Expression]) => LangIdExpr(args(0))),
     "graft_to_avro" -> (
       info("graft_to_avro", "graft_to_avro(struct) - avro-encode"),
       (args: Seq[Expression]) => ToAvro(args(0))),

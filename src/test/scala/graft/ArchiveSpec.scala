@@ -281,5 +281,20 @@ class ArchiveSpec extends SparkTestBase {
         |  '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
         |).x AS x""".stripMargin).collect()(0).getLong(0)
     assert(avro === 5L)
+    // the round-6/7 kernels are SQL-callable too
+    val more = spark.sql(
+      "SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c, " +
+        "graft_ngram_md5(array('a','b','c'), 2) AS nm, " +
+        "graft_ngram_join(array('a','b','c'), 2) AS nj, " +
+        "graft_simhash_md5(array('a','b')) AS sm, " +
+        "graft_lang_id(array('the','and','of','to','in')) AS l, " +
+        "graft_sorted_long_intersect_size(array(1L,2L), array(2L,3L)) AS li")
+      .collect()(0)
+    assert(more.getDouble(0) === 1.0)
+    assert(more.getSeq[String](1).length === 2 &&
+      more.getSeq[String](1).forall(_.length == 32))
+    assert(more.getSeq[String](2) === Seq("a b", "b c"))
+    assert(more.getAs[String]("l") === "en")
+    assert(more.getInt(5) === 1)
   }
 }

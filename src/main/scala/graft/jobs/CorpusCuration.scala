@@ -33,13 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object CorpusCuration {
 
+  /** Per-source keep threshold out of 256 for the default fixture
+    * naming ("srcN"): the q75 dyadic rate table by source index mod 4.
+    * Sources that don't parse keep EVERYTHING (threshold 256, weight
+    * 1) — a sampling stage must never silently down-sample a source it
+    * doesn't recognize; pass a custom `sourceThreshold` for real
+    * corpora.
+    */
+  def defaultSourceThreshold: org.apache.spark.sql.Column = {
+    // try_cast: unrecognized source names must fall through to the
+    // keep-everything branch, not fail the job under ANSI mode
+    val srcIdx = expr("try_cast(substring(source, 4, 10) AS INT)") % 4
+    when(srcIdx === 0, 256).when(srcIdx === 1, 128)
+      .when(srcIdx === 2, 192).when(srcIdx === 3, 64)
+      .otherwise(256)
+  }
+
   /** Stages 1–5; returns the curated frame with (split, weight) and
     * every gate's decision columns dropped.
+    *
+    * Documents shorter than 3 whitespace tokens are ALWAYS rejected:
+    * the repetition gate (q73 semantics) needs at least one 3-gram to
+    * score a document, and sub-3-token fragments are not training
+    * documents — this is a deliberate minimum-length gate, independent
+    * of the thresholds.
     */
   def curate(docs: DataFrame,
       maxTopTokenFrac: Double = 0.10,
       maxDup2Frac: Double = 0.08,
-      maxDup3Frac: Double = 0.05): DataFrame = {
+      maxDup3Frac: Double = 0.05,
+      sourceThreshold: org.apache.spark.sql.Column = defaultSourceThreshold)
+      : DataFrame = {
     // 1. quality gates: the q73 repetition rules are doc-keyed aggs, so
     // compute them once and semi-join the keep set back (ids only)
     val keep = graft.queries.Curation.repetitionStats(docs)
@@ -50,31 +74,31 @@ object CorpusCuration {
     val gated = docs.join(keep, Seq("doc_id"), "left_semi")
 
     // 2. PII redaction, then 3. exact dedup on the post-redaction
-    // canonical fingerprint: keep-first per fingerprint, ids-only
-    // window over (fp) — the q20 reduction as a survivor filter
+    // canonical fingerprint. The keep-first reduction runs on an
+    // ids-only (fp, doc_id) projection — only fingerprints and ids
+    // cross the dedup shuffle — and survivors semi-join back by id, so
+    // document text never rides a keyed exchange.
     val redacted = gated
       .withColumn("text", graft.queries.Curation.redactPii(col("text")))
-      .withColumn("fp",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
     val w = Window.partitionBy("fp").orderBy("doc_id")
-    val deduped = redacted
+    val survivors = redacted
+      .select(col("doc_id"), fp.as("fp"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "fp")
+      .select("doc_id")
+    val deduped = redacted.join(survivors, Seq("doc_id"), "left_semi")
 
     // 4. per-source budget sampling (q75 rates) + 5. q53 hash split
     val hex = lit("0123456789abcdef")
     val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
     val b = (instr(hex, substring(h, 1, 1)) - 1) * 16 +
       (instr(hex, substring(h, 2, 1)) - 1)
-    val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
-    val thr = when(srcIdx === 0, 256).when(srcIdx === 1, 128)
-      .when(srcIdx === 2, 192).otherwise(64)
     val hs = md5(col("text"))
     val bucket = (instr(hex, substring(hs, 1, 1)) - 1) * 16 +
       (instr(hex, substring(hs, 2, 1)) - 1)
     deduped
-      .withColumn("__thr", thr)
+      .withColumn("__thr", sourceThreshold)
       .filter(b < col("__thr"))
       .withColumn("weight", lit(256.0) / col("__thr"))
       .drop("__thr")

@@ -571,7 +571,7 @@ object Reports extends QueryPack {
               ORDER BY dist_center ASC, event_id ASC LIMIT 30)
         UNION ALL
         SELECT event_id, user_id, al_score, dist_center, 'highprob'
-        FROM (SELECT * FROM f
+        FROM (SELECT * FROM f WHERE al_score > 0.5
               ORDER BY al_score DESC, event_id ASC LIMIT 30)""")),
   )
 }

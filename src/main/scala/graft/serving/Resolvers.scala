@@ -62,8 +62,11 @@ object Resolvers {
       lit(2).as("blk"))
     val unioned = byName.unionByName(byNumber).unionByName(byNative)
     // duplicate keys → "@k" occurrence suffix, numbered in the
-    // deterministic (block, native-id) order; keys lowercased
-    val w = Window.partitionBy("ssodnet")
+    // deterministic (block, native-id) order. The occurrence window
+    // partitions on the LOWERCASED key — the suffix exists to keep the
+    // final (lowercased) serving row keys unique, so aliases differing
+    // only in case must share one occurrence sequence.
+    val w = Window.partitionBy(lower(col("ssodnet")))
       .orderBy(col("blk"), col("ssnamenr"))
     unioned
       .withColumn("occ", row_number().over(w) - 1)

@@ -224,6 +224,21 @@ class ArchiveSpec extends SparkTestBase {
     assert(byNum.length === 1 && byNum(0).getAs[String]("name") === "Vesta")
   }
 
+  test("sso resolver: case-colliding aliases share one @k sequence") {
+    import spark.implicits._
+    // aliases differing only in case lowercase onto the same serving
+    // key — the @k marking must treat them as one duplicate group
+    val agg = Seq(
+      ("ZTF-x1", "2010 AB", null),
+      ("ZTF-x2", "2010 ab", null)
+    ).toDF("ssnamenr", "sso_name", "sso_number")
+    val keys = graft.serving.Resolvers.ssoResolverIndex(agg)
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length === keys.length,
+      s"serving keys collide: ${keys.mkString(", ")}")
+    assert(keys.count(_.startsWith("2010 ab@")) === 2)
+  }
+
   test("tns resolver: concatenated lowercase key, point lookup") {
     import spark.implicits._
     val cat = Seq(

@@ -56,6 +56,29 @@ class CorpusCurationSpec extends SparkTestBase {
       curated.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("sampling never silently down-samples unrecognized sources") {
+    // a real corpus's source names don't parse as "srcN" — the default
+    // rate table must keep everything (weight 1), not quietly apply
+    // the fallback rate
+    val renamed = docs.withColumn("source", lit("commoncrawl"))
+    val weights = CorpusCuration.curate(renamed)
+      .select("weight").distinct().as[Double].collect().toSet
+    assert(weights === Set(1.0), weights.toString)
+  }
+
+  test("dedup shuffle carries (fp, doc_id) only — text never rides it") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // perturb the input so the cached `curated` plan can't substitute
+    // an InMemoryRelation for the subtree under inspection
+    val df = CorpusCuration.curate(docs.filter(col("doc_id") >= 0))
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(!w.child.output.exists(_.name == "text"),
+        s"document text crossed the dedup window:\n$w")
+    }
+  }
+
   test("lake: (split, source) partitions land and prune on read") {
     val dir = Files.createTempDirectory("curated-lake").toString
     CorpusCuration.write(curated, dir)

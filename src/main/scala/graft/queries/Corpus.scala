@@ -35,8 +35,11 @@ object Corpus extends QueryPack {
   val ChunkLen = 16
   val ChunkStride = 12
 
-  /** Non-distinct whitespace tokens — term frequency needs duplicates. */
-  private def rawTokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Non-distinct whitespace tokens — term frequency needs duplicates.
+    * Delegates to the ONE tokenizer (TextFunctions.tokens) so every
+    * query pack tokenizes exactly as the oracles were written against. */
+  private def rawTokens(c: Column): Column =
+    graft.functions.TextFunctions.tokens(c)
 
   /** Deterministic stratified sample: the k smallest rows per `lang`
     * stratum under the (md5(text), doc_id) order, with `rk` their rank.

@@ -33,8 +33,11 @@ import graft.core.Tables.t
   */
 object Curation extends QueryPack {
 
-  /** Whitespace tokens of trimmed text (q16's tokenizer). */
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens of trimmed text — the ONE tokenizer
+    * (TextFunctions.tokens), shared so the curation oracles and the
+    * text-function library can never drift apart. */
+  private def toks(c: Column): Column =
+    graft.functions.TextFunctions.tokens(c)
 
   /** Positional word n-grams as space-joined strings; empty when the
     * doc is shorter than n (guarded — Spark's `sequence(1, 0)` would

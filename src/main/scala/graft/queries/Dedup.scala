@@ -86,11 +86,17 @@ object Dedup extends QueryPack {
     // near-dup graphs. Same cutoff spirit as AQE's local-shuffle-read.
     val LocalLimit = 200000L
     val spark = pairs.sparkSession
-    val cnt = pairs.limit((LocalLimit + 1).toInt).count()
-    if (cnt <= LocalLimit) {
+    // ONE materialization decides the path AND feeds the local solver:
+    // collecting limit+1 ids costs 16 bytes/pair, and the unpersisted
+    // candidate pipeline above (shingle→minhash→band join→verify) only
+    // runs once instead of once for the count and again for the collect
+    val headPairs = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit((LocalLimit + 1).toInt)
+      .collect()
+    if (headPairs.length <= LocalLimit) {
       import spark.implicits._
-      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = headPairs.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x

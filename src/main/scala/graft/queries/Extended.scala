@@ -47,17 +47,22 @@ object Extended extends QueryPack {
           .select(
             col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
-            log10(col("l_quantity")).as("log_qty"),
+            // log10/pow are libm-dependent (JVM vs the oracle's libm can
+            // differ by 1 ulp — measured for ln() in q82's notes), so
+            // their hash-compared forms round through float32: a 1-ulp
+            // double difference vanishes in the float rounding. abs/
+            // floor/ceil/sqrt are IEEE-exact and compare at full width.
+            log10(col("l_quantity")).cast("float").as("log_qty"),
             abs(col("l_discount") - 0.05).as("abs_disc"),
-            pow(col("l_quantity"), 2).as("qty_sq"),
+            pow(col("l_quantity"), 2).cast("float").as("qty_sq"),
             floor(col("l_extendedprice")).cast("long").as("price_floor"),
             ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
             sqrt(col("l_quantity")).as("qty_sqrt")),
       Some("""
         SELECT l_orderkey, l_linenumber,
-          log10(l_quantity) AS log_qty,
+          log10(l_quantity)::FLOAT AS log_qty,
           abs(l_discount - 0.05) AS abs_disc,
-          pow(l_quantity, 2) AS qty_sq,
+          pow(l_quantity, 2)::FLOAT AS qty_sq,
           floor(l_extendedprice)::BIGINT AS price_floor,
           ceil(l_extendedprice)::BIGINT AS price_ceil,
           sqrt(l_quantity) AS qty_sqrt
@@ -185,8 +190,11 @@ object Extended extends QueryPack {
     QueryDef(
       "q39_lead_lag",
       (s, d) => {
+        // order at µs like the oracle scan sees (q09 note): a ns-side
+        // order would break sub-µs ties differently than DuckDB's
+        // (µs, event_id) order; event_id is unique so this stays total
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(expr("ts DIV 1000").asc, col("event_id").asc)
         // partition-edge nulls coalesced to -1/0 so the output is
         // null-free for the hash compare
         t(s, d, "events")

@@ -60,8 +60,12 @@ object Layout extends QueryPack {
           .select(col("o_orderkey"),
             (col("o_totalprice") * 2).as("o_totalprice"),
             lit("U").as("o_orderstatus"))
+        // the insert-key offset sits far above any realistic orderkey
+        // domain (TPC-H SF 100k ≈ 1.5e11 keys) so synthetic inserts can
+        // never collide with real keys and hand Upsert a duplicate-keyed
+        // batch at large SF
         val inserts = base.filter(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
             col("o_totalprice"), lit("N").as("o_orderstatus"))
         Upsert.upsert(base, mods.unionByName(inserts), Seq("o_orderkey"))
       },
@@ -71,7 +75,7 @@ object Layout extends QueryPack {
             'U' AS o_orderstatus
           FROM orders WHERE o_orderkey % 100 = 0
           UNION ALL
-          SELECT o_orderkey + 3000000, o_totalprice, 'N'
+          SELECT o_orderkey + 1000000000000, o_totalprice, 'N'
           FROM orders WHERE o_orderkey % 1000 = 0)
         SELECT * FROM updates
         UNION ALL

@@ -42,11 +42,14 @@ object Nested extends QueryPack {
     QueryDef(
       "q28_zip_explode",
       (s, d) => {
+        // histories sort on (µs ts, event_id) — the granularity the
+        // oracle's scan sees (DuckDB truncates TIMESTAMP_NS to micros);
+        // sorting on ns here would break sub-µs ties differently
         val hist = t(s, d, "events")
           .groupBy("user_id")
           .agg(
             array_sort(
-              collect_list(struct(col("ts"), col("event_id"), col("value"))))
+              collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
               .as("h"))
           .select(
             col("user_id"),
@@ -82,7 +85,7 @@ object Nested extends QueryPack {
         t(s, d, "events")
           .groupBy("user_id")
           .agg(
-            array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            array_sort(collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
               .as("h"))
           .select(
             col("user_id"),
@@ -145,7 +148,7 @@ object Nested extends QueryPack {
           .filter(col("event_id") % 2 === parity)
           .groupBy("user_id")
           .agg(array_sort(
-            collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
             .as("h"))
           .select(
             col("user_id"),

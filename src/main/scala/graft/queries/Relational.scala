@@ -187,13 +187,16 @@ object Relational extends QueryPack {
       (s, d) => {
         val w = Window.partitionBy("user_id")
         // ts surfaces as LongType epoch-ns (see GraftSession nanosAsLong);
-        // compare at µs because DuckDB 1.0 truncates TIMESTAMP_NS parquet
-        // to micros at scan. Integer DIV keeps the compare exact.
+        // the max AND the equality both run at µs because DuckDB 1.0
+        // truncates TIMESTAMP_NS parquet to micros at scan — a ns-side
+        // max would keep fewer rows than the oracle whenever two events
+        // share the max microsecond. Integer DIV keeps it exact.
         t(s, d, "events")
-          .withColumn("max_ts", max(col("ts")).over(w))
-          .filter(col("ts") === col("max_ts"))
+          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("max_ts", max(col("ts_us")).over(w))
+          .filter(col("ts_us") === col("max_ts"))
           .select(col("user_id"), col("event_id"),
-            expr("ts DIV 1000").as("ts_us"), col("event_type"))
+            col("ts_us"), col("event_type"))
       },
       Some("""
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

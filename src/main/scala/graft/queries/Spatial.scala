@@ -26,6 +26,14 @@ object Spatial extends QueryPack {
     (key * mult % 17000).cast("double") / 100.0 - 85.0
 
   def defs: Seq[QueryDef] = Seq(
+    // Oracle-parity note: the in-radius decision (haversine sep <= 5°)
+    // runs through sin/cos/asin, which are ~1-ulp libm functions, NOT
+    // bit-pinned cross-engine like the rest of the oracle suite. The
+    // compare is safe because the 0.01° pseudo-grid quantizes pairwise
+    // separations — none lands within ~1e-10° of the cutoff (verified
+    // against the fixture domain) — so a 1-ulp trig difference cannot
+    // flip a membership. A continuous-coordinate oracle would need a
+    // guard band instead.
     QueryDef(
       "q42_crossmatch_cone",
       (s, d) => {

@@ -225,16 +225,22 @@ object Temporal extends QueryPack {
             sum(x * x).cast("double").as("sxx"),
             sum(y * y).cast("double").as("syy"),
             sum(x * y).cast("double").as("sxy"))
+          // NULL (not Inf/NaN) on a zero-variance group: Spark double
+          // x/0 is Inf while DuckDB's is NULL (the q79 discipline)
           .withColumn(
             "corr_qd",
-            (n * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(n * col("sxx") - col("sx") * col("sx")) *
-                sqrt(n * col("syy") - col("sy") * col("sy"))))
+            when(
+              sqrt(n * col("sxx") - col("sx") * col("sx")) *
+                sqrt(n * col("syy") - col("sy") * col("sy")) =!= 0.0,
+              (n * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(n * col("syy") - col("sy") * col("sy")))))
       },
       Some("""
         SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
           (n_d * sxy - sx * sy) /
-            (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS corr_qd
+            nullif(sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy), 0)
+            AS corr_qd
         FROM (
           SELECT l_returnflag,
             COUNT(*) AS n,
@@ -286,26 +292,11 @@ object Temporal extends QueryPack {
     QueryDef(
       "q61_ks_test",
       (s, d) => {
+        // exact-mode ksStatistic — the same helper q68 buckets; one
+        // implementation, two modes
         val rf = col("l_returnflag")
-        val counts = t(s, d, "lineitem")
-          .filter(rf.isin("A", "R"))
-          .groupBy(col("l_quantity").as("v"))
-          .agg(
-            count(when(rf === "A", 1)).as("ca"),
-            count(when(rf === "R", 1)).as("cb"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-          .rowsBetween(Long.MinValue, 0)
-        val totals = counts.agg(
-          sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-        counts
-          .withColumn("cuma", sum(col("ca")).over(w))
-          .withColumn("cumb", sum(col("cb")).over(w))
-          .crossJoin(broadcast(totals))
-          .groupBy("na", "nb")
-          .agg(max(abs(
-            col("cuma").cast("double") / col("na").cast("double") -
-              col("cumb").cast("double") / col("nb").cast("double")))
-            .as("ks_d"))
+        ksStatistic(t(s, d, "lineitem"), col("l_quantity"),
+          rf === "A", rf === "R")
       },
       Some("""
         WITH counts AS (

@@ -27,6 +27,7 @@ object SparkEntry {
     graft.queries.Corpus.defs,
     graft.queries.Reports.defs,
     graft.queries.Curation.defs,
+    graft.queries.Serving.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -16,8 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // oracle-bearing results must be primitive-only — an array cell
+        // crashes the driver's pandas row-sort (the round-7 q86 `err`)
+        if (SparkEntry.oracleSql.contains(name))
+          graft.core.OutputLint.assertDriverComparable(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -140,6 +140,22 @@ object Curation extends QueryPack {
         PhonePat, "[PHONE]"),
       IpPat, "[IP]")
 
+  /** Deterministic planted-PII augmentation, shared by q74 and q88:
+    * every 5th doc an email, every 7th a phone, every 11th an IP — the
+    * raw corpus carries no pattern-shaped PII, so the redactor needs
+    * planted targets; built by the SAME expression in both engines. */
+  def plantPii(text: Column, docId: Column): Column = concat(
+    text,
+    when(docId % 5 === 0,
+      concat(lit(" reach me at user"), docId.cast("string"),
+        lit("@mail.net"))).otherwise(lit("")),
+    when(docId % 7 === 0,
+      lit(" or call +98-765-4321 today")).otherwise(lit("")),
+    when(docId % 11 === 0,
+      concat(lit(" from host 10.0."),
+        (docId % 256).cast("string"), lit("."),
+        (docId % 100).cast("string"))).otherwise(lit("")))
+
   /** Deterministic next-fit sequence packing into `budget`-token bins,
     * windowed over the composite (source, md5-first-hex) shard key so
     * parallelism is 16× the source count (see q81 notes).
@@ -241,19 +257,8 @@ object Curation extends QueryPack {
     QueryDef(
       "q74_pii_redact",
       (s, d) => {
-        val aug = concat(
-          col("text"),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" reach me at user"), col("doc_id").cast("string"),
-              lit("@mail.net"))).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            lit(" or call +98-765-4321 today")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            concat(lit(" from host 10.0."),
-              (col("doc_id") % 256).cast("string"), lit("."),
-              (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
         t(s, d, "documents")
-          .withColumn("aug", aug)
+          .withColumn("aug", plantPii(col("text"), col("doc_id")))
           .select(
             col("doc_id"),
             size(regexp_extract_all(col("aug"), lit(EmailPat), lit(0)))
@@ -464,5 +469,100 @@ object Curation extends QueryPack {
           term, tfidf
         FROM scored
         QUALIFY rk <= 5""")),
+
+    // ---- Composed curation pipeline (the CurationStream spine as a
+    //      batch oracle): quality gates → PII redaction → content-
+    //      fingerprint exact dedup, certified end-to-end rather than
+    //      per-operator. The input plants PII (q74's augmentation) and
+    //      exact re-crawl twins (every 10th doc re-keyed +1e6 with
+    //      identical text), so the redactor and the dedup are both
+    //      load-bearing: twins share a post-redaction fingerprint and
+    //      the lower doc_id wins, deterministically in both engines.
+    //      Output: per-source curation manifest — gated doc count, kept
+    //      count after dedup, redacted-doc count, kept token mass, and
+    //      the min/max surviving fingerprints (a driver-comparable
+    //      digest of WHICH rows survived, not just how many).
+    //      Scale: gates+redaction are map-only per-row expressions
+    //      (zero shuffles before state, exactly like the streaming
+    //      form); the dedup window keys on the 32-hex fingerprint —
+    //      ids-only state, never text; the final rollup is one
+    //      map-side-combinable source-keyed aggregate. ----
+    QueryDef(
+      "q88_curation_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            plantPii(col("text"), col("doc_id")).as("text"),
+            col("source"))
+        val twins = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        val curated = graft.streaming.CurationStream.curate(
+          docs.unionByName(twins))
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        curated
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_curated"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") === 1 &&
+                col("text").rlike("\\[(EMAIL|PHONE|IP)\\]"), 1L)
+              .otherwise(0L)).as("n_redacted"),
+            sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L))
+              .as("sum_tokens"),
+            min(when(col("rn") === 1, col("fp"))).as("min_fp"),
+            max(when(col("rn") === 1, col("fp"))).as("max_fp"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, source, text
+            || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+                 || CAST(doc_id AS VARCHAR) || '@mail.net' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' or call +98-765-4321 today' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+          FROM documents),
+        alldocs AS (
+          SELECT doc_id, source, text FROM aug
+          UNION ALL
+          SELECT doc_id + 1000000, source, text
+          FROM aug WHERE doc_id % 10 = 0),
+        cur AS (
+          SELECT doc_id, source,
+            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+              AS n_tokens,
+            CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) / len(text) AS alpha_ratio,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+              '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+              '[IP]', 'g') AS rtext
+          FROM alldocs),
+        gated AS (
+          SELECT doc_id, source, n_tokens, rtext,
+            md5(regexp_replace(lower(trim(rtext)), '\s+', ' ', 'g')) AS fp
+          FROM cur
+          WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+        marked AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+            AS rn
+          FROM gated)
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_curated,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN rn = 1 AND regexp_matches(rtext,
+            '\[(EMAIL|PHONE|IP)\]') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_redacted,
+          CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+            AS sum_tokens,
+          MIN(CASE WHEN rn = 1 THEN fp END) AS min_fp,
+          MAX(CASE WHEN rn = 1 THEN fp END) AS max_fp
+        FROM marked
+        GROUP BY source""")),
   )
 }

@@ -478,45 +478,65 @@ object Similarity extends QueryPack {
     //      multiply-add, floor) is the same IEEE op on identical
     //      operands in both engines. Zero vectors keep scale 0 and an
     //      all-zero code (guarded identically). Pure per-row: zero
-    //      shuffles, linear at any corpus size. ----
+    //      shuffles, linear at any corpus size.
+    //
+    //      Gate shape: the registered query serializes the code vector
+    //      as a comma-joined string (`q_codes`) — the driver's pandas
+    //      row-sort cannot hash array cells (the r7 `err`), so oracle
+    //      outputs must stay primitive-only (enforced by
+    //      core.OutputLint). Programmatic callers use [[quantizeInt8]]
+    //      for the array-valued form. ----
     QueryDef(
       "q86_embedding_quantize",
       (s, d) => {
-        val amax = array_max(transform(col("embedding"), x => abs(x)))
-        emb(s, d)
-          .withColumn("amax", amax)
-          .withColumn("scale",
-            when(col("amax") > 0,
-              col("amax").cast("double") / 127.0).otherwise(0.0))
-          .withColumn("q",
-            when(col("amax") > 0,
-              transform(col("embedding"),
-                x => floor(x.cast("double") * (lit(127.0) /
-                  col("amax").cast("double")) + 0.5).cast("int")))
-              .otherwise(transform(col("embedding"), _ => lit(0))))
-          .select(col("vec_id"), col("scale"), col("q"),
-            array_max(transform(col("q"), x => abs(x))).cast("long")
-              .as("q_amax"))
+        quantizeInt8(emb(s, d))
+          .select(col("vec_id"), col("scale"),
+            array_join(col("q"), ",").as("q_codes"), col("q_amax"))
       },
       Some("""
         WITH e AS (
           SELECT vec_id, embedding,
             list_max(list_transform(embedding, x -> abs(x))) AS amax
-          FROM embeddings)
-        SELECT vec_id,
-          CASE WHEN amax > 0 THEN CAST(amax AS DOUBLE) / 127.0
-               ELSE 0.0 END AS scale,
-          CASE WHEN amax > 0 THEN
-            list_transform(embedding, x ->
-              CAST(floor(CAST(x AS DOUBLE)
-                * (127.0 / CAST(amax AS DOUBLE)) + 0.5) AS INT))
-          ELSE list_transform(embedding, x -> 0) END AS q,
-          list_max(list_transform(
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id,
+            CASE WHEN amax > 0 THEN CAST(amax AS DOUBLE) / 127.0
+                 ELSE 0.0 END AS scale,
             CASE WHEN amax > 0 THEN
               list_transform(embedding, x ->
                 CAST(floor(CAST(x AS DOUBLE)
                   * (127.0 / CAST(amax AS DOUBLE)) + 0.5) AS INT))
-            ELSE list_transform(embedding, x -> 0) END,
-            x -> abs(x)))::BIGINT AS q_amax
-        FROM e""")))
+            ELSE list_transform(embedding, x -> 0) END AS q
+          FROM e)
+        SELECT vec_id, scale,
+          array_to_string(q, ',') AS q_codes,
+          list_max(list_transform(q, x -> abs(x)))::BIGINT AS q_amax
+        FROM qq"""))
+  )
+
+  /** Per-vector symmetric int8 quantization (array-valued API): scale =
+    * amax/127, codes q_i = floor(x_i·127/amax + 0.5) ∈ [-127, 127]; zero
+    * vectors keep scale 0 and an all-zero code. Pure per-row — zero
+    * shuffles at any corpus size. The registered q86 gate query wraps
+    * this with a comma-joined `q_codes` string (driver-comparable);
+    * the dequantization round-trip bound |x − q·scale| ≤ scale/2 is
+    * SimilaritySpec-tested against this array form.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"), x => abs(x)))
+    embeddings
+      .withColumn("amax", amax)
+      .withColumn("scale",
+        when(col("amax") > 0,
+          col("amax").cast("double") / 127.0).otherwise(0.0))
+      .withColumn("q",
+        when(col("amax") > 0,
+          transform(col("embedding"),
+            x => floor(x.cast("double") * (lit(127.0) /
+              col("amax").cast("double")) + 0.5).cast("int")))
+          .otherwise(transform(col("embedding"), _ => lit(0))))
+      .select(col("vec_id"), col("scale"), col("q"),
+        array_max(transform(col("q"), x => abs(x))).cast("long")
+          .as("q_amax"))
+  }
 }

@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Resolvers {
 
-  private def isDecimal(c: Column): Column = c.rlike("^[0-9]+$")
+  // Bounded to 18 digits: under ANSI mode a longer all-digit key would
+  // overflow the later cast('long') and fail the whole index build; the
+  // pandas reference (arbitrary-precision int) sorts it fine. Oversized
+  // keys fall into the lexical class instead — ordering differs from the
+  // reference only for >18-digit designations, which do not occur.
+  private def isDecimal(c: Column): Column = c.rlike("^[0-9]{1,18}$")
 
   /** One lookup row per alias: (alias → native id, resolved name,
     * resolved number). `agg` must carry one row per object with

@@ -28,6 +28,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Fixed-arity guard: a wrong argument count from SQL surfaces as the
+    * standard WRONG_NUM_ARGS AnalysisException naming the function, not
+    * an IndexOutOfBoundsException from args(i). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"),
+          None)
+      build(args)
+    }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -46,52 +64,58 @@ object GraftExtensions {
   val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
     "graft_ang2pix" -> (
       info("graft_ang2pix", "graft_ang2pix(ra, dec, nside) - healpix nested pixel"),
-      (args: Seq[Expression]) =>
-        Ang2PixNest(args(0), args(1), intLit(args(2), "nside"))),
+      arity("graft_ang2pix", 3)(args =>
+        Ang2PixNest(args(0), args(1), intLit(args(2), "nside")))),
     "graft_minhash" -> (
       info("graft_minhash", "graft_minhash(shingles, k) - minhash signature"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))),
+      arity("graft_minhash", 2)(args =>
+        MinHashSig(args(0), intLit(args(1), "k")))),
     "graft_simhash" -> (
       info("graft_simhash", "graft_simhash(tokens) - 64-bit simhash"),
-      (args: Seq[Expression]) => SimHash64(args(0))),
+      arity("graft_simhash", 1)(args => SimHash64(args(0)))),
     "graft_word_ngrams" -> (
       info("graft_word_ngrams", "graft_word_ngrams(tokens, n) - distinct word n-grams"),
-      (args: Seq[Expression]) => WordNGrams(args(0), intLit(args(1), "n"))),
+      arity("graft_word_ngrams", 2)(args =>
+        WordNGrams(args(0), intLit(args(1), "n")))),
     "graft_sorted_intersect_size" -> (
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |A∩B| of sorted arrays"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+      arity("graft_sorted_intersect_size", 2)(args =>
+        SortedIntersectSize(args(0), args(1)))),
     "graft_sorted_long_intersect_size" -> (
       info("graft_sorted_long_intersect_size",
         "graft_sorted_long_intersect_size(a, b) - |A∩B| of sorted long arrays"),
-      (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))),
+      arity("graft_sorted_long_intersect_size", 2)(args =>
+        SortedLongIntersectSize(args(0), args(1)))),
     "graft_cosine" -> (
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of float/double arrays"),
-      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))),
+      arity("graft_cosine", 2)(args => FloatVecCosine(args(0), args(1)))),
     "graft_ngram_md5" -> (
       info("graft_ngram_md5",
         "graft_ngram_md5(tokens, n) - positional n-gram md5 fingerprints"),
-      (args: Seq[Expression]) => NgramMd5(args(0), intLit(args(1), "n"))),
+      arity("graft_ngram_md5", 2)(args =>
+        NgramMd5(args(0), intLit(args(1), "n")))),
     "graft_ngram_join" -> (
       info("graft_ngram_join",
         "graft_ngram_join(tokens, n) - positional space-joined n-grams"),
-      (args: Seq[Expression]) => NgramJoin(args(0), intLit(args(1), "n"))),
+      arity("graft_ngram_join", 2)(args =>
+        NgramJoin(args(0), intLit(args(1), "n")))),
     "graft_simhash_md5" -> (
       info("graft_simhash_md5",
         "graft_simhash_md5(tokens) - 32-bit md5-derived simhash"),
-      (args: Seq[Expression]) => SimHashMd5(args(0))),
+      arity("graft_simhash_md5", 1)(args => SimHashMd5(args(0)))),
     "graft_lang_id" -> (
       info("graft_lang_id",
         "graft_lang_id(tokens) - marker-overlap language id"),
-      (args: Seq[Expression]) => LangIdExpr(args(0))),
+      arity("graft_lang_id", 1)(args => LangIdExpr(args(0)))),
     "graft_to_avro" -> (
       info("graft_to_avro", "graft_to_avro(struct) - avro-encode"),
-      (args: Seq[Expression]) => ToAvro(args(0))),
+      arity("graft_to_avro", 1)(args => ToAvro(args(0)))),
     "graft_from_avro" -> (
       info("graft_from_avro", "graft_from_avro(bytes, schemaJson) - avro-decode"),
-      (args: Seq[Expression]) =>
-        FromAvro(args(0), strLit(args(1), "schemaJson"))))
+      arity("graft_from_avro", 2)(args =>
+        FromAvro(args(0), strLit(args(1), "schemaJson")))))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit = {

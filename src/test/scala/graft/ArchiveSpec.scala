@@ -311,5 +311,11 @@ class ArchiveSpec extends SparkTestBase {
     assert(more.getSeq[String](2) === Seq("a b", "b c"))
     assert(more.getAs[String]("l") === "en")
     assert(more.getInt(5) === 1)
+    // wrong arity surfaces as WRONG_NUM_ARGS, not IndexOutOfBounds
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0f))").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine") &&
+      e.getMessage.contains("2"), e.getMessage)
   }
 }

@@ -210,16 +210,31 @@ class SimilaritySpec extends SparkTestBase {
 
   test("q86 quantization: int8 range, dequantization error bound, shuffle-free") {
     import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
     val df = SparkEntry.queries("q86_embedding_quantize")(spark, sf)
     // pure per-row: the compressor must never shuffle
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
+    // the gate output is primitive-only (the r7 driver-harness crash was
+    // an array cell) and q_codes round-trips to the array form
+    df.schema.fields.foreach { f =>
+      assert(!f.dataType.typeName.matches("array|map|struct"),
+        s"gate column ${f.name} is non-scalar: ${f.dataType}")
+    }
     df.collect().foreach { r =>
       assert(r.getAs[Long]("q_amax") <= 127L, "code exceeds int8 range")
     }
+    val arr = Similarity.quantizeInt8(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val codesMatch = arr
+      .select(col("vec_id"), array_join(col("q"), ",").as("expect"))
+      .join(df.select(col("vec_id"), col("q_codes")), "vec_id")
+      .filter(col("expect") =!= col("q_codes"))
+      .count()
+    assert(codesMatch === 0, "q_codes string drifts from the array form")
     // symmetric-scale round trip: |x - q·scale| ≤ scale/2 per coordinate
     val joined = spark.read.parquet(s"$sf/embeddings.parquet")
-      .join(df, "vec_id")
+      .join(arr, "vec_id")
       .select(col("scale"),
         array_max(zip_with(col("embedding"), col("q"),
           (x, q) => abs(x.cast("double") - q.cast("double") * col("scale"))))
@@ -236,7 +251,8 @@ class SimilaritySpec extends SparkTestBase {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
     val deq = spark.read.parquet(s"$sf/embeddings.parquet")
-      .join(SparkEntry.queries("q86_embedding_quantize")(spark, sf)
+      .join(Similarity.quantizeInt8(
+          spark.read.parquet(s"$sf/embeddings.parquet"))
         .select("vec_id", "scale", "q"), "vec_id")
       .select(col("vec_id"),
         transform(col("q"), x => (x.cast("double") * col("scale"))

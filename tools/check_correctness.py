@@ -69,6 +69,18 @@ def main():
         if name not in oracle:
             print(f"  {name}: rows-only ({len(s_rows)} rows)")
             continue
+        # the DRIVER's harness (pandas sort_values) crashes on
+        # array/map/struct cells — mirror that here instead of silently
+        # stringifying them (the round-7 q86 escape)
+        bad_cols = [
+            c for i, c in enumerate(s_cols)
+            if any(isinstance(r[i], (list, tuple, dict, set)) for r in s_rows[:5])
+        ]
+        if bad_cols:
+            print(f"FAIL {name}: non-scalar output columns {bad_cols} "
+                  "(driver harness cannot hash these)")
+            n_fail += 1
+            continue
         o_rel = con.sql(oracle[name])
         o_rows, o_cols = canon(o_rel.fetchall(), o_rel.columns)
         if s_cols != o_cols:

@@ -499,15 +499,21 @@ object Curation extends QueryPack {
           .withColumn("doc_id", col("doc_id") + lit(1000000L))
         val curated = graft.streaming.CurationStream.curate(
           docs.unionByName(twins))
+        // project to skinny rows BEFORE the dedup window: the redaction
+        // evidence collapses to one boolean, so the fp-keyed exchange
+        // carries (id, source, count, 32-hex, flag) — never document
+        // text (plan-asserted in NewQueryPlanSpec)
+        val slim = curated.select(
+          col("doc_id"), col("source"), col("n_tokens"), col("fp"),
+          col("text").rlike("\\[(EMAIL|PHONE|IP)\\]").as("redacted"))
         val w = Window.partitionBy("fp").orderBy("doc_id")
-        curated
+        slim
           .withColumn("rn", row_number().over(w))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_curated"),
             sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("rn") === 1 &&
-                col("text").rlike("\\[(EMAIL|PHONE|IP)\\]"), 1L)
+            sum(when(col("rn") === 1 && col("redacted"), 1L)
               .otherwise(0L)).as("n_redacted"),
             sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L))
               .as("sum_tokens"),

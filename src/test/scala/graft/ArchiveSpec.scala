@@ -224,6 +224,23 @@ class ArchiveSpec extends SparkTestBase {
     assert(byNum.length === 1 && byNum(0).getAs[String]("name") === "Vesta")
   }
 
+  test("sso resolver: >18-digit keys sort lexically instead of overflowing") {
+    import spark.implicits._
+    // an all-digit key longer than long range must not throw under ANSI
+    // mode — it falls into the lexical class (the pandas reference's
+    // arbitrary-precision sort differs only for keys that cannot occur)
+    val agg = Seq(
+      ("ZTF-h1", "99999999999999999999", null), // 20 digits > Long.Max
+      ("ZTF-h2", "7", null)
+    ).toDF("ssnamenr", "sso_name", "sso_number")
+    val raw = graft.serving.Resolvers.ssoResolverIndex(agg)
+      .collect().map(_.getString(0).split("@")(0))
+    // the short numeric key leads; the oversized one lands with the
+    // lexical block (after numerics), and nothing threw
+    assert(raw.head === "7")
+    assert(raw.contains("99999999999999999999"))
+  }
+
   test("sso resolver: case-colliding aliases share one @k sequence") {
     import spark.implicits._
     // aliases differing only in case lowercase onto the same serving

@@ -43,4 +43,30 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"q86 scan reads unneeded columns:\n$p")
   }
+
+  test("q87 resolver index: 3-way union of projections, no self-join") {
+    val df = SparkEntry.queries("q87_sso_resolver_index")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // alias fan-out must stay a union of three scan projections; the
+    // @k marking is one keyed window — never a join of part to itself
+    assert(!p.contains("Join"), s"resolver build joins:\n$p")
+    assert(p.contains("Window"), s"occurrence marking lost its window:\n$p")
+  }
+
+  test("q88 curation pipeline: no document text crosses a shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q88_curation_pipeline")(spark, sf)
+    // the dedup window's input must be the skinny projection — text is
+    // reduced to (n_tokens, fp, redacted) BEFORE the fp-keyed exchange,
+    // so the shuffle carries fingerprints, never documents (the same
+    // ids-only discipline as CorpusCuration's dedup)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "dedup window missing from the plan")
+    wins.foreach { w =>
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text flows into the dedup shuffle: $cols")
+    }
+  }
 }

@@ -66,5 +66,28 @@ object Serving extends QueryPack {
           FROM u)
         SELECT lower(ssodnet || '@' || CAST(occ AS VARCHAR)) AS ssodnet,
           ssnamenr, name, number
-        FROM m""")))
+        FROM m""")),
+
+    // q89 certifies the TNS-resolver index build (ref:
+    // bin/ztf/tns_resolver.py:40-71): key component columns lowercased
+    // in place (case-insensitive lookup — c_name's 'Customer#' prefix
+    // makes the lowering load-bearing) plus the concatenated tns_key.
+    // Pure per-row projection — zero shuffles at any catalog size.
+    QueryDef(
+      "q89_tns_resolver_index",
+      (s, d) => {
+        val cat = t(s, d, "customer").select(
+          col("c_name").as("fullname"),
+          col("c_custkey").cast("string").as("internal_name"),
+          col("c_mktsegment").as("type"))
+        graft.serving.Resolvers.tnsResolverIndex(
+          cat, Seq("fullname", "internal_name"))
+      },
+      Some("""
+        SELECT lower(c_name) AS fullname,
+          lower(CAST(c_custkey AS VARCHAR)) AS internal_name,
+          c_mktsegment AS type,
+          lower(c_name) || '_' || lower(CAST(c_custkey AS VARCHAR))
+            AS tns_key
+        FROM customer""")))
 }

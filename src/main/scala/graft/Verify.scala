@@ -15,17 +15,26 @@ object Verify {
       shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val oracle = SparkEntry.oracleSql
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // oracle-bearing results must be primitive-only — an array cell
         // crashes the driver's pandas row-sort (the round-7 q86 `err`)
-        if (SparkEntry.oracleSql.contains(name))
+        if (oracle.contains(name))
           graft.core.OutputLint.assertDriverComparable(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale result dir from a prior run would otherwise be
+        // compared in place of the failed query, masking the failure
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.delete)
+        }
       }
       // queries that persist() intermediates (LSH/ANN pipelines) have
       // materialized by now — drop their cached blocks so 68 queries'

@@ -496,7 +496,8 @@ object Curation extends QueryPack {
             plantPii(col("text"), col("doc_id")).as("text"),
             col("source"))
         val twins = docs.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("doc_id",
+            col("doc_id") + lit(Similarity.TwinIdOffset))
         val curated = graft.streaming.CurationStream.curate(
           docs.unionByName(twins))
         // project to skinny rows BEFORE the dedup window: the redaction
@@ -534,7 +535,7 @@ object Curation extends QueryPack {
         alldocs AS (
           SELECT doc_id, source, text FROM aug
           UNION ALL
-          SELECT doc_id + 1000000, source, text
+          SELECT doc_id + """ + Similarity.TwinIdOffset + """, source, text
           FROM aug WHERE doc_id % 10 = 0),
         cur AS (
           SELECT doc_id, source,

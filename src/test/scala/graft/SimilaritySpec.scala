@@ -217,10 +217,9 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
     // the gate output is primitive-only (the r7 driver-harness crash was
     // an array cell) and q_codes round-trips to the array form
-    df.schema.fields.foreach { f =>
-      assert(!f.dataType.typeName.matches("array|map|struct"),
-        s"gate column ${f.name} is non-scalar: ${f.dataType}")
-    }
+    assert(graft.core.OutputLint.nonScalarFields(df.schema).isEmpty,
+      s"gate columns are non-scalar: " +
+        graft.core.OutputLint.nonScalarFields(df.schema).mkString(", "))
     df.collect().foreach { r =>
       assert(r.getAs[Long]("q_amax") <= 127L, "code exceeds int8 range")
     }

@@ -59,6 +59,15 @@ def main():
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_exact = n_approx = n_fail = 0
+    # a query that failed inside Verify leaves NO output dir — surface
+    # that as a failure instead of silently comparing fewer queries
+    present = {p.name for p in out_dir.iterdir() if p.is_dir()}
+    for name in sorted(set(oracle) - present):
+        if any(name.startswith(s) for s in skip):
+            continue
+        print(f"FAIL {name}: oracle registered but no Verify output "
+              "(query threw or lint-tripped in Verify)")
+        n_fail += 1
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
         if any(name.startswith(s) for s in skip):
@@ -71,10 +80,13 @@ def main():
             continue
         # the DRIVER's harness (pandas sort_values) crashes on
         # array/map/struct cells — mirror that here instead of silently
-        # stringifying them (the round-7 q86 escape)
+        # stringifying them (the round-7 q86 escape). Check the SCHEMA,
+        # not sampled values: an all-NULL-in-sample array column or an
+        # empty result must still fail.
         bad_cols = [
-            c for i, c in enumerate(s_cols)
-            if any(isinstance(r[i], (list, tuple, dict, set)) for r in s_rows[:5])
+            c for c, t in zip(spark_rel.columns, spark_rel.types)
+            if any(k in str(t).upper()
+                   for k in ("[]", "STRUCT(", "MAP(", "UNION("))
         ]
         if bad_cols:
             print(f"FAIL {name}: non-scalar output columns {bad_cols} "
@@ -82,6 +94,16 @@ def main():
             n_fail += 1
             continue
         o_rel = con.sql(oracle[name])
+        o_bad = [
+            c for c, t in zip(o_rel.columns, o_rel.types)
+            if any(k in str(t).upper()
+                   for k in ("[]", "STRUCT(", "MAP(", "UNION("))
+        ]
+        if o_bad:
+            print(f"FAIL {name}: non-scalar ORACLE columns {o_bad} "
+                  "(driver harness cannot hash these)")
+            n_fail += 1
+            continue
         o_rows, o_cols = canon(o_rel.fetchall(), o_rel.columns)
         if s_cols != o_cols:
             print(f"FAIL {name}: schema {s_cols} vs oracle {o_cols}")

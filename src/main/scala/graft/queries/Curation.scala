@@ -571,5 +571,91 @@ object Curation extends QueryPack {
           MAX(CASE WHEN rn = 1 THEN fp END) AS max_fp
         FROM marked
         GROUP BY source""")),
+
+    // ---- q90: C4-style corpus line dedup (Raffel et al. 2020 §2.2:
+    //      drop any line occurring >= 3 times in the corpus, keep doc
+    //      order otherwise). The synthetic docs carry no newlines, so
+    //      line structure is PLANTED by the same expression in both
+    //      engines (the q88 idiom): boilerplate header/footer lines on
+    //      deterministic doc_id residues — exactly the repeated
+    //      navigation/footer text this operator exists to strip.
+    //      Scale: the counting path explodes (doc_id, pos, md5(line))
+    //      triples ONLY — the corpus-wide line-frequency shuffle
+    //      carries 16-byte fingerprints, never text. Removal positions
+    //      collapse to one small int-array row per affected doc
+    //      (ids-only shuffle), and text is touched by a single
+    //      doc_id-keyed join Catalyst broadcasts while the removal set
+    //      is small and merges when it is not; the per-doc reassembly
+    //      is a map-side array expression, never a sort of exploded
+    //      text rows. ----
+    QueryDef(
+      "q90_line_dedup",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(
+          col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter for updates\n"))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit("\nall rights reserved by the site owner"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nclick here to read more")).otherwise(lit("")))
+            .as("t"))
+        val slim = aug
+          .select(col("doc_id"), posexplode(split(col("t"), "\n")))
+          .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+        val dupFps = slim.groupBy("fp")
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 3).select("fp")
+        val removed = slim.join(dupFps, "fp")
+          .groupBy("doc_id").agg(collect_list(col("pos")).as("rm"))
+        aug.join(removed, Seq("doc_id"), "left")
+          .withColumn("rm",
+            coalesce(col("rm"), array().cast("array<int>")))
+          .withColumn("lines", split(col("t"), "\n"))
+          .select(
+            col("doc_id"),
+            array_join(
+              transform(
+                filter(sequence(lit(0), size(col("lines")) - 1),
+                  i => !array_contains(col("rm"), i)),
+                i => element_at(col("lines"), i + 1)),
+              "\n").as("cleaned_text"),
+            (size(col("lines")) - size(col("rm"))).cast("long")
+              .as("n_kept"),
+            size(col("rm")).cast("long").as("n_removed"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+              THEN 'subscribe to our newsletter for updates' || chr(10)
+              ELSE '' END
+            || text
+            || CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'all rights reserved by the site owner'
+              ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'click here to read more' ELSE '' END AS t
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+            unnest(range(0, len(parts))) AS pos,
+            unnest(parts) AS line
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS parts
+                FROM aug)),
+        dup AS (
+          SELECT line FROM lines GROUP BY line HAVING count(*) >= 3)
+        SELECT l.doc_id,
+          coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+            chr(10) ORDER BY l.pos), '') AS cleaned_text,
+          CAST(count(CASE WHEN d.line IS NULL THEN 1 END) AS BIGINT)
+            AS n_kept,
+          CAST(count(d.line) AS BIGINT) AS n_removed
+        FROM lines l
+        LEFT JOIN dup d ON d.line = l.line
+        GROUP BY l.doc_id""")),
   )
 }

@@ -69,4 +69,35 @@ class NewQueryPlanSpec extends SparkTestBase {
         s"document text flows into the dedup shuffle: $cols")
     }
   }
+
+  test("q90 line dedup: counting path ships fingerprints, never lines") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = SparkEntry.queries("q90_line_dedup")(spark, sf)
+    // every aggregation input (the line-frequency count and the per-doc
+    // removal collection) must be skinny — (doc_id, pos, 16-byte fp)
+    // triples; text reaches only the final map-side reassembly
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+    }
+    assert(aggs.nonEmpty, "line-frequency aggregate missing")
+    aggs.foreach { a =>
+      val cols = a.child.output.map(_.name)
+      assert(!cols.exists(c => c == "t" || c == "text" || c == "col"),
+        s"line text flows into an aggregation shuffle: $cols")
+    }
+    // correctness spot-check: boilerplate planted on >= 1/3 of docs is
+    // removed everywhere, and kept+removed reconstructs the line count
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cleaned = r.getAs[String]("cleaned_text")
+      assert(!cleaned.contains("subscribe to our newsletter"),
+        s"repeated boilerplate survived in doc ${r.getAs[Long]("doc_id")}")
+      assert(!cleaned.contains("all rights reserved"), "footer survived")
+      val nLines =
+        if (cleaned.isEmpty) 0L else (cleaned.count(_ == '\n') + 1).toLong
+      assert(r.getAs[Long]("n_kept") == nLines,
+        s"n_kept disagrees with reassembled text for ${r.get(0)}")
+    }
+  }
 }

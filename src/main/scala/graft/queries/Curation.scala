@@ -657,5 +657,114 @@ object Curation extends QueryPack {
         FROM lines l
         LEFT JOIN dup d ON d.line = l.line
         GROUP BY l.doc_id""")),
+
+    // ---- q91: deterministic epoch shuffle into training shards.
+    //      Every epoch of training wants the corpus in a NEW
+    //      pseudo-random but REPRODUCIBLE order, laid out as N shard
+    //      files: position = rank of md5(seed || doc_id) within the
+    //      shard. The physical plan is exactly the one that survives
+    //      100 TB — one hash-keyed exchange of skinny (shard, h, id,
+    //      n_tokens) rows plus an in-partition sort; document text
+    //      never moves, and parallelism is the shard count (64 here —
+    //      the knob scales with corpus size exactly like q81's shard
+    //      prefix). The manifest certifies the full permutation
+    //      WITHOUT collecting members: a positional checksum
+    //      sum(position * (doc_id % 997 + 1)) pins every doc's rank —
+    //      any transposition changes it — while staying a map-side-
+    //      combinable aggregate. ----
+    QueryDef(
+      "q91_epoch_shuffle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hex = lit("0123456789abcdef")
+        val h = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+        val shard =
+          ((instr(hex, substring(col("h"), 1, 1)) - 1) * 16 +
+            (instr(hex, substring(col("h"), 2, 1)) - 1)) % 64
+        val slim = t(s, d, "documents")
+          .select(col("doc_id"), size(toks(col("text"))).as("nt"))
+          .withColumn("h", h)
+          .withColumn("shard", shard.cast("long"))
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        slim
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt").cast("long")).as("sum_tokens"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"),
+            sum(col("rn") * (col("doc_id") % 997 + 1)).as("poschk"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS nt,
+            md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents),
+        s AS (
+          SELECT *,
+            CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64
+              AS BIGINT) AS shard
+          FROM h),
+        r AS (
+          SELECT *, row_number()
+            OVER (PARTITION BY shard ORDER BY hx, doc_id) AS rn
+          FROM s)
+        SELECT shard,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+          MIN(hx) AS min_h,
+          MAX(hx) AS max_h,
+          CAST(SUM(rn * (doc_id % 997 + 1)) AS BIGINT) AS poschk
+        FROM r GROUP BY shard""")),
+
+    // ---- q92: frequency-built vocabulary + per-document OOV rate —
+    //      the tokenizer-prep operator (which K tokens cover the
+    //      corpus, and how much of each doc falls outside them).
+    //      Scale: the token-frequency aggregate is map-side
+    //      combinable; the top-K cut is a TakeOrdered (O(K) per
+    //      partition, no global sort); the K-row vocabulary
+    //      BROADCASTS back, so the per-doc OOV reduction is one
+    //      doc_id-keyed combinable aggregate — the corpus shuffles
+    //      once on token text (inherent to counting) and never again.
+    //      Boundary ties at rank K break on (count DESC, token ASC)
+    //      in both engines. ----
+    QueryDef(
+      "q92_vocab_oov",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(30)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        tk.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM tk GROUP BY tok
+          ORDER BY count(*) DESC, tok LIMIT 30),
+        j AS (
+          SELECT t.doc_id,
+            CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tk t LEFT JOIN vocab v ON v.tok = t.tok)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(oov) AS BIGINT) AS n_oov,
+          CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS oov_rate
+        FROM j GROUP BY doc_id""")),
   )
 }

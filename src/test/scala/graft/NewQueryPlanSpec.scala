@@ -100,4 +100,35 @@ class NewQueryPlanSpec extends SparkTestBase {
         s"n_kept disagrees with reassembled text for ${r.get(0)}")
     }
   }
+
+  test("q91 epoch shuffle: skinny window input, no text, no collect_list") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q91_epoch_shuffle")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // the shard-rank window must see only (doc_id, nt, h, shard) —
+    // document text stays at the scan; and the manifest must certify
+    // order via the positional checksum, never by collecting members
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "shard-rank window missing")
+    wins.foreach { w =>
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"text flows into the epoch-shuffle exchange: $cols")
+    }
+    assert(!opt.toString.contains("collect_list"),
+      "manifest collects shard members — dies at corpus scale")
+    // determinism: two runs produce identical manifests
+    assert(df.collect().toSet ==
+      SparkEntry.queries("q91_epoch_shuffle")(spark, sf).collect().toSet)
+  }
+
+  test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
+    val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut must be O(K) per partition, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"K-row vocab must broadcast back to the corpus:\n$p")
+  }
 }

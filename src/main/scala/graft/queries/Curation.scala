@@ -766,5 +766,79 @@ object Curation extends QueryPack {
           CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
             AS oov_rate
         FROM j GROUP BY doc_id""")),
+
+    // ---- q93: incremental dedup — a NEW crawl batch deduplicated
+    //      against the EXISTING corpus (the production shape of q20:
+    //      nightly crawls never re-dedup the whole lake). A new doc
+    //      survives iff its canonical fingerprint is absent from the
+    //      corpus AND it is the first occurrence within the batch.
+    //      Planted structure (same expressions both engines): re-crawls
+    //      of corpus docs arrive UPPERCASED (proving canonicalization
+    //      catches them) and some fresh docs arrive twice.
+    //      Scale: the corpus side ships DISTINCT 16-byte fingerprints
+    //      only; one fp-keyed left join + one fp-keyed first-occurrence
+    //      window over (id, source, fp) rows — document text never
+    //      leaves the scan, and the corpus fingerprint set is exactly
+    //      the artifact a real lake maintains incrementally. ----
+    QueryDef(
+      "q93_incremental_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def fpOf(c: Column) =
+          md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        val fresh = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("source"), col("text"))
+        val recrawl = corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            col("source"), upper(col("text")).as("text"))
+        val batchDup = docs.filter(col("doc_id") % 20 === 8)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            col("source"), col("text"))
+        val newFp = fresh.unionByName(recrawl).unionByName(batchDup)
+          .select(col("doc_id"), col("source"),
+            fpOf(col("text")).as("fp"))
+        val corpusFp = corpus.select(fpOf(col("text")).as("fp"))
+          .distinct().withColumn("in_corpus", lit(1L))
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        newFp.join(corpusFp, Seq("fp"), "left")
+          .withColumn("rn", row_number().over(w))
+          .select(
+            col("doc_id"), col("source"), col("fp"),
+            when(col("in_corpus").isNotNull, 1L).otherwise(0L)
+              .as("dup_corpus"),
+            when(col("rn") > 1, 1L).otherwise(0L).as("dup_batch"),
+            when(col("in_corpus").isNull && col("rn") === 1, 1L)
+              .otherwise(0L).as("keep"))
+      },
+      Some("""
+        WITH newcrawl AS (
+          SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, source, upper(text) FROM documents
+          WHERE doc_id % 4 <> 0 AND doc_id % 20 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, source, text FROM documents
+          WHERE doc_id % 20 = 8),
+        newfp AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM newcrawl),
+        corpusfp AS (
+          SELECT DISTINCT
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 4 <> 0),
+        marked AS (
+          SELECT n.doc_id, n.source, n.fp,
+            CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS dup_corpus,
+            row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
+          FROM newfp n LEFT JOIN corpusfp c ON c.fp = n.fp)
+        SELECT doc_id, source, fp,
+          CAST(dup_corpus AS BIGINT) AS dup_corpus,
+          CAST(CASE WHEN rn > 1 THEN 1 ELSE 0 END AS BIGINT) AS dup_batch,
+          CAST(CASE WHEN dup_corpus = 0 AND rn = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+        FROM marked""")),
   )
 }

@@ -122,6 +122,34 @@ class NewQueryPlanSpec extends SparkTestBase {
       SparkEntry.queries("q91_epoch_shuffle")(spark, sf).collect().toSet)
   }
 
+  test("q93 incremental dedup: text never crosses the fp join or window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    val df = SparkEntry.queries("q93_incremental_dedup")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: LJoin => j }
+    val wins = opt.collect { case w: LWindow => w }
+    assert(joins.nonEmpty && wins.nonEmpty, "fp join or window missing")
+    (joins.flatMap(j => j.left.output ++ j.right.output) ++
+      wins.flatMap(_.child.output)).foreach { a =>
+      assert(a.name != "text",
+        "document text flows into the dedup join/window")
+    }
+    // semantics spot-check: recrawls are corpus-dups despite uppercasing,
+    // batch twins keep exactly one copy
+    val rows = df.collect()
+    val recrawls = rows.filter(_.getAs[Long]("doc_id") >= 2000000L)
+      .filter(_.getAs[Long]("doc_id") < 3000000L)
+    assert(recrawls.nonEmpty &&
+      recrawls.forall(_.getAs[Long]("dup_corpus") == 1L),
+      "uppercased re-crawl escaped canonical dedup")
+    val twins = rows.filter(_.getAs[Long]("doc_id") >= 3000000L)
+    assert(twins.nonEmpty)
+    rows.groupBy(_.getAs[String]("fp")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("keep")).sum <= 1L,
+        "more than one copy of a fingerprint kept")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -29,13 +29,14 @@ object Temporal extends QueryPack {
     * (na, nb, ks_d) — the engine form behind q61.
     *
     * SCALE CONTRACT: exact mode (`buckets = None`) groups by the RAW
-    * value first, so the single-partition running window scans the
-    * DISTINCT VALUE DOMAIN, not the rows — the right 100 TB shape
-    * whenever the metric is discrete or low-cardinality (l_quantity:
-    * ~50 values). For a CONTINUOUS metric the domain ≈ the row count
-    * and that window degenerates to one task sorting everything; pass
-    * `buckets = Some(B)` to quantize onto B equal-width ECDF bins
-    * first. The bin histogram is an ordinary map-side-combined groupBy
+    * value first, so the running sum scans the DISTINCT VALUE DOMAIN,
+    * not the rows — and that cumsum is a two-phase distributed prefix
+    * sum (range-striped parallel windows + broadcast stripe offsets),
+    * so even a continuous metric whose domain ≈ the row count never
+    * funnels through one task. Exact mode still SHUFFLES the whole
+    * distinct domain once; pass `buckets = Some(B)` to quantize onto B
+    * equal-width ECDF bins first when an approximation suffices. The
+    * bin histogram is an ordinary map-side-combined groupBy
     * (B rows out), the window cost drops to B, and the D error is
     * bounded by the largest per-bin probability mass (≤ the bin width's
     * share of the distribution; standard ECDF sketching).
@@ -68,12 +69,43 @@ object Temporal extends QueryPack {
       .agg(
         count(when(col("a"), 1)).as("ca"),
         count(when(col("b"), 1)).as("cb"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(Long.MinValue, 0)
+    // Two-phase distributed prefix sum over the value domain: an
+    // unpartitioned running window would move EVERY distinct value to
+    // one task (Spark warns exactly that), which dies when the metric
+    // is continuous at corpus scale. Phase 1: cumsum WITHIN each of P
+    // range stripes (parallel window keyed by stripe). Phase 2: add
+    // the broadcast per-stripe offsets — one row per stripe, bounded
+    // by P, never by the data. The stripe id is a PURE FUNCTION of v
+    // (equal-width over the observed [lo, hi]), not repartitionByRange:
+    // sampled range boundaries could differ between the two plan
+    // branches that both need the stripe id, which would silently
+    // misalign the offsets; a deterministic expression cannot.
+    val P = 32
+    val vr = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val striped = counts.crossJoin(broadcast(vr))
+      .withColumn("pid",
+        when(col("hi") > col("lo"),
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+            * P), lit(P - 1)))
+          .otherwise(lit(0)))
+      .drop("lo", "hi")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("v").rowsBetween(Long.MinValue, 0)
+    val local = striped
+      .withColumn("la", sum(col("ca")).over(wp))
+      .withColumn("lb", sum(col("cb")).over(wp))
+    val wo = org.apache.spark.sql.expressions.Window
+      .orderBy("pid").rowsBetween(Long.MinValue, -1)
+    val offsets = striped.groupBy("pid")
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .select(col("pid"),
+        coalesce(sum(col("sa")).over(wo), lit(0L)).as("oa"),
+        coalesce(sum(col("sb")).over(wo), lit(0L)).as("ob"))
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    counts
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    local
+      .join(broadcast(offsets), Seq("pid"))
+      .select((col("la") + col("oa")).as("cuma"),
+        (col("lb") + col("ob")).as("cumb"))
       .crossJoin(broadcast(totals))
       .groupBy("na", "nb")
       .agg(max(abs(

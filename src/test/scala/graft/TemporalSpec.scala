@@ -129,6 +129,29 @@ class TemporalSpec extends SparkTestBase {
     assert(viaHelper === viaQuery)
   }
 
+  test("KS exact cumsum is two-phase: no unpartitioned window over values") {
+    import graft.queries.Temporal
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (0 until 2000).map(i => (i * 0.37, i % 3 == 0))
+      .toDF("v", "isa")
+    val res = Temporal.ksStatistic(df, col("v"), col("isa"), !col("isa"))
+    // the value-domain cumsum windows must be keyed by the range
+    // stripe; the only unpartitioned window allowed is the P-row
+    // stripe-offset pass (child carries pid/sa/sb, never v)
+    res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .filter(_.partitionSpec.isEmpty)
+      .foreach { w =>
+        val cols = w.child.output.map(_.name)
+        assert(!cols.contains("v"),
+          s"value-domain window lost its stripe key: $cols")
+      }
+    // and the stripes change nothing: one-partition input agrees
+    val one = Temporal.ksStatistic(
+      df.coalesce(1), col("v"), col("isa"), !col("isa"))
+    assert(res.collect()(0).getAs[Double]("ks_d") ==
+      one.collect()(0).getAs[Double]("ks_d"))
+  }
+
   test("KS binning sandwich holds on random data: D_binned <= D_exact <= D_binned + max bin mass") {
     import graft.queries.Temporal
     // sup over bin boundaries is a sup over a SUBSET of the value axis,

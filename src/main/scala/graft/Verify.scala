@@ -28,12 +28,20 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale result dir from a prior run would otherwise be
-        // compared in place of the failed query, masking the failure
-        val dir = Paths.get(outDir, name)
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(Files.delete)
+        // compared in place of the failed query, masking the failure;
+        // a cleanup failure must stay THIS query's problem, not abort
+        // the remaining queries
+        try {
+          val dir = Paths.get(outDir, name)
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(dir)
+            try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally walk.close()
+          }
+        } catch { case c: Throwable =>
+          System.err.println(
+            s"[verify] $name stale-output cleanup failed: ${c.getMessage}")
         }
       }
       // queries that persist() intermediates (LSH/ANN pipelines) have

@@ -80,7 +80,7 @@ object CorpusCuration {
     // document text never rides a keyed exchange.
     val redacted = gated
       .withColumn("text", graft.queries.Curation.redactPii(col("text")))
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val fp = md5(graft.functions.TextFunctions.normText(col("text")))
     val w = Window.partitionBy("fp").orderBy("doc_id")
     val survivors = redacted
       .select(col("doc_id"), fp.as("fp"))

@@ -784,8 +784,11 @@ object Curation extends QueryPack {
       "q93_incremental_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // the ONE canonical dedup fingerprint (shared with
+        // CurationStream and the q88 oracle idiom) — incremental dedup
+        // must stay compatible with the lake's fingerprint set
         def fpOf(c: Column) =
-          md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+          md5(graft.functions.TextFunctions.normText(c))
         val docs = t(s, d, "documents")
         val corpus = docs.filter(col("doc_id") % 4 =!= 0)
         val fresh = docs.filter(col("doc_id") % 4 === 0)

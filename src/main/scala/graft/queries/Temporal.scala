@@ -41,6 +41,18 @@ object Temporal extends QueryPack {
     * bounded by the largest per-bin probability mass (≤ the bin width's
     * share of the distribution; standard ECDF sketching).
     */
+  /** Equal-width bin index of `v` over [lo, hi] — ONE formula for both
+    * the ECDF-bin quantization and the prefix-sum range stripes, so the
+    * two can never drift. NULL `v` stays NULL (callers decide where
+    * NULLs land); a degenerate range (hi <= lo) collapses to bin 0. */
+  private def equalWidthBin(
+      v: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    when(hi > lo, least(floor((v - lo) / (hi - lo) * n), lit(n - 1)))
+      .otherwise(lit(0))
+
   def ksStatistic(
       df: org.apache.spark.sql.DataFrame,
       value: org.apache.spark.sql.Column,
@@ -58,10 +70,7 @@ object Temporal extends QueryPack {
         val range = rows.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
         rows.crossJoin(broadcast(range))
           .select(
-            when(col("hi") > col("lo"),
-              least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
-                * bN), lit(bN - 1)))
-              .otherwise(lit(0)).as("v"),
+            equalWidthBin(col("v"), col("lo"), col("hi"), bN).as("v"),
             col("a"), col("b"))
     }
     val counts = keyed
@@ -79,15 +88,15 @@ object Temporal extends QueryPack {
     // (equal-width over the observed [lo, hi]), not repartitionByRange:
     // sampled range boundaries could differ between the two plan
     // branches that both need the stripe id, which would silently
-    // misalign the offsets; a deterministic expression cannot.
+    // misalign the offsets; a deterministic expression cannot. A NULL
+    // value lands in stripe 0, where the window's asc-nulls-first
+    // order places it before every number — the same position the
+    // global nulls-first sort gave it.
     val P = 32
     val vr = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val striped = counts.crossJoin(broadcast(vr))
       .withColumn("pid",
-        when(col("hi") > col("lo"),
-          least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
-            * P), lit(P - 1)))
-          .otherwise(lit(0)))
+        coalesce(equalWidthBin(col("v"), col("lo"), col("hi"), P), lit(0)))
       .drop("lo", "hi")
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy("v").rowsBetween(Long.MinValue, 0)
@@ -312,13 +321,12 @@ object Temporal extends QueryPack {
     // (the reference's anomaly jobs gate on KS ranges; here exact and
     // in-engine): D = max over pooled distinct values of
     // |ECDF_A(v) − ECDF_B(v)|. Grouping by value first makes tie
-    // handling order-free; the CDF window runs over DISTINCT values —
-    // bounded by the value domain, not the row count — so the single-
-    // partition window is an aggregated-domain scan, not a data scan.
-    // That assumption is the operator's scale contract: it holds for
-    // discrete metrics like l_quantity (~50 values); for continuous
-    // metrics use [[ksStatistic]] with `buckets` (ECDF-bin variant,
-    // window cost = bin count, error <= max per-bin mass).
+    // handling order-free; the CDF runs over DISTINCT values via the
+    // two-phase range-striped prefix sum in [[ksStatistic]], so even a
+    // continuous value domain never funnels through one task. The
+    // exact path still shuffles the whole distinct domain once; when
+    // an approximation suffices, `buckets` (q68) quantizes first and
+    // bounds the error by the max per-bin mass.
     // Every compared number is (exact int)/(exact int) in double: IEEE-
     // identical cross-engine.
     QueryDef(

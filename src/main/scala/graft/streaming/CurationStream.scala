@@ -39,7 +39,7 @@ object CurationStream {
         col("alpha_ratio") >= minAlphaRatio)
       .withColumn("text", graft.queries.Curation.redactPii(col("text")))
       .withColumn("fp",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        md5(graft.functions.TextFunctions.normText(col("text"))))
   }
 
   /** The full stream: curate → content-fingerprint exact dedup. Pass

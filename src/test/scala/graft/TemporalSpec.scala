@@ -150,6 +150,20 @@ class TemporalSpec extends SparkTestBase {
       df.coalesce(1), col("v"), col("isa"), !col("isa"))
     assert(res.collect()(0).getAs[Double]("ks_d") ==
       one.collect()(0).getAs[Double]("ks_d"))
+    // NULL metric values sort before every number (nulls-first), i.e.
+    // exactly like a value below the observed minimum — the striping
+    // must not silently relocate them
+    def d(r: org.apache.spark.sql.DataFrame): Double =
+      r.collect()(0).getAs[Double]("ks_d")
+    val withNulls = (0 until 500).map { i =>
+      (if (i % 7 == 0) None else Some(i * 0.31), i % 3 == 0)
+    }.toDF("v", "isa")
+    val belowMin = withNulls
+      .withColumn("v", coalesce(col("v"), lit(-1e9)))
+    assert(
+      d(Temporal.ksStatistic(withNulls, col("v"), col("isa"), !col("isa")))
+        == d(Temporal.ksStatistic(belowMin, col("v"), col("isa"), !col("isa"))),
+      "NULL values moved relative to the nulls-first contract")
   }
 
   test("KS binning sandwich holds on random data: D_binned <= D_exact <= D_binned + max bin mass") {

@@ -86,7 +86,7 @@ def main():
         bad_cols = [
             c for c, t in zip(spark_rel.columns, spark_rel.types)
             if any(k in str(t).upper()
-                   for k in ("[]", "STRUCT(", "MAP(", "UNION("))
+                   for k in ("[", "STRUCT(", "MAP(", "UNION("))
         ]
         if bad_cols:
             print(f"FAIL {name}: non-scalar output columns {bad_cols} "
@@ -97,7 +97,7 @@ def main():
         o_bad = [
             c for c, t in zip(o_rel.columns, o_rel.types)
             if any(k in str(t).upper()
-                   for k in ("[]", "STRUCT(", "MAP(", "UNION("))
+                   for k in ("[", "STRUCT(", "MAP(", "UNION("))
         ]
         if o_bad:
             print(f"FAIL {name}: non-scalar ORACLE columns {o_bad} "

@@ -843,5 +843,93 @@ object Curation extends QueryPack {
           CAST(CASE WHEN dup_corpus = 0 AND rn = 1 THEN 1 ELSE 0 END
             AS BIGINT) AS keep
         FROM marked""")),
+
+    // ---- q94: temperature-based data mixing — per-source sampling
+    //      weights ∝ n^(1/2) (temperature 2 re-weighting: up-samples
+    //      small sources, damps the head — the mixing rule behind
+    //      multilingual/multi-source training corpora), realized as
+    //      deterministic hash sampling at the derived per-source rate.
+    //      Cross-engine exactness by RATIONAL ARITHMETIC (q52's
+    //      ln-free discipline): sqrt(n) is quantized to the integer
+    //      m = floor(sqrt(n)·2^20) (sqrt is IEEE-correctly-rounded in
+    //      both engines; ·2^20 scales the exponent exactly), so the
+    //      weight denominator is an exact INTEGER sum — never a
+    //      float reduction whose order could differ — and every
+    //      emitted double is ONE division of two exact integers. The
+    //      keep decision compares a 16-bit md5 value against
+    //      floor(rate·2^16): integers again.
+    //      Scale: one count aggregate, a 1-row denominator broadcast,
+    //      a tiny rates broadcast joined map-side, one combinable
+    //      per-source rollup — the corpus is scanned once and never
+    //      shuffles on content. ----
+    QueryDef(
+      "q94_temperature_mix",
+      (s, d) => {
+        val hex = lit("0123456789abcdef")
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_total"))
+          .withColumn("m",
+            floor(sqrt(col("n_total").cast("double")) * 1048576.0)
+              .cast("long"))
+        val denom = counts.agg(sum(col("m")).as("denom"))
+        val target = lit(300L)
+        val rates = counts.crossJoin(broadcast(denom))
+          .withColumn("mix_weight",
+            col("m").cast("double") / col("denom").cast("double"))
+          .withColumn("keep_rate",
+            least(lit(1.0), (target * col("m")).cast("double") /
+              (col("denom") * col("n_total")).cast("double")))
+          .withColumn("thr",
+            floor(col("keep_rate") * 65536.0).cast("long"))
+        val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+        def hx(i: Int) = instr(hex, substring(col("h"), i, 1)) - 1
+        val kept = docs
+          .withColumn("h", h)
+          .withColumn("hv",
+            (hx(1) * 4096 + hx(2) * 256 + hx(3) * 16 + hx(4)).cast("long"))
+          .join(broadcast(rates.select("source", "thr")), Seq("source"))
+          .filter(col("hv") < col("thr"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        rates
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_total"), col("mix_weight"),
+            col("keep_rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, COUNT(*)::BIGINT AS n_total
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, CAST(floor(sqrt(n_total::DOUBLE) * 1048576)
+            AS BIGINT) AS m
+          FROM c),
+        d AS (SELECT CAST(SUM(m) AS BIGINT) AS denom FROM w),
+        r AS (
+          SELECT w.source, w.n_total,
+            m::DOUBLE / denom::DOUBLE AS mix_weight,
+            least(1.0, (300 * m)::DOUBLE / (denom * n_total)::DOUBLE)
+              AS keep_rate,
+            CAST(floor(least(1.0,
+              (300 * m)::DOUBLE / (denom * n_total)::DOUBLE) * 65536)
+              AS BIGINT) AS thr
+          FROM w, d),
+        k AS (
+          SELECT source, COUNT(*)::BIGINT AS n_kept
+          FROM (
+            SELECT source,
+              (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS hv,
+              thr
+            FROM (SELECT source,
+                    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents) JOIN r USING (source))
+          WHERE hv < thr GROUP BY source)
+        SELECT r.source, r.n_total, r.mix_weight, r.keep_rate,
+          COALESCE(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k USING (source)""")),
   )
 }

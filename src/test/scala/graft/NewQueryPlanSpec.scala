@@ -150,6 +150,27 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q94 temperature mix: rates broadcast, corpus never shuffles text") {
+    val df = SparkEntry.queries("q94_temperature_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source rates must broadcast to the corpus scan:\n$p")
+    // sampling honors the temperature: every source's kept count is
+    // within the 16-bit quantization of rate*n, and no source is empty
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      val rate = r.getAs[Double]("keep_rate")
+      assert(kept <= n, "kept more than exist")
+      // hash sampling concentration: |kept - rate*n| small for md5
+      assert(math.abs(kept - rate * n) <= math.max(8.0, 0.35 * n),
+        s"source ${r.get(0)}: kept=$kept rate*n=${rate * n}")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -931,5 +931,114 @@ object Curation extends QueryPack {
         SELECT r.source, r.n_total, r.mix_weight, r.keep_rate,
           COALESCE(k.n_kept, 0) AS n_kept
         FROM r LEFT JOIN k USING (source)""")),
+
+    // ---- q95: UniMax epoch-capped budget allocation (Chung et al.
+    //      2023) — the OTHER canonical mixing rule next to q94's
+    //      temperature sampling: spread a token budget as uniformly as
+    //      possible across sources subject to a per-source epoch cap,
+    //      i.e. water-filling alloc_i = min(cap_i, θ) with θ chosen so
+    //      Σ alloc = B. Closed form, no iteration: sort capacities
+    //      ascending; source i is capped iff the budget left after
+    //      fully granting sources 1..i still funds every later source
+    //      at ≥ cap_i — the exact predicate cap_i·(k−i) ≤ B − prefix_i,
+    //      ALL INTEGERS (the capped set is prefix-closed, so one
+    //      max-over-flag aggregate finds the waterline). θ and the
+    //      per-source epochs are each ONE integer division/ratio.
+    //      Scale: one corpus-pass token count (map-side combinable);
+    //      everything after runs on a #sources-row table (tiny by
+    //      definition) — the single-partition window is over ≤ a few
+    //      thousand rows at any corpus size, and the scalar waterline
+    //      broadcasts back. Per-source epoch caps are planted
+    //      deterministically (1 + md5 nibble mod 3 ∈ {1,2,3}) by the
+    //      same expression in both engines so caps genuinely bind. ----
+    QueryDef(
+      "q95_unimax_mix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val caps = t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
+          .withColumn("epoch_cap",
+            (instr(lit("0123456789abcdef"),
+              substring(md5(concat(lit("cap:"), col("source"))), 1, 1))
+              - 1) % 3 + 1)
+          .withColumn("cap_tokens",
+            col("epoch_cap").cast("long") * col("n_tokens"))
+        val totals = caps.agg(
+          sum(col("n_tokens")).as("budget"),
+          count(lit(1)).as("k"))
+        val ranked = caps.crossJoin(broadcast(totals))
+          .withColumn("i",
+            row_number().over(
+              w.orderBy(col("cap_tokens"), col("source"))))
+          .withColumn("prefix",
+            sum(col("cap_tokens")).over(
+              w.orderBy(col("cap_tokens"), col("source"))
+                .rowsBetween(w.unboundedPreceding, w.currentRow)))
+          .withColumn("is_capped",
+            (col("cap_tokens") * (col("k") - col("i"))
+              <= col("budget") - col("prefix")).cast("long"))
+        val waterline = ranked.agg(
+          coalesce(max(when(col("is_capped") === 1, col("i"))), lit(0L))
+            .as("m"),
+          coalesce(max(when(col("is_capped") === 1, col("prefix"))),
+            lit(0L)).as("prefix_m"))
+        ranked.crossJoin(broadcast(waterline))
+          .withColumn("alloc_tokens",
+            when(col("is_capped") === 1, col("cap_tokens"))
+              .otherwise(expr(
+                "(budget - prefix_m) div (k - m)").cast("long")))
+          .withColumn("alloc_epochs",
+            col("alloc_tokens").cast("double")
+              / col("n_tokens").cast("double"))
+          .select(col("source"), col("n_tokens"),
+            col("epoch_cap").cast("long").as("epoch_cap"),
+            col("cap_tokens"), col("is_capped"),
+            col("alloc_tokens"), col("alloc_epochs"))
+      },
+      Some("""
+        WITH caps AS (
+          SELECT source,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens,
+            ((strpos('0123456789abcdef',
+                substr(md5('cap:' || source), 1, 1)) - 1) % 3 + 1)
+              AS epoch_cap
+          FROM documents GROUP BY source),
+        c2 AS (
+          SELECT *, CAST(epoch_cap AS BIGINT) * n_tokens AS cap_tokens
+          FROM caps),
+        tot AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+            COUNT(*)::BIGINT AS k
+          FROM c2),
+        ranked AS (
+          SELECT c2.*, tot.budget, tot.k,
+            CAST(row_number() OVER
+              (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+            CAST(SUM(cap_tokens) OVER
+              (ORDER BY cap_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS prefix
+          FROM c2, tot),
+        flagged AS (
+          SELECT *,
+            CASE WHEN cap_tokens * (k - i) <= budget - prefix
+              THEN 1 ELSE 0 END::BIGINT AS is_capped
+          FROM ranked),
+        wl AS (
+          SELECT COALESCE(MAX(CASE WHEN is_capped = 1 THEN i END), 0)
+              AS m,
+            COALESCE(MAX(CASE WHEN is_capped = 1 THEN prefix END), 0)
+              AS prefix_m
+          FROM flagged)
+        SELECT source, n_tokens, CAST(epoch_cap AS BIGINT) AS epoch_cap,
+          cap_tokens, is_capped,
+          CASE WHEN is_capped = 1 THEN cap_tokens
+            ELSE (budget - prefix_m) // (k - m) END AS alloc_tokens,
+          (CASE WHEN is_capped = 1 THEN cap_tokens
+            ELSE (budget - prefix_m) // (k - m) END)::DOUBLE
+            / n_tokens::DOUBLE AS alloc_epochs
+        FROM flagged, wl""")),
   )
 }

@@ -1040,5 +1040,116 @@ object Curation extends QueryPack {
             ELSE (budget - prefix_m) // (k - m) END)::DOUBLE
             / n_tokens::DOUBLE AS alloc_epochs
         FROM flagged, wl""")),
+
+    // ---- q96: DSIR hashed-n-gram importance weighting (Xie et al.
+    //      2023, "Data Selection for Language Models via Importance
+    //      Resampling") — score every raw document by how target-like
+    //      its hashed-bigram profile is. Bigrams hash into 256 buckets
+    //      (first two md5 hex chars); a planted source predicate
+    //      (md5 nibble < 6, same expression both engines) marks the
+    //      "target domain"; Laplace-smoothed bucket distributions for
+    //      target vs raw give a per-bucket likelihood ratio, and each
+    //      doc's score is Σ count_b · ratio_b. Textbook DSIR sums LOG
+    //      ratios and resamples ∝ exp(score); here the ratio is an
+    //      exact scaled-integer ((ct+1)·Dr·2^14) div ((cr+1)·Dt) and
+    //      the sum is pure bigint — ln() drifts by 1 ulp between libm
+    //      and the JVM (q82's measurement), integers never do. `kept`
+    //      = mean ratio above parity (score ≥ 2^14·n_bigrams).
+    //      Scale: the raw text is touched ONCE by the compiled
+    //      NgramMd5 pass; per-doc bucket counts are doc-keyed and
+    //      map-side combinable; the distribution table is ≤256 rows —
+    //      built with one combinable aggregate, broadcast back — so
+    //      the only shuffles are doc-keyed, linear in corpus tokens.
+    //      At 100-TB gram counts the 3-factor product nears int64 —
+    //      upgrade l to DECIMAL(38,0) arithmetic, same plan shape. ----
+    QueryDef(
+      "q96_dsir_importance",
+      (s, d) => {
+        val hexpos = (c: Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val tgt = (hexpos(substring(
+          md5(concat(lit("tgt:"), col("source"))), 1, 1)) < 6)
+          .cast("long")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("is_target", tgt)
+        val db = docs
+          .select(col("doc_id"), col("is_target"),
+            explode(graft.functions.HashFunctions
+              .ngramMd5(toks(col("text")), 2)).as("g"))
+          .withColumn("b",
+            hexpos(substring(col("g"), 1, 1)) * 16 +
+              hexpos(substring(col("g"), 2, 1)))
+          .groupBy("doc_id", "is_target", "b")
+          .agg(count(lit(1)).as("c"))
+        val bk = db.groupBy("b").agg(
+          sum(when(col("is_target") === 1, col("c")).otherwise(0L))
+            .as("ct"),
+          sum(col("c")).as("cr"))
+        val tot = bk.agg(
+          (sum(col("ct")) + 256).as("dt"),
+          (sum(col("cr")) + 256).as("dr"))
+        val l = bk.crossJoin(broadcast(tot))
+          .select(col("b"),
+            expr("((ct + 1) * dr * 16384) div ((cr + 1) * dt)").as("l"))
+        val sc = db
+          .join(broadcast(l), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"),
+            sum(col("c") * col("l")).as("score"))
+        docs.join(sc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("source"), col("is_target"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("score"), lit(0L)).as("score"),
+            when(coalesce(col("score"), lit(0L)) >=
+              coalesce(col("n_bigrams"), lit(0L)) * 16384 &&
+              coalesce(col("n_bigrams"), lit(0L)) > 0, 1L)
+              .otherwise(0L).as("kept"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('tgt:' || source), 1, 1)) - 1) < 6
+              THEN 1 ELSE 0 END::BIGINT AS is_target,
+            regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, is_target, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 1, 0)),
+            i -> md5(array_to_string(tk[i:i+1], ' ')))) AS g
+          FROM d),
+        db AS (
+          SELECT doc_id, is_target,
+            (strpos('0123456789abcdef', substr(g, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(g, 2, 1)) - 1) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY ALL),
+        bk AS (
+          SELECT b,
+            CAST(SUM(CASE WHEN is_target = 1 THEN c ELSE 0 END)
+              AS BIGINT) AS ct,
+            CAST(SUM(c) AS BIGINT) AS cr
+          FROM db GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(ct) AS BIGINT) + 256 AS dt,
+                 CAST(SUM(cr) AS BIGINT) + 256 AS dr
+          FROM bk),
+        l AS (
+          SELECT b, ((ct + 1) * dr * 16384) // ((cr + 1) * dt) AS l
+          FROM bk, tot),
+        sc AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+            CAST(SUM(c * l.l) AS BIGINT) AS score
+          FROM db JOIN l USING (b) GROUP BY doc_id)
+        SELECT d.doc_id, d.source, d.is_target,
+          COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+          COALESCE(sc.score, 0) AS score,
+          CASE WHEN COALESCE(sc.score, 0) >=
+              COALESCE(sc.n_bigrams, 0) * 16384
+              AND COALESCE(sc.n_bigrams, 0) > 0
+            THEN 1 ELSE 0 END::BIGINT AS kept
+        FROM d LEFT JOIN sc USING (doc_id)""")),
   )
 }

@@ -171,6 +171,43 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q96 DSIR: likelihood table broadcasts, text stays out of aggs") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = SparkEntry.queries("q96_dsir_importance")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the <=256-row likelihood-ratio table must come back to the
+    // per-doc bucket counts as a broadcast, never a shuffled join
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-ratio table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every aggregation shuffles only (doc_id, is_target, b) keys with
+    // bigint counts — raw text and 32-char gram strings are projected
+    // away before any exchange
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      .foreach { a =>
+        val cols = a.child.output.map(_.name)
+        assert(!cols.contains("text") && !cols.contains("g"),
+          s"text/grams flow into an aggregation shuffle: $cols")
+      }
+    // semantics: every doc scored exactly once; empty docs are never
+    // kept; the corpus-mean likelihood ratio sits near parity (the
+    // target set is a pseudo-random subset, so the two hashed-bigram
+    // profiles are close — mean ratio must land well inside [1/2, 3/2])
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("is_target")).distinct.sorted.toSeq
+      == Seq(0L, 1L), "planted target predicate degenerated")
+    rows.filter(_.getAs[Long]("n_bigrams") == 0L).foreach { r =>
+      assert(r.getAs[Long]("score") == 0L && r.getAs[Long]("kept") == 0L)
+    }
+    val totScore = rows.map(_.getAs[Long]("score")).sum.toDouble
+    val totGrams = rows.map(_.getAs[Long]("n_bigrams")).sum.toDouble
+    assert(totGrams > 0 &&
+      totScore > 0.5 * 16384 * totGrams && totScore < 1.5 * 16384 * totGrams,
+      s"corpus-mean ratio far from parity: ${totScore / (16384 * totGrams)}")
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

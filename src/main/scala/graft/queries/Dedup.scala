@@ -446,5 +446,112 @@ object Dedup extends QueryPack {
                 h -> 2 * ((h // CAST(2 ** b AS BIGINT)) % 2) - 1)) > 0
               THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT)
             AS simhash32
-        FROM h""")))
+        FROM h""")),
+
+    // ---- q97: winnowing fingerprints (Schleimer, Wilkerson, Aiken
+    //      2003, "Winnowing: Local Algorithms for Document
+    //      Fingerprinting" — the MOSS algorithm): hash every token
+    //      3-gram, slide a window of w=4 consecutive gram hashes, and
+    //      select each window's MINIMUM hash as a fingerprint. The
+    //      guarantee minhash lacks: any shared run of ≥ w+k-1 tokens
+    //      is caught by at least one common fingerprint, at expected
+    //      density 2/(w+1) of grams — partial-copy detection (quotes,
+    //      boilerplate, plagiarized spans), not whole-doc similarity.
+    //      Planted quote docs (first 12 tokens of every doc_id%7==0
+    //      doc, built by the SAME slice+join expression in both
+    //      engines) share their gram prefix with the source doc, and
+    //      identical windows select identical minima ⇒ every quote's
+    //      fingerprint is shared ⇒ shared_frac = 1, flagged.
+    //      `flagged` compares integers (2·n_shared ≥ n_fps), never
+    //      doubles; shared_frac is ONE IEEE division in both engines.
+    //      Scale: selection is a pure per-row HOF — ZERO shuffles
+    //      until fingerprints leave the doc (O(n·w) per doc; w=4 —
+    //      a monotonic-deque Expression makes it O(n) if w grows).
+    //      Cross-doc matching ships only (doc_id, 32-hex) pairs into
+    //      one fp-keyed count + one fp-keyed join; nothing is
+    //      all-pairs, text never crosses a shuffle. ----
+    QueryDef(
+      "q97_winnowing",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val quotes = base
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 12)
+          .select(
+            (col("doc_id") + 5000000L).as("doc_id"),
+            lit("quotes").as("source"),
+            array_join(slice(col("tk"), 1, 12), " ").as("text"))
+        val fps = base.unionByName(quotes)
+          .select(col("doc_id"), col("source"),
+            graft.functions.HashFunctions
+              .ngramMd5(tokens(col("text")), 3).as("g"))
+          .select(col("doc_id"), col("source"),
+            explode_outer(
+              when(size(col("g")) >= 1,
+                array_distinct(transform(
+                  sequence(lit(1), greatest(size(col("g")) - 3, lit(1))),
+                  i => array_min(slice(col("g"), i, lit(4))))))
+                .otherwise(array().cast("array<string>"))).as("fp"))
+        val nd = fps.filter(col("fp").isNotNull)
+          .groupBy("fp").agg(count(lit(1)).as("nd"))
+        fps.join(nd, Seq("fp"), "left")
+          .groupBy("doc_id", "source")
+          .agg(
+            sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_fps"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(
+            col("doc_id"), col("source"), col("n_fps"), col("n_shared"),
+            when(col("n_fps") > 0,
+              col("n_shared").cast("double") / col("n_fps").cast("double"))
+              .otherwise(0.0).as("shared_frac"),
+            when(col("n_fps") > 0 &&
+              col("n_shared") * 2 >= col("n_fps"), 1L)
+              .otherwise(0L).as("flagged"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents),
+        q AS (
+          SELECT doc_id + 5000000 AS doc_id, 'quotes' AS source,
+            array_to_string(tk[1:12], ' ') AS text
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM base WHERE doc_id % 7 = 0)
+          WHERE len(tk) >= 12),
+        g AS (
+          SELECT doc_id, source,
+            list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+              i -> md5(array_to_string(tk[i:i+2], ' '))) AS g
+          FROM (SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM q))),
+        e AS (
+          SELECT doc_id, source, unnest(
+            CASE WHEN len(g) >= 1 THEN
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(g) - 3, 1)),
+                i -> list_min(g[i:i+3])))
+            ELSE CAST([] AS VARCHAR[]) END) AS fp
+          FROM g),
+        n AS (
+          SELECT fp, CAST(count(*) AS BIGINT) AS nd FROM e GROUP BY fp),
+        pd AS (
+          SELECT e.doc_id, e.source,
+            CAST(count(*) AS BIGINT) AS n_fps,
+            CAST(SUM(CASE WHEN n.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared
+          FROM e JOIN n USING (fp) GROUP BY e.doc_id, e.source)
+        SELECT g.doc_id, g.source,
+          COALESCE(pd.n_fps, 0) AS n_fps,
+          COALESCE(pd.n_shared, 0) AS n_shared,
+          CASE WHEN COALESCE(pd.n_fps, 0) > 0
+            THEN COALESCE(pd.n_shared, 0)::DOUBLE
+              / COALESCE(pd.n_fps, 0)::DOUBLE
+            ELSE 0.0 END AS shared_frac,
+          CASE WHEN COALESCE(pd.n_fps, 0) > 0
+              AND 2 * COALESCE(pd.n_shared, 0) >= COALESCE(pd.n_fps, 0)
+            THEN 1 ELSE 0 END::BIGINT AS flagged
+        FROM g LEFT JOIN pd USING (doc_id, source)""")))
 }

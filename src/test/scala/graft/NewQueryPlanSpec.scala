@@ -208,6 +208,42 @@ class NewQueryPlanSpec extends SparkTestBase {
       s"corpus-mean ratio far from parity: ${totScore / (16384 * totGrams)}")
   }
 
+  test("q97 winnowing: text stays out of shuffles, quotes fully matched") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    val df = SparkEntry.queries("q97_winnowing")(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString()
+      .contains("CartesianProduct"), "winnowing degenerated to all-pairs")
+    // fingerprint selection is a per-row HOF; only (doc_id, source, fp)
+    // may reach the fp-count aggregate and the fp-keyed join
+    val opt = df.queryExecution.optimizedPlan
+    (opt.collect { case a: Aggregate => a.child.output } ++
+      opt.collect { case j: LJoin => j.left.output ++ j.right.output })
+      .flatten.foreach { a =>
+        assert(a.name != "text" && a.name != "g",
+          s"text/grams cross a winnowing shuffle: ${a.name}")
+      }
+    // the winnowing guarantee on the planted quotes: a quote is the
+    // source doc's 12-token prefix, so its gram list is the source's
+    // gram prefix and every window min coincides — all fingerprints
+    // shared, shared_frac exactly 1, flagged
+    val rows = df.collect()
+    val quotes = rows.filter(_.getAs[Long]("doc_id") >= 5000000L)
+    assert(quotes.nonEmpty, "no quote docs planted")
+    quotes.foreach { r =>
+      assert(r.getAs[Long]("n_fps") > 0L)
+      assert(r.getAs[Double]("shared_frac") == 1.0 &&
+        r.getAs[Long]("flagged") == 1L,
+        s"quote ${r.getAs[Long]("doc_id")} not fully matched")
+    }
+    // and each quote's source doc shares at least one fingerprint
+    val quoted = quotes.map(_.getAs[Long]("doc_id") - 5000000L).toSet
+    rows.filter(r => quoted.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("n_shared") > 0L,
+        s"source doc ${r.getAs[Long]("doc_id")} shows no shared fps")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

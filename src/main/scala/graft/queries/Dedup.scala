@@ -553,5 +553,72 @@ object Dedup extends QueryPack {
           CASE WHEN COALESCE(pd.n_fps, 0) > 0
               AND 2 * COALESCE(pd.n_shared, 0) >= COALESCE(pd.n_fps, 0)
             THEN 1 ELSE 0 END::BIGINT AS flagged
-        FROM g LEFT JOIN pd USING (doc_id, source)""")))
+        FROM g LEFT JOIN pd USING (doc_id, source)""")),
+
+    // ---- q98: inter-source duplication matrix — for every pair of
+    //      sources, how many canonical document fingerprints they
+    //      share (the "where is my corpus mirrored from?" audit that
+    //      drives source-level dedup priorities and crawl dedup
+    //      budgets). A planted 'mirror' source (uppercased copies of
+    //      every doc_id%11==0 doc, built by the SAME expression in
+    //      both engines) proves matching is on the CANONICAL form —
+    //      lower+whitespace-collapse erases the case flip. Overlap
+    //      coefficient |A∩B| / min(|A|,|B|) is ONE IEEE division.
+    //      Scale: distinct (fp, source) is one map-side-combinable
+    //      shuffle of (16-byte, short-string) pairs; the fp self-join
+    //      fans out per fingerprint only to sources CARRYING it
+    //      (≤ #sources² pairs per fp, sources are O(100) at 100 TB —
+    //      never doc×doc); the matrix is ≤ S² rows and the per-source
+    //      totals broadcast back to it. Text never leaves the scan. ----
+    QueryDef(
+      "q98_source_dup_matrix",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("source"), col("text"),
+          col("doc_id"))
+        val mirror = base.filter(col("doc_id") % 11 === 0)
+          .select(lit("mirror").as("source"),
+            upper(col("text")).as("text"), col("doc_id"))
+        val fs = base.unionByName(mirror)
+          .select(md5(normText(col("text"))).as("fp"), col("source"))
+          .distinct()
+        val tot = fs.groupBy("source").agg(count(lit(1)).as("n"))
+        fs.as("a").join(fs.as("b"), "fp")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(tot.select(col("source").as("source_a"),
+            col("n").as("n_a"))), Seq("source_a"))
+          .join(broadcast(tot.select(col("source").as("source_b"),
+            col("n").as("n_b"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            (col("n_shared").cast("double") /
+              least(col("n_a"), col("n_b")).cast("double"))
+              .as("overlap"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents
+          UNION ALL
+          SELECT 'mirror' AS source,
+            md5(regexp_replace(lower(trim(upper(text))), '\s+', ' ', 'g'))
+              AS fp
+          FROM documents WHERE doc_id % 11 = 0),
+        fs AS (SELECT DISTINCT fp, source FROM c),
+        tot AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM fs GROUP BY source),
+        m AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+          n_shared::DOUBLE / least(ta.n, tb.n)::DOUBLE AS overlap
+        FROM m
+        JOIN tot ta ON ta.source = m.source_a
+        JOIN tot tb ON tb.source = m.source_b""")))
 }

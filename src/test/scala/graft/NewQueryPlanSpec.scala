@@ -244,6 +244,41 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q98 source matrix: fp-keyed self-join only, mirror detected") {
+    val df = SparkEntry.queries("q98_source_dup_matrix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"matrix build degenerated to all-pairs:\n$p")
+    // the tiny per-source totals must broadcast back to the matrix
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
+    val rows = df.collect()
+    // every planted mirror pair is found, matching on the CANONICAL
+    // form (the mirror source holds uppercased copies)
+    val mirrorPairs = rows.filter(r =>
+      r.getAs[String]("source_a") == "mirror" ||
+        r.getAs[String]("source_b") == "mirror")
+    assert(mirrorPairs.nonEmpty, "no mirror overlap detected")
+    rows.foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(sh > 0L && sh <= math.min(na, nb),
+        s"impossible overlap: $r")
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"),
+        s"pair not canonicalized: $r")
+      assert(r.getAs[Double]("overlap") == sh.toDouble / math.min(na, nb))
+    }
+    // mirror holds ONLY copies — overlap with the union of partners
+    // accounts for every mirror fingerprint
+    val mirrorTotal = mirrorPairs.map(_.getAs[Long]("n_shared")).sum
+    val mirrorN = mirrorPairs.map(r =>
+      if (r.getAs[String]("source_a") == "mirror") r.getAs[Long]("n_a")
+      else r.getAs[Long]("n_b")).head
+    assert(mirrorTotal >= mirrorN,
+      s"mirror fps unaccounted: shared=$mirrorTotal size=$mirrorN")
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

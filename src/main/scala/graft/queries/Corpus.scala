@@ -324,5 +324,84 @@ object Corpus extends QueryPack {
               ORDER BY md5(text), doc_id) AS rk
           FROM documents)
         WHERE rk <= 20""")),
+
+    // ---- q99: leakage-free train/val/test split — assign splits by
+    //      hashing the DUPLICATE-GROUP key (the canonical fingerprint)
+    //      instead of the raw document, so every copy of a document
+    //      lands in the same split and eval data can never leak a
+    //      training twin (the q53 failure mode this fixes: hashing raw
+    //      text scatters whitespace-variant copies across splits).
+    //      Planted twins (trailing-blank variants of every
+    //      doc_id%13==0 doc, same expression both engines) share a
+    //      canonical fp but differ in raw md5 — the grouped split is
+    //      provably leak-free while the naive split leaks (asserted
+    //      in NewQueryPlanSpec; both split columns are emitted so the
+    //      audit is value-certified cross-engine).
+    //      Scale: both split assignments are pure per-row expressions
+    //      — the group key IS the fingerprint, no group table to join;
+    //      the only shuffle is the fp-keyed group-size count + join,
+    //      shipping (16-byte fp, id, two 5-char splits). 80/10/10 via
+    //      md5-hex buckets (<204 / <230 / rest of 256), exactly q53's
+    //      discipline. ----
+    QueryDef(
+      "q99_grouped_split",
+      (s, d) => {
+        val hex = lit("0123456789abcdef")
+        def bucket(h: Column): Column =
+          (instr(hex, substring(h, 1, 1)) - 1) * 16 +
+            (instr(hex, substring(h, 2, 1)) - 1)
+        def splitOf(b: Column): Column =
+          when(b < 204, "train").when(b < 230, "val").otherwise("test")
+        import graft.functions.TextFunctions.normText
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val twins = base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit("  ")).as("text"))
+        val c = base.unionByName(twins)
+          .select(col("doc_id"), col("source"),
+            md5(normText(col("text"))).as("fp"),
+            splitOf(bucket(md5(col("text")))).as("split_naive"))
+          .withColumn("split_grouped",
+            splitOf(bucket(md5(concat(lit("grp:"), col("fp"))))))
+        c.join(c.groupBy("fp").agg(count(lit(1)).as("grp_n")), Seq("fp"))
+          .select(col("doc_id"), col("source"), col("fp"),
+            col("split_grouped"), col("split_naive"), col("grp_n"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, source, text FROM documents),
+        tw AS (
+          SELECT doc_id + 7000000 AS doc_id, source, text || '  ' AS text
+          FROM base WHERE doc_id % 13 = 0),
+        c AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+            CASE WHEN (strpos('0123456789abcdef',
+                  substr(md5(text), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5(text), 2, 1)) - 1) < 204 THEN 'train'
+              WHEN (strpos('0123456789abcdef',
+                  substr(md5(text), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5(text), 2, 1)) - 1) < 230 THEN 'val'
+              ELSE 'test' END AS split_naive
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM tw)),
+        c2 AS (
+          SELECT *,
+            CASE WHEN (strpos('0123456789abcdef',
+                  substr(md5('grp:' || fp), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5('grp:' || fp), 2, 1)) - 1) < 204 THEN 'train'
+              WHEN (strpos('0123456789abcdef',
+                  substr(md5('grp:' || fp), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5('grp:' || fp), 2, 1)) - 1) < 230 THEN 'val'
+              ELSE 'test' END AS split_grouped
+          FROM c),
+        g AS (
+          SELECT fp, CAST(count(*) AS BIGINT) AS grp_n
+          FROM c2 GROUP BY fp)
+        SELECT doc_id, source, fp, split_grouped, split_naive, grp_n
+        FROM c2 JOIN g USING (fp)""")),
   )
 }

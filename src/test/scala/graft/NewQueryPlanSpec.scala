@@ -279,6 +279,37 @@ class NewQueryPlanSpec extends SparkTestBase {
       s"mirror fps unaccounted: shared=$mirrorTotal size=$mirrorN")
   }
 
+  test("q99 grouped split: zero leakage by construction, naive leaks") {
+    val df = SparkEntry.queries("q99_grouped_split")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byFp = rows.groupBy(_.getAs[String]("fp"))
+    // the guarantee: a duplicate group NEVER straddles splits when the
+    // split key is the group fingerprint
+    byFp.foreach { case (fp, g) =>
+      assert(g.map(_.getAs[String]("split_grouped")).distinct.length == 1,
+        s"group $fp leaked across grouped splits")
+    }
+    // the failure mode being fixed: raw-text hashing scatters the
+    // planted whitespace-variant twins across splits
+    val naiveLeaks = byFp.count(_._2
+      .map(_.getAs[String]("split_naive")).distinct.length > 1)
+    assert(naiveLeaks > 0,
+      "planted twins failed to demonstrate naive-split leakage")
+    // twins really are grouped: every planted twin shares its fp group
+    rows.filter(_.getAs[Long]("doc_id") >= 7000000L).foreach { r =>
+      assert(r.getAs[Long]("grp_n") >= 2L,
+        s"twin ${r.getAs[Long]("doc_id")} not matched to its original")
+    }
+    // 80/10/10 within md5-uniformity tolerance
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getAs[String]("split_grouped"))
+      .map { case (k, v) => k -> v.length / n }
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.797) < 0.1, frac)
+    assert(frac.getOrElse("val", 0.0) > 0.02 &&
+      frac.getOrElse("test", 0.0) > 0.02, frac)
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

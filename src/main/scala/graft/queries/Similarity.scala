@@ -511,7 +511,140 @@ object Similarity extends QueryPack {
         SELECT vec_id, scale,
           array_to_string(q, ',') AS q_codes,
           list_max(list_transform(q, x -> abs(x)))::BIGINT AS q_amax
-        FROM qq"""))
+        FROM qq""")),
+
+    // ---- q100: per-source embedding centroids + drift audit — the
+    //      corpus-monitoring query a training pipeline runs per crawl:
+    //      each source's mean embedding, its cosine to the global
+    //      centroid (drift / outlier sources), and its nearest other
+    //      source by centroid cosine (semantic redundancy between
+    //      sources). Cross-engine exact by the repo's integer
+    //      discipline: coordinates quantize to floor(x·2^20+0.5)
+    //      (float→double and ·2^20 are exact IEEE ops), per-(source,
+    //      dim) sums are pure bigint, and the centroid is the
+    //      trunc-div mean shifted by +2^21 so the numerator is
+    //      non-negative (DuckDB `//` and Spark `div` agree on
+    //      non-negative operands; embeddings are bounded |x| ≤ 1).
+    //      The n/N normalizations cancel in cosine, so every double
+    //      in the output is produced by the SAME short op chain
+    //      (cast, sqrt, ·, /) from exact ≤2^53 integers.
+    //      Scale: the per-dim explode is immediately re-collapsed by
+    //      a map-side-combinable (source, dim) sum — the shuffle
+    //      carries ≤ S·64 partial rows per task, not 64× the corpus;
+    //      everything downstream (centroid matrix S×64, pair dots
+    //      S²) is kilobytes and broadcast-joined. ----
+    QueryDef(
+      "q100_source_centroids",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val e = emb(s, d).join(docs, "vec_id")
+        val q = e.select(col("source"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("source"), col("d"),
+            floor(col("x").cast("double") * 1048576.0 + 0.5)
+              .cast("long").as("qv"))
+        val n = e.groupBy("source").agg(count(lit(1)).as("n_vecs"))
+        val sums = q.groupBy("source", "d").agg(sum("qv").as("sq"))
+        val cent = sums.join(broadcast(n), "source")
+          .select(col("source"), col("d"),
+            expr("(sq + n_vecs * 2097152) div n_vecs - 2097152").as("m"))
+        val nTot = n.agg(sum("n_vecs").as("nn")).select(col("nn"))
+        val g = sums.groupBy("d").agg(sum("sq").as("gsq"))
+          .crossJoin(broadcast(nTot))
+          .select(col("d"),
+            expr("(gsq + nn * 2097152) div nn - 2097152").as("gm"))
+        val sn = cent.groupBy("source")
+          .agg(sum(col("m") * col("m")).as("nrm"))
+        val gn = g.agg(sum(col("gm") * col("gm")).as("gnrm"))
+        val dg = cent.join(broadcast(g), "d")
+          .groupBy("source").agg(sum(col("m") * col("gm")).as("dot"))
+        val pc = cent.as("a")
+          .join(broadcast(cent.as("b")),
+            col("a.d") === col("b.d") &&
+              col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+          .agg(sum(col("a.m") * col("b.m")).as("pdot"))
+          .join(broadcast(sn.select(col("source").as("sa"),
+            col("nrm").as("na"))), Seq("sa"))
+          .join(broadcast(sn.select(col("source").as("sb"),
+            col("nrm").as("nb"))), Seq("sb"))
+          .select(col("sa"), col("sb"),
+            (col("pdot").cast("double") /
+              (sqrt(col("na").cast("double")) *
+                sqrt(col("nb").cast("double")))).as("cos"))
+        val nn1 = pc.withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("sa").orderBy(col("cos").desc, col("sb"))))
+          .filter(col("rk") === 1)
+          .select(col("sa").as("source"), col("sb").as("nn_source"),
+            col("cos").as("nn_cos"))
+        n.join(broadcast(sn), "source")
+          .join(broadcast(dg), "source")
+          .crossJoin(broadcast(gn))
+          .select(col("source"), col("n_vecs"),
+            (col("dot").cast("double") /
+              (sqrt(col("nrm").cast("double")) *
+                sqrt(col("gnrm").cast("double")))).as("cos_global"))
+          .join(broadcast(nn1), "source")
+      },
+      Some("""
+        WITH e AS (
+          SELECT d.source, em.embedding
+          FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+        q AS (
+          SELECT source,
+            unnest(range(0, len(embedding))) AS d,
+            unnest(list_transform(range(1, 1 + len(embedding)),
+              i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0
+                + 0.5) AS BIGINT))) AS qv
+          FROM e),
+        n AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM e GROUP BY source),
+        sums AS (
+          SELECT source, d, CAST(SUM(qv) AS BIGINT) AS sq
+          FROM q GROUP BY source, d),
+        cent AS (
+          SELECT s.source, s.d,
+            CAST((s.sq + n.n_vecs * 2097152) // n.n_vecs
+              - 2097152 AS BIGINT) AS m
+          FROM sums s JOIN n USING (source)),
+        nt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS nn FROM n),
+        g AS (
+          SELECT d, CAST((CAST(SUM(sq) AS BIGINT) + nt.nn * 2097152)
+            // nt.nn - 2097152 AS BIGINT) AS gm
+          FROM sums, nt GROUP BY d, nt.nn),
+        sn AS (
+          SELECT source, CAST(SUM(m * m) AS BIGINT) AS nrm
+          FROM cent GROUP BY source),
+        gn AS (SELECT CAST(SUM(gm * gm) AS BIGINT) AS gnrm FROM g),
+        dg AS (
+          SELECT c.source, CAST(SUM(c.m * g.gm) AS BIGINT) AS dot
+          FROM cent c JOIN g USING (d) GROUP BY c.source),
+        pc AS (
+          SELECT a.source AS sa, b.source AS sb,
+            CAST(SUM(a.m * b.m) AS BIGINT)::DOUBLE
+              / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)) AS cos
+          FROM cent a
+          JOIN cent b ON a.d = b.d AND a.source <> b.source
+          JOIN sn na ON na.source = a.source
+          JOIN sn nb ON nb.source = b.source
+          GROUP BY a.source, b.source, na.nrm, nb.nrm),
+        nn1 AS (
+          SELECT sa AS source, sb AS nn_source, cos AS nn_cos
+          FROM (SELECT sa, sb, cos, row_number() OVER (
+              PARTITION BY sa ORDER BY cos DESC, sb) AS rk FROM pc)
+          WHERE rk = 1)
+        SELECT n.source, n.n_vecs,
+          dg.dot::DOUBLE / (sqrt(sn.nrm::DOUBLE) * sqrt(gn.gnrm::DOUBLE))
+            AS cos_global,
+          nn1.nn_source, nn1.nn_cos
+        FROM n
+        JOIN sn USING (source)
+        JOIN dg USING (source)
+        CROSS JOIN gn
+        JOIN nn1 USING (source)"""))
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

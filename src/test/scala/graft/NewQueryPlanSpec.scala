@@ -310,6 +310,30 @@ class NewQueryPlanSpec extends SparkTestBase {
       frac.getOrElse("test", 0.0) > 0.02, frac)
   }
 
+  test("q100 centroids: map-side combine after explode, tiny broadcasts") {
+    val df = SparkEntry.queries("q100_source_centroids")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the 64× per-dim explode must collapse via partial aggregation
+    // BEFORE the (source, dim) exchange — the shuffle carries ≤ S·64
+    // partials per task, not 64× the corpus
+    assert(p.contains("partial_sum"),
+      s"per-dim sums not map-side combined:\n$p")
+    // all downstream joins are on kilobyte-scale centroid tables
+    assert(p.contains("BroadcastHashJoin"), s"centroid joins shuffle:\n$p")
+    val rows = df.collect()
+    assert(rows.length > 1, "expected one row per source")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum > 0L)
+    rows.foreach { r =>
+      val cg = r.getAs[Double]("cos_global")
+      val nc = r.getAs[Double]("nn_cos")
+      assert(cg >= -1.0 - 1e-12 && cg <= 1.0 + 1e-12, s"cos out of range: $r")
+      assert(nc >= -1.0 - 1e-12 && nc <= 1.0 + 1e-12, s"cos out of range: $r")
+      assert(r.getAs[String]("nn_source") != r.getAs[String]("source"),
+        s"source is its own nearest neighbor: $r")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

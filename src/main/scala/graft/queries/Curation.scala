@@ -1151,5 +1151,67 @@ object Curation extends QueryPack {
               AND COALESCE(sc.n_bigrams, 0) > 0
             THEN 1 ELSE 0 END::BIGINT AS kept
         FROM d LEFT JOIN sc USING (doc_id)""")),
+
+    // ---- q101: hashed-feature linear classifier INFERENCE (the
+    //      fastText/CCNet quality-classifier serving shape, Joulin et
+    //      al. 2017) — q96 builds importance weights from a corpus;
+    //      this is the other half: applying a FIXED trained model to
+    //      every document. Features are hashed bigrams (256 buckets,
+    //      q96's hashing); the weight vector is a pure function of
+    //      the bucket id (md5-nibble in [-8, 7] — a deterministic
+    //      stand-in for trained weights, same expression both
+    //      engines), so scoring needs NO weight table, NO join, NO
+    //      aggregation across rows: score = Σ_grams w(bucket(gram))
+    //      as a per-row HOF fold in pure bigint.
+    //      Scale: this is the plan every model-based filter should
+    //      compile to at 100 TB — a map-only scan (plan-asserted
+    //      Exchange-free), embarrassingly parallel across 1000
+    //      executors, no driver state; a real model swaps the weight
+    //      expression for a broadcast array lookup, same shape. ----
+    QueryDef(
+      "q101_classifier_inference",
+      (s, d) => {
+        val hexpos = (c: Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val bucket = (gr: Column) =>
+          hexpos(substring(gr, 1, 1)) * 16 + hexpos(substring(gr, 2, 1))
+        val weight = (b: Column) =>
+          (hexpos(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 1))
+            - 8).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.HashFunctions
+              .ngramMd5(toks(col("text")), 2).as("g"))
+          .select(col("doc_id"), col("source"),
+            size(col("g")).cast("long").as("n_bigrams"),
+            aggregate(col("g"), lit(0L),
+              (acc, gr) => acc + weight(bucket(gr))).as("score"))
+          .withColumn("pred",
+            when(col("score") > 0, 1L).otherwise(0L))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            list_transform(generate_series(1,
+                greatest(len(regexp_split_to_array(trim(text), '\s+'))
+                  - 1, 0)),
+              i -> md5(array_to_string(
+                regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')))
+              AS g
+          FROM documents)
+        SELECT doc_id, source,
+          CAST(len(g) AS BIGINT) AS n_bigrams,
+          CAST(COALESCE(list_sum(list_transform(g, gr ->
+            (strpos('0123456789abcdef', substr(md5('w:' || CAST(
+                (strpos('0123456789abcdef', substr(gr, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(gr, 2, 1)) - 1)
+              AS VARCHAR)), 1, 1)) - 1) - 8)), 0) AS BIGINT) AS score,
+          CASE WHEN CAST(COALESCE(list_sum(list_transform(g, gr ->
+            (strpos('0123456789abcdef', substr(md5('w:' || CAST(
+                (strpos('0123456789abcdef', substr(gr, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(gr, 2, 1)) - 1)
+              AS VARCHAR)), 1, 1)) - 1) - 8)), 0) AS BIGINT) > 0
+            THEN 1 ELSE 0 END::BIGINT AS pred
+        FROM d""")),
   )
 }

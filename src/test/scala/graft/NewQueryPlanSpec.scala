@@ -334,6 +334,33 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q101 classifier inference: map-only plan, no exchange at all") {
+    val df = SparkEntry.queries("q101_classifier_inference")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // model scoring must compile to a pure scan+project — the shape
+    // that parallelizes embarrassingly over 1000 executors
+    assert(!p.contains("Exchange"), s"classifier inference shuffles:\n$p")
+    assert(!p.contains("Join"), s"classifier inference joins:\n$p")
+    // only the needed columns reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>")
+      || p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"),
+      s"q101 scan reads unneeded columns:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sc, pr) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("score"), r.getAs[Long]("pred"))
+      // weights are in [-8, 7]: the fold is bounded by 8 per gram
+      assert(math.abs(sc) <= 8 * math.max(n, 1),
+        s"score outside weight envelope: $r")
+      assert(pr == (if (sc > 0) 1L else 0L), s"pred disagrees: $r")
+      if (n == 0) assert(sc == 0L && pr == 0L)
+    }
+    // a fixed model must not be degenerate on real text: both classes
+    val preds = rows.map(_.getAs[Long]("pred")).toSet
+    assert(preds == Set(0L, 1L), s"degenerate classifier output: $preds")
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -1213,5 +1213,70 @@ object Curation extends QueryPack {
               AS VARCHAR)), 1, 1)) - 1) - 8)), 0) AS BIGINT) > 0
             THEN 1 ELSE 0 END::BIGINT AS pred
         FROM d""")),
+
+    // ---- q102: unigram cross-entropy (surprisal) scoring — the
+    //      LM-perplexity quality proxy (CCNet buckets corpora by LM
+    //      perplexity; the unigram form needs no trained model): each
+    //      token's surprisal ≈ log2(N/c_tok), a document's score is
+    //      its mean token surprisal — rare-token-heavy docs score
+    //      high, boilerplate scores low. Cross-engine exact because
+    //      log2 never touches a float: floor(log2(x)) = length(bin(x))
+    //      − 1 (binary-digit count, exact integers in both engines),
+    //      so surprisal = fl2(N) − fl2(c) and every sum is bigint;
+    //      the mean is ONE IEEE division and the keep flag compares
+    //      integers (sum ≥ 6·n ⇔ mean ≥ 6 bits).
+    //      Scale: per-doc token multiset collapses FIRST (doc-keyed,
+    //      map-side combinable) so the token-keyed count and the
+    //      count join ship (doc_id, token, small-int) distincts, not
+    //      every occurrence; the one-row corpus total broadcasts.
+    //      Same shuffle budget as q92's vocab/OOV — linear in corpus
+    //      tokens, nothing all-pairs. ----
+    QueryDef(
+      "q102_surprisal_score",
+      (s, d) => {
+        val fl2 = (c: Column) => (length(bin(c)) - 1).cast("long")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+        val ct = dt.groupBy("tok").agg(sum("k").as("c"))
+        val nTot = ct.agg(sum(col("c")).as("nn"))
+        val sc = dt.join(ct, "tok")
+          .crossJoin(broadcast(nTot))
+          .groupBy("doc_id")
+          .agg(sum("k").as("n_tokens"),
+            sum(col("k") * (fl2(col("nn")) - fl2(col("c"))))
+              .as("sum_surprisal"))
+        docs.join(sc, "doc_id")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("sum_surprisal"),
+            (col("sum_surprisal").cast("double") /
+              col("n_tokens").cast("double")).as("mean_surprisal"),
+            when(col("sum_surprisal") >= col("n_tokens") * 6, 1L)
+              .otherwise(0L).as("flagged"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        dt AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+          FROM tk GROUP BY ALL),
+        ct AS (
+          SELECT tok, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY tok),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM ct),
+        sc AS (
+          SELECT doc_id,
+            CAST(SUM(k) AS BIGINT) AS n_tokens,
+            CAST(SUM(k * ((length(bin(nt.nn)) - 1)
+              - (length(bin(ct.c)) - 1))) AS BIGINT) AS sum_surprisal
+          FROM dt JOIN ct USING (tok), nt GROUP BY doc_id)
+        SELECT d.doc_id, d.source, sc.n_tokens, sc.sum_surprisal,
+          sc.sum_surprisal::DOUBLE / sc.n_tokens::DOUBLE
+            AS mean_surprisal,
+          CASE WHEN sc.sum_surprisal >= sc.n_tokens * 6
+            THEN 1 ELSE 0 END::BIGINT AS flagged
+        FROM documents d JOIN sc USING (doc_id)""")),
   )
 }

@@ -361,6 +361,35 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(preds == Set(0L, 1L), s"degenerate classifier output: $preds")
   }
 
+  test("q102 surprisal: distinct-collapse before the token join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val df = SparkEntry.queries("q102_surprisal_score")(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString()
+      .contains("CartesianProduct"))
+    // the token-keyed count join must see the per-doc COLLAPSED
+    // multiset (doc_id, tok, k), never raw text or one row per
+    // occurrence of the exploded column
+    val opt = df.queryExecution.optimizedPlan
+    opt.collect { case j: LJoin => j }
+      .flatMap(j => j.left.output ++ j.right.output).foreach { a =>
+        assert(a.name != "text", "raw text crosses the surprisal join")
+      }
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum) =
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surprisal"))
+      assert(n > 0L, s"doc with no tokens surfaced: $r")
+      assert(sum >= 0L, s"negative surprisal: $r")
+      assert(r.getAs[Double]("mean_surprisal") == sum.toDouble / n)
+      assert(r.getAs[Long]("flagged") == (if (sum >= 6 * n) 1L else 0L))
+    }
+    // surprisal must separate documents (a constant score would mean
+    // the corpus stats never reached the fold)
+    assert(rows.map(_.getAs[Double]("mean_surprisal")).distinct.length > 1)
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -544,8 +544,13 @@ object Similarity extends QueryPack {
           .select(col("source"), col("d"),
             floor(col("x").cast("double") * 1048576.0 + 0.5)
               .cast("long").as("qv"))
-        val n = e.groupBy("source").agg(count(lit(1)).as("n_vecs"))
-        val sums = q.groupBy("source", "d").agg(sum("qv").as("sq"))
+        // ONE corpus pass: the vector count rides along with the
+        // per-dim sums (every dim's row count IS the vector count),
+        // so the scan+join is not re-read for a separate groupBy
+        val sums = q.groupBy("source", "d")
+          .agg(sum("qv").as("sq"), count(lit(1)).as("k"))
+        val n = sums.filter(col("d") === 0)
+          .select(col("source"), col("k").as("n_vecs"))
         val cent = sums.join(broadcast(n), "source")
           .select(col("source"), col("d"),
             expr("(sq + n_vecs * 2097152) div n_vecs - 2097152").as("m"))

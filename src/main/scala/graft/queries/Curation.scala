@@ -1278,5 +1278,89 @@ object Curation extends QueryPack {
           CASE WHEN sc.sum_surprisal >= sc.n_tokens * 6
             THEN 1 ELSE 0 END::BIGINT AS flagged
         FROM documents d JOIN sc USING (doc_id)""")),
+
+    // ---- q103: BPE merge-candidate counting — the first iteration of
+    //      byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+    //      2016): count adjacent character pairs across the corpus,
+    //      weighted by word frequency; the top pair is the first
+    //      merge. The load-bearing scale property: pair counting runs
+    //      over the VOCABULARY (distinct words × their corpus
+    //      frequency), not over corpus positions — the word-count
+    //      collapse is the only corpus-sized shuffle (map-side
+    //      combinable, classic wordcount), after which the char-pair
+    //      explode touches |V| rows regardless of corpus size. The
+    //      final top-20 compiles to TakeOrderedAndProject (O(k) per
+    //      partition); the rank window runs over 20 rows. Ties break
+    //      by pair text so the limit is deterministic both engines. ----
+    QueryDef(
+      "q103_bpe_pairs",
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val pairs = vocab
+          .filter(length(col("w")) >= 2)
+          .select(col("f"), explode(
+            transform(sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("f").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(20)
+        top.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+          .select("rank", "pair", "cnt")
+      },
+      Some("""
+        WITH wd AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents),
+        v AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f FROM wd GROUP BY w),
+        p AS (
+          SELECT unnest(list_transform(
+              generate_series(1, length(w) - 1),
+              i -> substr(w, i, 2))) AS pair, f
+          FROM v WHERE length(w) >= 2),
+        pc AS (
+          SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+          FROM p GROUP BY pair)
+        SELECT CAST(rk AS BIGINT) AS rank, pair, cnt FROM (
+          SELECT pair, cnt,
+            row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+          FROM pc) WHERE rk <= 20""")),
+
+    // ---- q104: k-anonymity suppression — the privacy-side curation
+    //      gate: a document whose quasi-identifier combination
+    //      (source, lang, 256-char length bucket) is shared by fewer
+    //      than k=5 documents is suppressed (rare metadata combos can
+    //      re-identify authors even after q74's direct-PII redaction).
+    //      One QI-keyed window count is the only shuffle — keyed by
+    //      the full composite so parallelism is the QI-combination
+    //      count, corpus-wide at any scale; the keep flag is a pure
+    //      integer comparison. Complements q74: direct identifiers
+    //      get redacted, rare indirect identifiers get suppressed. ----
+    QueryDef(
+      "q104_k_anonymity",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "lang", "len_bucket")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            expr("n_chars div 256").as("len_bucket"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("len_bucket"), col("grp_n"),
+            when(col("grp_n") >= 5, 1L).otherwise(0L).as("kept"))
+      },
+      Some("""
+        SELECT doc_id, source, lang,
+          n_chars // 256 AS len_bucket,
+          CAST(count(*) OVER (
+            PARTITION BY source, lang, n_chars // 256) AS BIGINT)
+            AS grp_n,
+          CASE WHEN count(*) OVER (
+              PARTITION BY source, lang, n_chars // 256) >= 5
+            THEN 1 ELSE 0 END::BIGINT AS kept
+        FROM documents""")),
   )
 }

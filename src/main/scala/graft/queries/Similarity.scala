@@ -649,7 +649,119 @@ object Similarity extends QueryPack {
         JOIN sn USING (source)
         JOIN dg USING (source)
         CROSS JOIN gn
-        JOIN nn1 USING (source)"""))
+        JOIN nn1 USING (source)""")),
+
+    // ---- q105: one Lloyd refinement of a coarse quantizer — the
+    //      k-means TRAINING step the ANN/SemDeDup index families
+    //      (q31/q78) consume as a finished artifact: seed K=8
+    //      centroids deterministically (the 8 smallest vec_ids),
+    //      assign every vector to its nearest centroid, recompute
+    //      centroids as member means, re-assign, report per-cluster
+    //      size + inertia. Cross-engine exact: coordinates quantize to
+    //      floor(x·2^20+0.5) bigints, distances are integer squared-L2
+    //      folds, means use q100's offset trunc-div, argmin ties break
+    //      by smallest centroid id (struct-min in Spark, row_number in
+    //      DuckDB — same total order); the one double output is a
+    //      single IEEE division of identical exact operands.
+    //      Scale: BOTH assignment passes are zero-shuffle scans — the
+    //      K-row centroid table rides a one-row broadcast as an
+    //      array<struct>, argmin is a per-row fold (never a corpus×K
+    //      shuffle); the update step's only exchange is the
+    //      map-side-combinable (cluster, dim) sum, ≤ K·dims partials
+    //      per task. The plan an in-engine index-train loop should
+    //      compile to at 100 TB; more iterations = repeat the same
+    //      two stages. ----
+    QueryDef(
+      "q105_kmeans_refine",
+      (s, d) => {
+        val qe = emb(s, d).select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * 1048576.0 + 0.5).cast("long"))
+            .as("qv"))
+        def sqdist(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        // seeds: ONE row carrying cents = array<struct<sid, sv>>;
+        // argmin by (dist, sid) via array_min's struct ordering, so
+        // assignment is a broadcast + per-row fold — zero shuffles
+        def assign(vecs: DataFrame, seeds: DataFrame): DataFrame = {
+          val best = array_min(transform(col("cents"), c =>
+            struct(sqdist(col("qv"), c.getField("sv")).as("dd"),
+              c.getField("sid").as("sid"))))
+          vecs.crossJoin(broadcast(seeds))
+            .select(col("vec_id"), col("qv"),
+              best.getField("sid").as("c"),
+              best.getField("dd").as("dd"))
+        }
+        val seeds0 = qe.orderBy("vec_id").limit(8)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("sid"), col("qv").as("sv")))).as("cents"))
+        val a1 = assign(qe, seeds0)
+        val m1 = a1
+          .select(col("c"), posexplode(col("qv")).as(Seq("d", "x")))
+          .groupBy("c", "d")
+          .agg(sum("x").as("sx"), count(lit(1)).as("k"))
+          .select(col("c"), col("d"),
+            expr("(sx + k * 2097152) div k - 2097152").as("m"))
+        val seeds1 = m1.groupBy("c")
+          .agg(transform(
+            sort_array(collect_list(struct(col("d"), col("m")))),
+            p => p.getField("m")).as("sv"))
+          .agg(sort_array(collect_list(struct(
+            col("c").as("sid"), col("sv").as("sv")))).as("cents"))
+        val a2 = assign(qe, seeds1)
+        a2.groupBy(col("c").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"), sum("dd").as("inertia"))
+          .select(col("cluster"), col("n_vecs"), col("inertia"),
+            (col("inertia").cast("double") /
+              col("n_vecs").cast("double")).as("mean_dist"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+            AS qv
+          FROM embeddings),
+        s0 AS (
+          SELECT vec_id AS sid, qv AS sv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (
+          SELECT e.vec_id, s0.sid,
+            CAST(list_sum(list_transform(range(1, 1 + len(e.qv)),
+              i -> (e.qv[i] - s0.sv[i]) * (e.qv[i] - s0.sv[i])))
+              AS BIGINT) AS dist
+          FROM e CROSS JOIN s0),
+        a1 AS (
+          SELECT vec_id, sid AS c, dist FROM (
+            SELECT vec_id, sid, dist, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, sid) AS rk FROM d1)
+          WHERE rk = 1),
+        q1 AS (
+          SELECT a.c, unnest(range(0, len(e.qv))) AS d,
+            unnest(e.qv) AS x
+          FROM e JOIN a1 a USING (vec_id)),
+        m1 AS (
+          SELECT c, d, CAST((CAST(SUM(x) AS BIGINT)
+              + CAST(count(*) AS BIGINT) * 2097152)
+            // CAST(count(*) AS BIGINT) - 2097152 AS BIGINT) AS m
+          FROM q1 GROUP BY c, d),
+        s1 AS (
+          SELECT c AS sid, list(m ORDER BY d) AS sv FROM m1 GROUP BY c),
+        d2 AS (
+          SELECT e.vec_id, s1.sid,
+            CAST(list_sum(list_transform(range(1, 1 + len(e.qv)),
+              i -> (e.qv[i] - s1.sv[i]) * (e.qv[i] - s1.sv[i])))
+              AS BIGINT) AS dist
+          FROM e CROSS JOIN s1),
+        a2 AS (
+          SELECT vec_id, sid AS c, dist FROM (
+            SELECT vec_id, sid, dist, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, sid) AS rk FROM d2)
+          WHERE rk = 1)
+        SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(SUM(dist) AS BIGINT) AS inertia,
+          CAST(SUM(dist) AS BIGINT)::DOUBLE
+            / CAST(count(*) AS BIGINT)::DOUBLE AS mean_dist
+        FROM a2 GROUP BY c"""))
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

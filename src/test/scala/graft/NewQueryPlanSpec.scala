@@ -390,6 +390,91 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Double]("mean_surprisal")).distinct.length > 1)
   }
 
+  test("q103 BPE pairs: vocab collapse combines map-side, top-K is O(k)") {
+    val df = SparkEntry.queries("q103_bpe_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the ONLY corpus-sized shuffle is the wordcount — it must be
+    // partial-aggregated before the exchange; pair counting then runs
+    // over the vocabulary, not corpus positions
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"wordcount not map-side combined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 merge candidates must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = df.collect()
+    assert(rows.length == 20, s"expected top-20, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 20L),
+      "ranks must be 1..20")
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    byRank.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2, s"non-bigram pair: $r")
+      assert(r.getAs[Long]("cnt") > 0L, s"non-positive count: $r")
+    }
+    // counts non-increasing with rank; ties broken by pair text
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (ca, cb) = (a.getAs[Long]("cnt"), b.getAs[Long]("cnt"))
+      assert(ca > cb || (ca == cb &&
+        a.getAs[String]("pair") < b.getAs[String]("pair")),
+        s"rank order violated: $a then $b")
+    }
+  }
+
+  test("q104 k-anonymity: one QI-keyed exchange, group counts honest") {
+    val df = SparkEntry.queries("q104_k_anonymity")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final + Initial sections —
+    // count operators in the final plan only
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // a single window over the composite QI key — no join, no
+    // repeated corpus scan
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one exchange (the QI window):\n$p")
+    assert(!p.contains("Join"), s"q104 must not join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // grp_n must equal the true group size, kept must be grp_n >= 5
+    val sizes = rows.groupBy(r => (r.getAs[String]("source"),
+      r.getAs[String]("lang"), r.getAs[Long]("len_bucket")))
+      .map { case (_, g) => g.head.getAs[Long]("grp_n") -> g.length }
+    sizes.foreach { case (claimed, actual) =>
+      assert(claimed == actual.toLong, s"grp_n $claimed != $actual")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept") ==
+        (if (r.getAs[Long]("grp_n") >= 5L) 1L else 0L), s"kept flag: $r")
+    }
+  }
+
+  test("q105 kmeans: assignment is broadcast fold, update combines map-side") {
+    val df = SparkEntry.queries("q105_kmeans_refine")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // both assignment passes ride a ONE-row broadcast of the centroid
+    // array — never a corpus×K shuffle or sort-merge join
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") == 2,
+      s"expected exactly the two broadcast assignment passes:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment degenerated into a shuffle join:\n$p")
+    // the centroid-update explode collapses before its exchange
+    assert(p.contains("partial_sum"),
+      s"(cluster, dim) sums not map-side combined:\n$p")
+    val rows = df.collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector must land in exactly one cluster")
+    assert(rows.length <= 8 && rows.nonEmpty, s"got ${rows.length} clusters")
+    rows.foreach { r =>
+      val (n, in) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("inertia"))
+      assert(n > 0L && in >= 0L, s"degenerate cluster row: $r")
+      assert(r.getAs[Double]("mean_dist") == in.toDouble / n,
+        s"mean_dist is not the exact division: $r")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

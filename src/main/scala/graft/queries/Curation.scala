@@ -1362,5 +1362,63 @@ object Curation extends QueryPack {
               PARTITION BY source, lang, n_chars // 256) >= 5
             THEN 1 ELSE 0 END::BIGINT AS kept
         FROM documents""")),
+
+    // ---- q106: vocabulary coverage curve — the tokenizer-sizing
+    //      question q92's top-K build leads to: what fraction of all
+    //      corpus token OCCURRENCES does a vocabulary of size k cover,
+    //      for k in {16, 64, 256, 1024}? (The OOV mass a byte-level
+    //      fallback must absorb is 1 − coverage.) The wordcount is
+    //      the one corpus-sized shuffle (map-side combinable); the
+    //      candidate cut is TakeOrdered (O(k) per partition — never a
+    //      global sort), so the rank window and the 4-way coverage
+    //      rollup run over ≤1024 rows regardless of corpus size; the
+    //      corpus totals ride a one-row broadcast. Ties break
+    //      (count DESC, token ASC) in both engines. ----
+    QueryDef(
+      "q106_vocab_coverage",
+      (s, d) => {
+        val wc = t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = wc.agg(sum("c").as("total_tokens"),
+          count(lit(1)).as("vocab_size"))
+        val top = wc.orderBy(col("c").desc, col("tok")).limit(1024)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("tok"))).cast("long"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("k", explode(array(
+            Seq(16L, 64L, 256L, 1024L).map(lit): _*)))
+          .groupBy("k", "total_tokens", "vocab_size")
+          .agg(sum(when(col("rk") <= col("k"), col("c"))
+            .otherwise(0L)).as("covered"))
+          .select(col("k"), col("covered"), col("total_tokens"),
+            col("vocab_size"),
+            (col("covered").cast("double") /
+              col("total_tokens").cast("double")).as("coverage"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        wc AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab_size
+          FROM wc),
+        top AS (
+          SELECT c, rk FROM (
+            SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+            FROM wc) WHERE rk <= 1024),
+        ks AS (SELECT unnest([16, 64, 256, 1024]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+          CAST(SUM(CASE WHEN top.rk <= ks.k THEN top.c ELSE 0 END)
+            AS BIGINT) AS covered,
+          tot.total_tokens, tot.vocab_size,
+          CAST(SUM(CASE WHEN top.rk <= ks.k THEN top.c ELSE 0 END)
+            AS BIGINT)::DOUBLE / tot.total_tokens::DOUBLE AS coverage
+        FROM ks, top, tot
+        GROUP BY ks.k, tot.total_tokens, tot.vocab_size""")),
   )
 }

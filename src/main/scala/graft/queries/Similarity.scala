@@ -761,7 +761,63 @@ object Similarity extends QueryPack {
           CAST(SUM(dist) AS BIGINT) AS inertia,
           CAST(SUM(dist) AS BIGINT)::DOUBLE
             / CAST(count(*) AS BIGINT)::DOUBLE AS mean_dist
-        FROM a2 GROUP BY c"""))
+        FROM a2 GROUP BY c""")),
+
+    // ---- q107: embedding health audit — the per-source data-quality
+    //      gate an embedding pipeline runs before any ANN/dedup stage
+    //      consumes the table: vector counts, zero/degenerate vectors
+    //      (a broken encoder emits them; they poison cosine), ragged
+    //      dimensionality (min/max length must agree), and the
+    //      squared-norm envelope (min/mean/max — drift here means the
+    //      encoder changed normalization). Integer-exact: norms are
+    //      bigint folds over floor(x·2^20+0.5) coords; the mean is
+    //      ONE IEEE division. Scale: the norm fold is per-row (zero
+    //      shuffles), the rollup one map-side-combinable source-keyed
+    //      aggregate — a linear scan at any corpus size. ----
+    QueryDef(
+      "q107_embedding_health",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val per = emb(s, d).join(docs, "vec_id")
+          .select(col("source"),
+            size(col("embedding")).cast("long").as("dims"),
+            aggregate(
+              transform(col("embedding"), x =>
+                floor(x.cast("double") * 1048576.0 + 0.5).cast("long")),
+              lit(0L), (acc, v) => acc + v * v).as("qn"))
+        per.groupBy("source")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("qn") === 0L, 1L).otherwise(0L))
+              .as("zero_vecs"),
+            min("dims").as("min_dims"), max("dims").as("max_dims"),
+            min("qn").as("min_qnorm"), max("qn").as("max_qnorm"),
+            sum("qn").as("sum_qnorm"))
+          .select(col("source"), col("n_vecs"), col("zero_vecs"),
+            col("min_dims"), col("max_dims"),
+            col("min_qnorm"), col("max_qnorm"),
+            (col("sum_qnorm").cast("double") /
+              col("n_vecs").cast("double")).as("mean_qnorm"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT d.source,
+            CAST(len(em.embedding) AS BIGINT) AS dims,
+            CAST(list_sum(list_transform(em.embedding, x ->
+              CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                AS BIGINT))) AS BIGINT) AS qn
+          FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(SUM(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_vecs,
+          CAST(MIN(dims) AS BIGINT) AS min_dims,
+          CAST(MAX(dims) AS BIGINT) AS max_dims,
+          CAST(MIN(qn) AS BIGINT) AS min_qnorm,
+          CAST(MAX(qn) AS BIGINT) AS max_qnorm,
+          CAST(SUM(qn) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+            AS mean_qnorm
+        FROM per GROUP BY source"""))
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

@@ -475,6 +475,54 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q106 vocab coverage: TakeOrdered cut, one-row totals broadcast") {
+    val df = SparkEntry.queries("q106_vocab_coverage")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the 1024-candidate cut must be O(k) per partition:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"wordcount not map-side combined:\n$p")
+    val rows = df.collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq ==
+      Seq(16L, 64L, 256L, 1024L))
+    // coverage is monotone in k and never exceeds the corpus
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("covered") <= b.getAs[Long]("covered"),
+        s"coverage not monotone: $a then $b")
+    }
+    rows.foreach { r =>
+      val (cov, tot) =
+        (r.getAs[Long]("covered"), r.getAs[Long]("total_tokens"))
+      assert(cov > 0L && cov <= tot, s"coverage out of range: $r")
+      assert(r.getAs[Double]("coverage") == cov.toDouble / tot)
+    }
+  }
+
+  test("q107 embedding health: per-row norm fold, one combinable rollup") {
+    val df = SparkEntry.queries("q107_embedding_health")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"health rollup not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"doc-source attach should broadcast at this size:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_dims") == r.getAs[Long]("max_dims"),
+        s"ragged embedding dims surfaced: $r")
+      assert(r.getAs[Long]("min_qnorm") <= r.getAs[Long]("max_qnorm"))
+      val mean = r.getAs[Double]("mean_qnorm")
+      assert(mean >= r.getAs[Long]("min_qnorm").toDouble &&
+        mean <= r.getAs[Long]("max_qnorm").toDouble,
+        s"mean outside [min, max]: $r")
+    }
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -1420,5 +1420,121 @@ object Curation extends QueryPack {
             AS BIGINT)::DOUBLE / tot.total_tokens::DOUBLE AS coverage
         FROM ks, top, tot
         GROUP BY ks.k, tot.total_tokens, tot.vocab_size""")),
+
+    // ---- q108: the END-TO-END corpus→training-shards pipeline as one
+    //      oracle query — q88 certified gates→redact→dedup; this adds
+    //      the remaining batch-prep stages so the WHOLE composition
+    //      (quality gates → PII redaction → fingerprint dedup → q75's
+    //      dyadic budget sampling → q81's sequence packing) carries
+    //      value-for-value gate evidence, not per-operator evidence
+    //      stitched by hand. Output: per-(source, shard) shard
+    //      manifest — doc/bin counts, token mass, importance-weighted
+    //      token mass (weight constant per source ⇒ ONE division and
+    //      ONE multiply, never a float sum), min/max surviving
+    //      fingerprints.
+    //      Scale: gates/redaction/sampling are per-row; text never
+    //      passes the first projection; the two keyed exchanges are
+    //      the fp dedup window and the (source, shard) packing window,
+    //      and the final manifest groupBy reuses the packing
+    //      partitioning (exchange-free — plan-asserted). ----
+    QueryDef(
+      "q108_corpus_to_shards",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val curated = graft.streaming.CurationStream.curate(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("text"), col("source")))
+        // skinny BEFORE any exchange: (id, source, count, 32-hex fp)
+        val slim = curated
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
+        val wfp = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = slim.withColumn("rn", row_number().over(wfp))
+          .filter(col("rn") === 1).drop("rn")
+        // q75's reproducible dyadic keep-rule (thr/256 by source family)
+        val hex = lit("0123456789abcdef")
+        val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+        val b = (instr(hex, substring(h, 1, 1)) - 1) * 16 +
+          (instr(hex, substring(h, 2, 1)) - 1)
+        val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
+        val thr = when(srcIdx === 0, 256).when(srcIdx === 1, 128)
+          .when(srcIdx === 2, 192).otherwise(64)
+        val sampled = deduped.withColumn("thr", thr).withColumn("b", b)
+          .filter(col("b") < col("thr")).drop("b")
+        // q81's cumulative next-fit packing within (source, shard)
+        val wp = Window.partitionBy("source", "shard")
+          .orderBy(col("h2"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = sampled
+          .withColumn("h2", md5(col("doc_id").cast("string")))
+          .withColumn("shard", substring(col("h2"), 1, 1))
+          .withColumn("cum", sum(col("n_tokens")).over(wp))
+          .withColumn("bin", expr("(cum - n_tokens) DIV 2048"))
+        packed.groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("bin")) + 1).as("n_bins"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            max(col("thr")).as("thr"),
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+          .select(col("source"), col("shard"), col("n_docs"),
+            col("n_bins"), col("sum_tokens"),
+            (col("sum_tokens").cast("double") *
+              (lit(256.0) / col("thr").cast("double")))
+              .as("weighted_tokens"),
+            col("min_fp"), col("max_fp"))
+      },
+      Some("""
+        WITH cur AS (
+          SELECT doc_id, source,
+            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+              AS n_tokens,
+            CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) / len(text) AS alpha_ratio,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+              '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+              '[IP]', 'g') AS rtext
+          FROM documents),
+        gated AS (
+          SELECT doc_id, source, n_tokens,
+            md5(regexp_replace(lower(trim(rtext)), '\s+', ' ', 'g')) AS fp
+          FROM cur
+          WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+        ded AS (
+          SELECT doc_id, source, n_tokens, fp FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+              AS rn
+            FROM gated) WHERE rn = 1),
+        samp AS (
+          SELECT doc_id, source, n_tokens, fp,
+            CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 192
+              ELSE 64 END AS thr
+          FROM ded
+          WHERE (strpos('0123456789abcdef',
+                substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16
+              + (strpos('0123456789abcdef',
+                substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+            < CASE CAST(substr(source, 4) AS INT) % 4
+                WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 192
+                ELSE 64 END),
+        packed AS (
+          SELECT source, thr, fp, doc_id, n_tokens,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+            SUM(n_tokens) OVER (
+              PARTITION BY source,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM samp)
+        SELECT source, shard,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(MAX((cum - n_tokens) // 2048) + 1 AS BIGINT) AS n_bins,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          CAST(SUM(n_tokens) AS BIGINT)::DOUBLE
+            * (256.0 / CAST(MAX(thr) AS DOUBLE)) AS weighted_tokens,
+          MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        FROM packed GROUP BY source, shard""")),
   )
 }

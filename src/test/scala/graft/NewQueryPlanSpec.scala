@@ -523,6 +523,45 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q108 corpus→shards: 2 keyed exchanges, manifest agg reuses them") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q108_corpus_to_shards")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the whole 5-stage composition pays exactly two shuffles: the fp
+    // dedup window and the (source, shard) packing window; the final
+    // manifest groupBy must reuse the packing partitioning
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 2,
+      s"expected exactly the 2 window exchanges:\n$p")
+    assert(!p.contains("Join"), s"the composition must not join:\n$p")
+    // document text must never enter a window (the q88 discipline)
+    val opt = df.queryExecution.optimizedPlan
+    opt.collect { case w: LWindow => w }.foreach { w =>
+      w.child.output.foreach(a =>
+        assert(a.name != "text", "text crosses a pipeline exchange"))
+    }
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nb, st, wt) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Double]("weighted_tokens"))
+      assert(nd > 0L && st > 0L, s"empty shard surfaced: $r")
+      // cumulative next-fit: bin index <= sum/2048
+      assert(nb >= 1L && nb <= st / 2048L + 1L, s"bin count off: $r")
+      // dyadic weights are >= 1 (thr <= 256)
+      assert(wt >= st.toDouble, s"weighted mass below raw mass: $r")
+      assert(r.getAs[String]("min_fp") <= r.getAs[String]("max_fp"))
+    }
+    // sampling must actually drop docs: the manifest covers fewer docs
+    // than the corpus
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum < corpus,
+      "budget sampling dropped nothing")
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -1536,5 +1536,135 @@ object Curation extends QueryPack {
             * (256.0 / CAST(MAX(thr) AS DOUBLE)) AS weighted_tokens,
           MIN(fp) AS min_fp, MAX(fp) AS max_fp
         FROM packed GROUP BY source, shard""")),
+
+    // ---- q109: per-source quality tiers — curriculum/mixing
+    //      bucketing: rank every document within its source by a
+    //      deterministic quality score and cut into quartiles (tier 1
+    //      = cleanest 25%); downstream mixers sample tier-weighted
+    //      (CCNet's perplexity buckets, quality-curriculum training).
+    //      The score is integer-exact: alpha-chars·1000 div len (trunc
+    //      div both engines); ntile(4) is SQL-standard floor
+    //      distribution over a total order (score DESC, doc_id) —
+    //      identical in both engines. ONE source-keyed window is the
+    //      only exchange; parallelism = source count × nothing else
+    //      (a hot source at 100 TB should pre-aggregate score
+    //      HISTOGRAMS per source and cut tiers from quantiles instead
+    //      — q41's sketch path; this exact form is the per-source
+    //      ranked spine). ----
+    QueryDef(
+      "q109_quality_tiers",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            (length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+              .cast("long") * 1000).as("alpha_k"),
+            length(col("text")).cast("long").as("len"))
+          .filter(col("len") > 0)
+          .select(col("doc_id"), col("source"),
+            expr("alpha_k div len").as("score"))
+          .withColumn("tier", ntile(4).over(w).cast("long"))
+      },
+      Some("""
+        WITH sc AS (
+          SELECT doc_id, source,
+            (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS BIGINT) * 1000) // CAST(len(text) AS BIGINT) AS score
+          FROM documents WHERE len(text) > 0)
+        SELECT doc_id, source, score,
+          CAST(ntile(4) OVER (PARTITION BY source
+            ORDER BY score DESC, doc_id) AS BIGINT) AS tier
+        FROM sc""")),
+
+    // ---- q110: quality-aware dedup — keep the BEST duplicate, not
+    //      the smallest id. Production dedup keeps the cleanest
+    //      cluster member (Lee et al. keep-longest; CCNet
+    //      keep-head-bucket); min-id keeps whichever crawled first.
+    //      Planted twins make the policy load-bearing: every 10th doc
+    //      is dirtied with trailing whitespace and re-crawled clean
+    //      (+TwinIdOffset) — the SAME canonical fingerprint, but the
+    //      re-crawl's raw form is shorter so its density score is
+    //      higher — keep-best selects the RE-CRAWL while min-id keeps
+    //      the dirty original (both policies computed; the manifest
+    //      counts where they disagree). One fp-keyed window is the
+    //      only exchange; text never crosses it (score + 32-hex fp
+    //      computed in the map projection). ----
+    QueryDef(
+      "q110_dedup_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            concat(col("text"),
+              when(col("doc_id") % 10 === 0, lit("   "))
+                .otherwise(lit(""))).as("text"))
+        val twins = t(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(
+            (col("doc_id") + lit(Similarity.TwinIdOffset)).as("doc_id"),
+            col("source"), col("text"))
+        val slim = base.unionByName(twins)
+          .select(col("doc_id"), col("source"),
+            md5(graft.functions.TextFunctions.normText(col("text")))
+              .as("fp"),
+            (length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+              .cast("long") * 1000000L).as("alpha_k"),
+            length(col("text")).cast("long").as("len"))
+          .filter(col("len") > 0)
+          .select(col("doc_id"), col("source"), col("fp"),
+            expr("alpha_k div len").as("score"))
+        val wBest = Window.partitionBy("fp")
+          .orderBy(col("score").desc, col("doc_id"))
+        val wMin = Window.partitionBy("fp").orderBy(col("doc_id"))
+        slim
+          .withColumn("rb", row_number().over(wBest))
+          .withColumn("rm", row_number().over(wMin))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rb") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rb") === 1 &&
+              col("doc_id") >= lit(Similarity.TwinIdOffset), 1L)
+              .otherwise(0L)).as("n_kept_recrawl"),
+            sum(when(col("rb") === 1 && col("rm") =!= 1, 1L)
+              .otherwise(0L)).as("n_policy_disagree"),
+            sum(when(col("rb") === 1, col("score")).otherwise(0L))
+              .as("sum_kept_score"))
+      },
+      Some("""
+        WITH alldocs AS (
+          SELECT doc_id, source,
+            text || CASE WHEN doc_id % 10 = 0 THEN '   ' ELSE '' END
+              AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id + """ + Similarity.TwinIdOffset + """, source,
+            text
+          FROM documents WHERE doc_id % 10 = 0),
+        slim AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+            (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS BIGINT) * 1000000) // CAST(len(text) AS BIGINT) AS score
+          FROM alldocs WHERE len(text) > 0),
+        marked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY fp
+              ORDER BY score DESC, doc_id) AS rb,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rm
+          FROM slim)
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN rb = 1 AND doc_id >= """ +
+        Similarity.TwinIdOffset + """ THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept_recrawl,
+          CAST(SUM(CASE WHEN rb = 1 AND rm <> 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_policy_disagree,
+          CAST(SUM(CASE WHEN rb = 1 THEN score ELSE 0 END) AS BIGINT)
+            AS sum_kept_score
+        FROM marked GROUP BY source""")),
   )
 }

@@ -562,6 +562,59 @@ class NewQueryPlanSpec extends SparkTestBase {
       "budget sampling dropped nothing")
   }
 
+  test("q109 quality tiers: one source-keyed window, quartiles honest") {
+    val df = SparkEntry.queries("q109_quality_tiers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one exchange (the per-source rank window):\n$p")
+    assert(!p.contains("Join"), s"tiering must not join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+      val byTier = g.groupBy(_.getAs[Long]("tier")).view
+        .mapValues(_.length).toMap
+      assert(byTier.keySet.subsetOf(Set(1L, 2L, 3L, 4L)), src)
+      // ntile: bucket sizes differ by at most 1
+      if (byTier.size == 4)
+        assert(byTier.values.max - byTier.values.min <= 1,
+          s"$src quartiles unbalanced: $byTier")
+      // tier 1 scores dominate tier 4
+      if (byTier.contains(1L) && byTier.contains(4L)) {
+        val t1min = g.filter(_.getAs[Long]("tier") == 1L)
+          .map(_.getAs[Long]("score")).min
+        val t4max = g.filter(_.getAs[Long]("tier") == 4L)
+          .map(_.getAs[Long]("score")).max
+        assert(t1min >= t4max, s"$src tier order inverted")
+      }
+    }
+  }
+
+  test("q110 keep-best dedup: fp window only, policy genuinely differs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q110_dedup_keep_best")(spark, sf)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    // score + fp are computed in the map projection; text never
+    // crosses the dedup exchange
+    opt.collect { case w: LWindow => w }.foreach { w =>
+      w.child.output.foreach(a =>
+        assert(a.name != "text", "text crosses the dedup window"))
+    }
+    val rows = df.collect()
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val docs = rows.map(_.getAs[Long]("n_docs")).sum
+    val recrawl = rows.map(_.getAs[Long]("n_kept_recrawl")).sum
+    val disagree = rows.map(_.getAs[Long]("n_policy_disagree")).sum
+    assert(kept < docs, "twins must dedup away")
+    // the clean re-crawl must WIN under keep-best — the policy is
+    // load-bearing, not a relabeled min-id
+    assert(recrawl > 0L, "keep-best never selected a re-crawl")
+    assert(disagree == recrawl,
+      "every kept re-crawl must be a min-id disagreement (and only those)")
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

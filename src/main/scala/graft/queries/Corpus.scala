@@ -403,5 +403,92 @@ object Corpus extends QueryPack {
           FROM c2 GROUP BY fp)
         SELECT doc_id, source, fp, split_grouped, split_naive, grp_n
         FROM c2 JOIN g USING (fp)""")),
+
+    // ---- q111: decontamination by SPAN EXCISION — q54 measures
+    //      benchmark overlap; this removes it. Every corpus token
+    //      covered by a benchmark-matching 3-gram window is excised
+    //      (Lee et al. 2022 excise duplicated substrings the same
+    //      way; document-level dropping throws away the whole doc for
+    //      one quoted sentence). Output per corpus doc: token counts
+    //      before/after, excised count, and the md5 of the CLEANED
+    //      token stream — a value-certified digest of the rebuilt
+    //      document, not just counts.
+    //      Scale: gram fingerprints join the broadcast benchmark set
+    //      (benchmark ≪ corpus by definition); matched gram START
+    //      positions collapse to ONE small int-array row per affected
+    //      doc (ids-only doc-keyed shuffle — q90's reassembly
+    //      discipline); text is touched by a single doc-keyed join
+    //      (Catalyst broadcasts the affected-doc set while it is
+    //      small, merges when it is not); mask expansion ([p, p+2]
+    //      union) and token reassembly are per-row HOFs. ----
+    QueryDef(
+      "q111_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), rawTokens(col("text")).as("toks"))
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+          .select(explode(graft.queries.Curation.ngramIds(col("toks"), 3))
+            .as("gfp")).distinct()
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val hits = corpus
+          .select(col("doc_id"),
+            posexplode(graft.queries.Curation.ngramIds(col("toks"), 3))
+              .as(Seq("p0", "gfp")))
+          .join(broadcast(bench), "gfp")
+          .groupBy("doc_id")
+          // gram start positions, 1-based (posexplode is 0-based)
+          .agg(sort_array(collect_list(col("p0") + 1)).as("m"))
+        corpus.join(hits, Seq("doc_id"), "left")
+          .withColumn("m", coalesce(col("m"), array().cast("array<int>")))
+          .withColumn("ex", array_distinct(flatten(
+            transform(col("m"), p => array(p, p + 1, p + 2)))))
+          .withColumn("kept", transform(
+            filter(sequence(lit(1), size(col("toks"))),
+              i => !array_contains(col("ex"), i)),
+            i => element_at(col("toks"), i)))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            (size(col("toks")) - size(col("kept"))).cast("long")
+              .as("n_excised"),
+            md5(array_join(col("kept"), " ")).as("clean_fp"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> md5(array_to_string(toks[i:i+2], ' ')))) AS gfp,
+            unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS p
+          FROM d),
+        bench AS (
+          SELECT DISTINCT gfp FROM g WHERE doc_id % 20 = 0),
+        hits AS (
+          SELECT g.doc_id, list_sort(list(g.p)) AS m
+          FROM g JOIN bench USING (gfp)
+          WHERE g.doc_id % 20 <> 0
+          GROUP BY g.doc_id),
+        ex AS (
+          SELECT d.doc_id, d.toks,
+            list_distinct(flatten(list_transform(
+              COALESCE(hits.m, []),
+              p -> [p, p + 1, p + 2]))) AS ex
+          FROM d LEFT JOIN hits USING (doc_id)
+          WHERE d.doc_id % 20 <> 0),
+        kept AS (
+          SELECT doc_id, toks,
+            list_transform(
+              list_filter(generate_series(1, len(toks)),
+                i -> NOT list_contains(ex, i)),
+              i -> toks[i]) AS kept
+          FROM ex)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          CAST(len(toks) - len(kept) AS BIGINT) AS n_excised,
+          md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_fp
+        FROM kept""")),
   )
 }

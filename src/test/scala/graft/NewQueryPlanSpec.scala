@@ -615,6 +615,33 @@ class NewQueryPlanSpec extends SparkTestBase {
       "every kept re-crawl must be a min-id disagreement (and only those)")
   }
 
+  test("q111 decontaminate: bench broadcasts, excision mask is honest") {
+    val df = SparkEntry.queries("q111_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the benchmark shingle set must broadcast to the gram stream —
+    // never a shuffled or nested-loop join against the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q111 degenerated:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_excised") ==
+        r.getAs[Long]("n_tokens"), s"mask does not partition tokens: $r")
+      assert(r.getAs[String]("clean_fp").length == 32)
+    }
+    // the benchmark must actually bite, and must not excise everything
+    assert(rows.exists(_.getAs[Long]("n_excised") > 0L),
+      "no contamination excised — benchmark never matched")
+    assert(rows.exists(_.getAs[Long]("n_excised") == 0L),
+      "every doc excised — the 3-gram match is too loose")
+    // benchmark docs themselves are excluded from the output
+    assert(!rows.exists(_.getAs[Long]("doc_id") % 20 == 0))
+  }
+
   test("q92 vocab: top-K is TakeOrdered and the vocab join broadcasts") {
     val df = SparkEntry.queries("q92_vocab_oov")(spark, sf)
     df.collect()

@@ -620,5 +620,88 @@ object Dedup extends QueryPack {
           n_shared::DOUBLE / least(ta.n, tb.n)::DOUBLE AS overlap
         FROM m
         JOIN tot ta ON ta.source = m.source_a
-        JOIN tot tb ON tb.source = m.source_b""")))
+        JOIN tot tb ON tb.source = m.source_b""")),
+
+    // ---- Asymmetric containment dedup: detect documents that are
+    //      mostly CONTAINED in another (quote farms, scraped excerpts,
+    //      partial re-posts) — the case symmetric Jaccard misses: a
+    //      60% excerpt of a long doc has low Jaccard but containment
+    //      ≈ 1. Planted: every 20th doc contributes an excerpt (first
+    //      3/5 of its tokens, id + 2e6); containment(A→B) =
+    //      |grams(A) ∩ grams(B)| / |grams(A)| over distinct word
+    //      8-gram md5s, reported for excerpt-side docs at ≥ 90%.
+    //      Gram sets are df-capped (drop grams in > 50 docs — the
+    //      standard boilerplate-gram prune, applied to BOTH the
+    //      intersection and the denominator so the ratio stays a real
+    //      containment over the pruned sets). Scale: the inverted-
+    //      index join ships (32-hex, id) rows only — text never leaves
+    //      the first projection; the df cap bounds every gram's
+    //      fan-out at 50², and candidate volume scales with real
+    //      overlap, not corpus². ----
+    QueryDef(
+      "q116_containment_dedup",
+      (s, d) => {
+        val off = 2000000L
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val snips = base.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select((col("doc_id") + off).as("doc_id"),
+            array_join(
+              slice(col("tk"), lit(1),
+                greatest(lit(1), expr("(size(tk) * 3) div 5"))),
+              " ").as("text"))
+        val corpus = base.unionByName(snips)
+        val dg = corpus
+          .select(col("doc_id"),
+            explode(array_distinct(
+              graft.functions.HashFunctions.ngramMd5(
+                tokens(col("text")), 8))).as("g"))
+        val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df"))
+        val keep = dg.join(dfreq.filter(col("df") <= 50), Seq("g"))
+          .select(col("doc_id"), col("g"))
+        val na = keep.filter(col("doc_id") >= off)
+          .groupBy("doc_id").agg(count(lit(1)).as("na"))
+        val inter = keep.filter(col("doc_id") >= off)
+          .select(col("g"), col("doc_id").as("a"))
+          .join(keep.filter(col("doc_id") < off)
+            .select(col("g"), col("doc_id").as("b")), Seq("g"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+        inter.join(na.withColumnRenamed("doc_id", "a"), Seq("a"))
+          .select(col("a"), col("b"), col("n_inter"), col("na"),
+            expr("n_inter * 1000000 div na").as("containment_ppm"))
+          .filter(col("containment_ppm") >= 900000)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000,
+            array_to_string(tk[1:greatest(1, (len(tk) * 3) // 5)], ' ')
+          FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM documents WHERE doc_id % 20 = 0)),
+        dg AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(
+            range(1, greatest(1, len(tk) - 6)),
+            i -> md5(array_to_string(tk[i:i+7], ' ')))) AS g
+          FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM base WHERE len(regexp_split_to_array(trim(text), '\s+'))
+              >= 8)),
+        keep AS (
+          SELECT doc_id, g FROM dg
+          WHERE g IN (SELECT g FROM dg GROUP BY g HAVING count(*) <= 50)),
+        na AS (
+          SELECT doc_id AS a, CAST(count(*) AS BIGINT) AS na
+          FROM keep WHERE doc_id >= 2000000 GROUP BY doc_id),
+        inter AS (
+          SELECT s.doc_id AS a, o.doc_id AS b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM keep s JOIN keep o ON s.g = o.g
+          WHERE s.doc_id >= 2000000 AND o.doc_id < 2000000
+          GROUP BY 1, 2)
+        SELECT a, b, n_inter, na,
+          (n_inter * 1000000) // na AS containment_ppm
+        FROM inter JOIN na USING (a)
+        WHERE (n_inter * 1000000) // na >= 900000""")))
 }

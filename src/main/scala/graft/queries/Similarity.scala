@@ -817,7 +817,185 @@ object Similarity extends QueryPack {
           CAST(MAX(qn) AS BIGINT) AS max_qnorm,
           CAST(SUM(qn) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
             AS mean_qnorm
-        FROM per GROUP BY source"""))
+        FROM per GROUP BY source""")),
+
+    // ---- q117: product-quantization ADC search (Jégou et al. 2011)
+    //      — the memory-side of the ANN family: q31's IVF prunes the
+    //      SCAN, PQ compresses the RESIDENT vectors (4 subspaces × 16
+    //      dims → one 4-byte code word per vector, a 64× compression
+    //      of the float corpus) and scores probes against codes with
+    //      per-probe lookup tables, never touching the original
+    //      vectors. Deterministic codebook: the 16 lowest vec_ids'
+    //      subvectors (the trained upgrade is q105's Lloyd step per
+    //      subspace — same plan shape). Integer-exact end to end:
+    //      coords floor(x·2^20+0.5), code = argmin of bigint
+    //      subspace-L2 (ties by codebook position), ADC = Σ_m
+    //      lut[m][code_m]. Scale: the codebook is a one-row broadcast
+    //      (encode is a zero-shuffle scan — the corpus-sized pass);
+    //      probe LUTs broadcast (4×16 longs per probe); scoring
+    //      touches only (vec_id, 4 codes) rows. For large probe sets,
+    //      IVF-prefilter (q31) then PQ-score the surviving cells. ----
+    QueryDef(
+      "q117_pq_search",
+      (s, d) => {
+        val qe = emb(s, d).select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * 1048576.0 + 0.5).cast("long"))
+            .as("qv"))
+        def sub(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
+        def sqd(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        val seedsRow = qe.orderBy("vec_id").limit(16)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("sid"), col("qv").as("sv")))).as("seeds"))
+        val enc = qe.crossJoin(broadcast(seedsRow))
+          .select(col("vec_id"),
+            array((0 until 4).map { m =>
+              array_min(transform(col("seeds"), (sd, i) =>
+                struct(sqd(sub(col("qv"), m), sub(sd.getField("sv"), m))
+                  .as("dd"), i.cast("long").as("k"))))
+                .getField("k")
+            }: _*).as("codes"))
+        val probes = qe.filter(col("vec_id") % 50 === 0)
+          .crossJoin(broadcast(seedsRow))
+          .select(col("vec_id").as("probe_id"),
+            array((0 until 4).map { m =>
+              transform(col("seeds"), sd =>
+                sqd(sub(col("qv"), m), sub(sd.getField("sv"), m)))
+            }: _*).as("luts"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("adist"), col("neighbor_id"))
+        enc.crossJoin(broadcast(probes))
+          .filter(col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            expr("luts[0][int(codes[0])] + luts[1][int(codes[1])]" +
+              " + luts[2][int(codes[2])] + luts[3][int(codes[3])]")
+              .as("adist"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+            AS qv
+          FROM embeddings),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, qv AS sv
+          FROM e ORDER BY vec_id LIMIT 16),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        enc AS (
+          SELECT e.vec_id, ms.m, s.k,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (e.qv[ms.m*16+i] - s.sv[ms.m*16+i])
+              * (e.qv[ms.m*16+i] - s.sv[ms.m*16+i]))) AS BIGINT) AS dd
+          FROM e CROSS JOIN ms CROSS JOIN seeds s),
+        codes AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k, dd, row_number() OVER (
+              PARTITION BY vec_id, m ORDER BY dd, k) AS rk FROM enc)
+          WHERE rk = 1),
+        probes AS (SELECT vec_id AS probe_id, qv FROM e
+          WHERE vec_id % 50 = 0),
+        plut AS (
+          SELECT p.probe_id, ms.m, s.k,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (p.qv[ms.m*16+i] - s.sv[ms.m*16+i])
+              * (p.qv[ms.m*16+i] - s.sv[ms.m*16+i]))) AS BIGINT) AS dd
+          FROM probes p CROSS JOIN ms CROSS JOIN seeds s),
+        scored AS (
+          SELECT pl.probe_id, c.vec_id AS neighbor_id,
+            CAST(SUM(pl.dd) AS BIGINT) AS adist
+          FROM codes c JOIN plut pl ON pl.m = c.m AND pl.k = c.code
+          WHERE c.vec_id <> pl.probe_id
+          GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, adist, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY adist, neighbor_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5""")),
+
+    // ---- q118: source-affinity matrix — pairwise cosine between
+    //      per-source embedding centroids, the redundancy map a
+    //      mixing pipeline reads before setting source weights (two
+    //      sources with cos ≈ 1 are the same content pool; q94/q95
+    //      budgets should treat them jointly). Centroids use q100's
+    //      exact offset trunc-div means (then a second positive-offset
+    //      shift to ±2048 so every product stays far inside bigint);
+    //      the one double per pair is dot/√(na²·nb²) — IEEE sqrt and
+    //      divide are correctly-rounded, so bit-identical cross-engine
+    //      on identical bigint operands. Scale: ONE corpus-sized
+    //      map-side-combinable (source, dim) sum; the S×S cross join
+    //      is over a broadcast S·64-long table — negligible at any
+    //      corpus size (S = source count). ----
+    QueryDef(
+      "q118_source_affinity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val cent = emb(s, d).join(docs, "vec_id")
+          .select(col("source"),
+            posexplode(transform(col("embedding"), x =>
+              floor(x.cast("double") * 1048576.0 + 0.5).cast("long")))
+              .as(Seq("dm", "x")))
+          .groupBy("source", "dm")
+          .agg(sum("x").as("sx"), count(lit(1)).as("k"))
+          .select(col("source"), col("dm"),
+            expr("((sx + k * 2097152) div k - 2097152 + 2097152)" +
+              " div 1024 - 2048").as("c"))
+        val cvec = cent.groupBy("source")
+          .agg(transform(
+            sort_array(collect_list(struct(col("dm"), col("c")))),
+            p => p.getField("c")).as("cv"))
+        val a = cvec.select(col("source").as("src_a"), col("cv").as("ca"))
+        val b = cvec.select(col("source").as("src_b"), col("cv").as("cb"))
+        def dotp(x: Column, y: Column): Column =
+          aggregate(zip_with(x, y, (u, v) => u * v),
+            lit(0L), (acc, v) => acc + v)
+        a.join(broadcast(b), col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            dotp(col("ca"), col("cb")).as("dot"),
+            dotp(col("ca"), col("ca")).as("na2"),
+            dotp(col("cb"), col("cb")).as("nb2"))
+          .select(col("src_a"), col("src_b"), col("dot"), col("na2"),
+            col("nb2"),
+            when(col("na2") > 0 && col("nb2") > 0,
+              col("dot").cast("double") /
+                sqrt((col("na2") * col("nb2")).cast("double")))
+              .as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT d.source, unnest(range(0, len(em.embedding))) AS dm,
+            unnest(list_transform(em.embedding, x ->
+              CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)))
+              AS x
+          FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+        cent AS (
+          SELECT source, dm,
+            ((CAST(SUM(x) AS BIGINT) + CAST(count(*) AS BIGINT) * 2097152)
+              // CAST(count(*) AS BIGINT) - 2097152 + 2097152)
+              // 1024 - 2048 AS c
+          FROM q GROUP BY source, dm),
+        cv AS (
+          SELECT source, list(c ORDER BY dm) AS cv FROM cent
+          GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(list_sum(list_transform(range(1, 1 + len(a.cv)),
+              i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot,
+            CAST(list_sum(list_transform(a.cv, v -> v * v)) AS BIGINT)
+              AS na2,
+            CAST(list_sum(list_transform(b.cv, v -> v * v)) AS BIGINT)
+              AS nb2
+          FROM cv a JOIN cv b ON a.source < b.source)
+        SELECT src_a, src_b, dot, na2, nb2,
+          CASE WHEN na2 > 0 AND nb2 > 0
+            THEN CAST(dot AS DOUBLE)
+              / sqrt(CAST(na2 * nb2 AS DOUBLE))
+            ELSE NULL END AS cosine
+        FROM pairs""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

@@ -399,5 +399,140 @@ object Temporal extends QueryPack {
           MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
         FROM cdf""")),
+
+    // ---- GROUPING SETS proper (beyond q37 ROLLUP / q48 CUBE): the
+    //      report-matrix shape a dashboard wants — (status, priority)
+    //      detail, per-priority subtotal, grand total — WITHOUT the
+    //      per-status slice a full CUBE would also pay for. Spark 4's
+    //      native Dataset.groupingSets expands inside ONE aggregate
+    //      (one shuffle, map-side combinable partials per set);
+    //      grouping() indicators disambiguate subtotal rows from real
+    //      NULL keys. Money sums in decimal (exact), final cast to
+    //      double (Tables.sumDec). Scale: identical budget to the
+    //      plain groupBy — the expansion multiplies partial-agg rows
+    //      by the set count (3), never the input rows. ----
+    QueryDef(
+      "q112_grouping_sets",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")),
+              Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n_orders"),
+            sumDec(col("o_totalprice")).as("sum_price")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderpriority), ())""")),
+
+    // ---- Hopping (sliding) event-time windows — the Structured
+    //      Streaming `window(ts, size, slide)` operator certified in
+    //      batch: 10-minute windows hopping every 5, so every event
+    //      lands in exactly size/slide = 2 windows. Spark expands the
+    //      window set per-row (a generator, no join) and the aggregate
+    //      is one map-side-combinable (window, type) groupBy — the
+    //      same plan a streaming job compiles to, minus the state
+    //      store. Cross-engine exactness: comparisons at epoch
+    //      MICROsecond longs (header note), window starts are
+    //      multiples of 300s from the epoch (TZ-free), and the value
+    //      sum is over floor(value·1000) bigints — floor of an IEEE
+    //      product is bit-identical cross-engine, so no double-sum
+    //      order dependence. The oracle mirrors the expansion with
+    //      unnest([s0, s0−300]). ----
+    QueryDef(
+      "q113_hopping_window",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("v_milli"),
+            expr("ts DIV 1000").as("ts_us"))
+          .select(col("event_type"), col("v_milli"),
+            window(timestamp_micros(col("ts_us")),
+              "600 seconds", "300 seconds").as("w"))
+          .select(unix_timestamp(col("w.start")).as("w_start"),
+            col("event_type"), col("v_milli"))
+          .groupBy("w_start", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v_milli")).as("sum_v_milli")),
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            CAST(floor("value" * 1000.0) AS BIGINT) AS v_milli,
+            (epoch_us(ts) // 300000000) * 300 AS s0
+          FROM events),
+        w AS (
+          SELECT event_type, v_milli,
+            unnest([s0, s0 - 300]) AS w_start
+          FROM e)
+        SELECT w_start, event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(v_milli) AS BIGINT) AS sum_v_milli
+        FROM w GROUP BY w_start, event_type""")),
+
+    // ---- Robust outlier detection: median / MAD (median absolute
+    //      deviation) per event_type, flagging |v − med| > 3·MAD.
+    //      The robust z-score every metrics pipeline runs before
+    //      alerting — mean/stddev would let the outliers poison their
+    //      own threshold. Cross-engine exact: percentile_disc PICKS
+    //      data values (no interpolation arithmetic), and the
+    //      deviation/threshold compares are single IEEE ops on
+    //      identical operands. Scale: two grouped exact medians (the
+    //      sort is per-type and AQE-splittable; at 100 TB swap
+    //      percentile_disc for the q41 sketch quantile — same shape)
+    //      plus two broadcast joins of a 5-row medians table; the
+    //      final rollup is map-side combinable. ----
+    QueryDef(
+      "q115_mad_outliers",
+      (s, d) => {
+        val e = t(s, d, "events").select(col("event_type"), col("value"))
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("value"), col("med"),
+            abs(col("value") - col("med")).as("ad"))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+            .as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("ad") > col("mad") * 3.0, 1L).otherwise(0L))
+              .as("n_outliers"),
+            max(col("ad")).as("max_abs_dev"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT event_type, quantile_disc("value", 0.5) AS med
+          FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, ABS(e."value" - med.med) AS ad, med.med
+          FROM events e JOIN med USING (event_type)),
+        mad AS (
+          SELECT event_type, quantile_disc(ad, 0.5) AS mad
+          FROM dev GROUP BY event_type)
+        SELECT event_type,
+          COUNT(*) AS n,
+          MAX(dev.med) AS med,
+          MAX(mad.mad) AS mad,
+          CAST(SUM(CASE WHEN ad > mad.mad * 3.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+          MAX(ad) AS max_abs_dev
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY event_type""")),
   )
 }

@@ -120,7 +120,76 @@ object TextAnalysis extends QueryPack {
             col("doc_id"),
             col("lang").as("labeled_lang"),
             langId(col("text")).as("detected_lang")),
-      Some(langIdOracle)))
+      Some(langIdOracle)),
+
+    // ---- Character-distribution entropy — the cheap "is this text or
+    //      noise" quality gate (repetitive spam / template boilerplate
+    //      scores near 0 bits, natural language ≈ 3–4): per-doc letter
+    //      histogram → the q102 integer-log2 surrogate
+    //      H = Σ n_c · (⌊log2 N⌋ − ⌊log2 n_c⌋), exact bigints in both
+    //      engines (no float log anywhere). The 26 per-letter counts
+    //      come from length-minus-replace over the lowered text — 26
+    //      codegen'd passes, still map-only and shuffle-free
+    //      (plan-asserted); a single-pass fused histogram Expression is
+    //      the obvious upgrade if this ever dominates a profile, but
+    //      the operator's scale story (pure per-row, linear scan) is
+    //      already the right one. ----
+    QueryDef(
+      "q114_char_entropy",
+      (s, d) => {
+        val letters = ('a' to 'z').toSeq
+        val cnts = array(letters.map(c =>
+          (length(col("lt")) -
+            length(expr(s"replace(lt, '$c', '')"))).cast("long")): _*)
+        val bits = (c: org.apache.spark.sql.Column) =>
+          (length(bin(c)) - 1).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            lower(col("text")).as("lt"))
+          .select(col("doc_id"), col("source"), cnts.as("cnts"))
+          .select(col("doc_id"), col("source"), col("cnts"),
+            aggregate(col("cnts"), lit(0L), (a, v) => a + v)
+              .as("n_letters"))
+          .filter(col("n_letters") > 0)
+          .select(col("doc_id"), col("source"), col("n_letters"),
+            aggregate(
+              transform(col("cnts"), c =>
+                when(c > 0, c * (bits(col("n_letters")) - bits(c)))
+                  .otherwise(lit(0L))),
+              lit(0L), (a, v) => a + v).as("h_bits"))
+          .select(col("doc_id"), col("source"), col("n_letters"),
+            col("h_bits"),
+            expr("h_bits * 1000 div n_letters").as("mean_millibits"),
+            when(expr("h_bits * 1000 div n_letters") < 1500, 1L)
+              .otherwise(0L).as("low_entropy"))
+      },
+      Some {
+        val arr = ('a' to 'z')
+          .map(c => s"length(lt) - length(replace(lt, '$c', ''))")
+          .mkString("[", ",\n            ", "]")
+        s"""
+        WITH base AS (
+          SELECT doc_id, source, lower(text) AS lt FROM documents),
+        cn AS (
+          SELECT doc_id, source, $arr AS cnts
+          FROM base),
+        n AS (
+          SELECT doc_id, source, cnts,
+            CAST(list_sum(cnts) AS BIGINT) AS n_letters
+          FROM cn WHERE CAST(list_sum(cnts) AS BIGINT) > 0),
+        h AS (
+          SELECT doc_id, source, n_letters,
+            CAST(list_sum(list_transform(cnts, c -> CASE WHEN c > 0
+              THEN c * ((length(bin(n_letters)) - 1)
+                - (length(bin(c)) - 1))
+              ELSE 0 END)) AS BIGINT) AS h_bits
+          FROM n)
+        SELECT doc_id, source, n_letters, h_bits,
+          (h_bits * 1000) // n_letters AS mean_millibits,
+          CAST(CASE WHEN (h_bits * 1000) // n_letters < 1500
+            THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
+        FROM h"""
+      }))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -651,4 +651,149 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"K-row vocab must broadcast back to the corpus:\n$p")
   }
+
+  test("q112 grouping sets: one aggregate expand, no union of scans") {
+    val df = SparkEntry.queries("q112_grouping_sets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // native GROUPING SETS = Expand inside ONE aggregate — a naive
+    // rewrite would union three separate scans of orders
+    assert(p.contains("Expand"), s"grouping sets lost the Expand:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") <= 1 &&
+      p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1,
+      s"grouping sets re-scans the input:\n$p")
+    val rows = df.collect()
+    // 15 detail + 5 per-priority subtotals + 1 grand total
+    assert(rows.length == 21, s"got ${rows.length} rows")
+    val grand = rows.filter(r =>
+      r.getAs[Long]("g_status") == 1L && r.getAs[Long]("g_prio") == 1L)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") ==
+      rows.filter(r => r.getAs[Long]("g_status") == 0L &&
+        r.getAs[Long]("g_prio") == 0L).map(_.getAs[Long]("n_orders")).sum,
+      "grand total must equal the sum of detail rows")
+  }
+
+  test("q113 hopping window: generator expand, combinable agg, 2x rows") {
+    val df = SparkEntry.queries("q113_hopping_window")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"window expansion must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"window agg lost map-side combine:\n$p")
+    val rows = df.collect()
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    // every event lands in exactly size/slide = 2 windows
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 2 * events,
+      "hopping expansion must produce exactly 2 windows per event")
+    // window starts are multiples of the 300 s slide
+    assert(rows.forall(_.getAs[Long]("w_start") % 300 == 0))
+  }
+
+  test("q114 char entropy: map-only, shuffle-free, scan prunes") {
+    val df = SparkEntry.queries("q114_char_entropy")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"entropy gate shuffles:\n$p")
+    assert(!p.contains("Join"), s"entropy gate joins:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // surrogate bound: 0 <= H <= n·log2(26) and the flag is honest
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_letters"); val h = r.getAs[Long]("h_bits")
+      assert(h >= 0 && h <= n * 5, s"entropy out of range: $r")
+      assert((r.getAs[Long]("mean_millibits") < 1500) ==
+        (r.getAs[Long]("low_entropy") == 1L))
+    }
+    // a constant string must score 0; natural text must not
+    assert(rows.exists(_.getAs[Long]("h_bits") > 0))
+  }
+
+  test("q115 MAD outliers: medians broadcast back, threshold honest") {
+    val df = SparkEntry.queries("q115_mad_outliers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type medians must broadcast to the event stream:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"),
+        s"outliers must be the minority under a 3-MAD fence: $r")
+    }
+  }
+
+  test("q116 containment: ids-only inverted index, excerpts found") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val df = SparkEntry.queries("q116_containment_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q116 degenerated:\n$p")
+    // no join input may carry document text — gram md5s + ids only
+    df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      .foreach { j =>
+        (j.left.output ++ j.right.output).foreach(a =>
+          assert(a.name != "text", "text crosses the containment join"))
+      }
+    val rows = df.collect()
+    assert(rows.nonEmpty, "planted excerpts must surface")
+    // every planted excerpt's grams are a subset of its source doc's:
+    // the (excerpt, source-doc) pair must report containment 1.0
+    assert(rows.exists(r => r.getAs[Long]("a") - 2000000L ==
+      r.getAs[Long]("b") && r.getAs[Long]("containment_ppm") == 1000000L),
+      "an excerpt must be fully contained in its own source doc")
+    rows.foreach(r => assert(r.getAs[Long]("containment_ppm") >= 900000L))
+  }
+
+  test("q117 PQ search: codebook broadcasts, scoring never shuffles " +
+    "vectors, ADC agrees with codes") {
+    val df = SparkEntry.queries("q117_pq_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // every join in the pipeline is against a broadcast (codebook row,
+    // probe LUTs) — the corpus-sized encode/score path must not pay a
+    // shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"PQ path shuffle-joins the corpus:\n$p")
+    val rows = df.collect()
+    val probes = rows.map(_.getAs[Long]("probe_id")).distinct
+    assert(probes.nonEmpty)
+    probes.foreach { pid =>
+      val g = rows.filter(_.getAs[Long]("probe_id") == pid)
+      assert(g.length == 5, s"probe $pid: expected top-5, got ${g.length}")
+      // ranks are 1..5 and adist is non-decreasing in rank
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val dists = sorted.map(_.getAs[Long]("adist")).toSeq
+      assert(dists == dists.sorted, s"probe $pid adist not sorted: $dists")
+      assert(dists.forall(_ >= 0L))
+    }
+  }
+
+  test("q118 source affinity: one corpus pass, S-row broadcast pairs") {
+    val df = SparkEntry.queries("q118_source_affinity")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"pair build must broadcast, not cartesian:\n$p")
+    val rows = df.collect()
+    val s2 = rows.flatMap(r => Seq(r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).distinct.length
+    // S·(S−1)/2 pairs, upper triangle only
+    assert(rows.length == s2 * (s2 - 1) / 2, s"expected full triangle")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("na2") > 0 && r.getAs[Long]("nb2") > 0)
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"cosine bound: $r")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
 }

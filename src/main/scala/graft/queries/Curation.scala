@@ -1666,5 +1666,136 @@ object Curation extends QueryPack {
           CAST(SUM(CASE WHEN rb = 1 THEN score ELSE 0 END) AS BIGINT)
             AS sum_kept_score
         FROM marked GROUP BY source""")),
+
+    // ---- q123: URL canonicalization + URL-level dedup — the FIRST
+    //      dedup pass of every crawl pipeline (CCNet/C4 dedup by
+    //      canonical URL before touching content): lowercase
+    //      scheme/host, strip www. and the default :443 port, drop
+    //      tracking params (utm_*), sort surviving query params so
+    //      param order never splits a group. URLs are planted
+    //      deterministically from doc_id (the corpus has no url
+    //      column) with mixed case, ports and shuffled params so every
+    //      canonicalization rule is load-bearing. Pure per-row regexp
+    //      + array ops (filter/sort/join — identical HOFs both
+    //      engines), then ONE canonical-key aggregate: map-side
+    //      combinable, the same budget as q20 exact dedup. ----
+    QueryDef(
+      "q123_url_canonicalize",
+      (s, d) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("https://")),
+          lit("Host"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/path/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&id="),
+              (col("doc_id") % 25).cast("string"),
+              lit("&utm_campaign=x&ref=a")))
+            .otherwise(concat(lit("?ref=a&id="),
+              (col("doc_id") % 25).cast("string"))))
+        val host = lower(regexp_extract(col("url"),
+          "^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)", 1))
+        val cleanHost = regexp_replace(
+          regexp_replace(host, "^www\\.", ""), ":443$", "")
+        val path = regexp_extract(col("url"),
+          "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+        val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+        val keptParams = array_join(
+          array_sort(filter(split(query, "&"),
+            p => !p.startsWith("utm_") && p =!= "")), "&")
+        t(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            concat(cleanHost, path,
+              when(keptParams =!= "", concat(lit("?"), keptParams))
+                .otherwise(lit(""))).as("canonical"))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keep_doc"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+              ELSE 'https://' END
+            || 'Host' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+            || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+            || '/path/' || CAST(doc_id % 50 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+                || '&utm_campaign=x&ref=a'
+              ELSE '?ref=a&id=' || CAST(doc_id % 25 AS VARCHAR) END
+            AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1)),
+              '^www\.', ''), ':443$', '') AS clean_host,
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+              AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+              AS kept
+          FROM u)
+        SELECT clean_host || path ||
+            CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+            AS canonical,
+          COUNT(*) AS n_docs,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+        FROM parts GROUP BY 1""")),
+
+    // ---- q124: vocabulary-growth audit (Heaps' law) + Zipf head/tail
+    //      skew per source — the corpus-statistics fingerprint that
+    //      flags machine-generated or template-heavy sources (natural
+    //      text: vocab ≈ K·N^β with β ≈ 0.5 and a Zipf head; spam:
+    //      tiny vocab, flat tail). All integer-exact: coverage in ppm
+    //      (trunc div), the Zipf surrogate is the q102 integer log2
+    //      gap between the top term count and the median term count
+    //      (percentile_disc picks an actual count). Scale: one
+    //      (source, token) wordcount collapse — map-side combinable,
+    //      the only corpus-sized shuffle — then a tiny per-source
+    //      rollup. ----
+    QueryDef(
+      "q124_heaps_zipf",
+      (s, d) => {
+        val fl2 = (c: Column) => (length(bin(c)) - 1).cast("long")
+        val tc = t(s, d, "documents")
+          .select(col("source"), explode(toks(col("text"))).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy("source")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            max("c").as("top_count"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+              .cast("long").as("med_count"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            expr("vocab * 1000000 div n_tokens").as("vocab_ppm"),
+            col("top_count"), col("med_count"),
+            (fl2(col("top_count")) - fl2(col("med_count")))
+              .as("zipf_bits"))
+      },
+      Some("""
+        WITH tc AS (
+          SELECT source,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        cc AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tc GROUP BY 1, 2)
+        SELECT source,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS vocab,
+          (COUNT(*) * 1000000) // CAST(SUM(c) AS BIGINT) AS vocab_ppm,
+          CAST(MAX(c) AS BIGINT) AS top_count,
+          CAST(quantile_disc(c, 0.5) AS BIGINT) AS med_count,
+          CAST((length(bin(MAX(c))) - 1)
+            - (length(bin(quantile_disc(c, 0.5))) - 1) AS BIGINT)
+            AS zipf_bits
+        FROM cc GROUP BY source""")),
   )
 }

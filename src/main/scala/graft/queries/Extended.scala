@@ -283,5 +283,129 @@ object Extended extends QueryPack {
             FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
             FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
-        FROM lineitem GROUP BY l_linestatus""")))
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // ---- UNPIVOT (q58's inverse): wide per-flag aggregates melt into
+    //      (key, metric, value) long form via the `stack` generator —
+    //      the shape metric stores and plotting layers want. stack is
+    //      a per-row generator (no join, no shuffle beyond the
+    //      aggregate that feeds it); every value is exact-in-double
+    //      (decimal sums cast once, counts exactly representable).
+    //      The oracle mirrors with UNION ALL — semantically what
+    //      UNPIVOT/stack expands to. ----
+    QueryDef(
+      "q120_unpivot",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sumDec(col("l_quantity")).as("sum_qty"),
+            sumDec(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).cast("double").as("n_items"))
+          .selectExpr("l_returnflag",
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price," +
+              " 'n_items', n_items) AS (metric, value)"),
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(COUNT(*) AS DOUBLE) AS n_items
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+          FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'n_items', n_items FROM wide""")),
+
+    // ---- the complete ranking-function family in one window pass:
+    //      rank/dense_rank/percent_rank/cume_dist are TIE-INVARIANT
+    //      over the value ordering (identical cross-engine without a
+    //      tiebreak); first/nth_value use the fully tie-broken order
+    //      (quantity, orderkey, linenumber) over the full frame, so
+    //      the picked elements are unique. ONE partition exchange
+    //      feeds both sorts. percent_rank and cume_dist are
+    //      (exact int)/(exact int) — IEEE-identical. ----
+    QueryDef(
+      "q121_rank_family",
+      (s, d) => {
+        val byVal = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"))
+        val full = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"),
+            col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+          .withColumn("rnk", rank().over(byVal).cast("long"))
+          .withColumn("drnk", dense_rank().over(byVal).cast("long"))
+          .withColumn("prnk", percent_rank().over(byVal))
+          .withColumn("cdist", cume_dist().over(byVal))
+          .withColumn("first_q", first(col("l_quantity")).over(full))
+          .withColumn("third_q",
+            nth_value(col("l_quantity"), 3).over(full))
+      },
+      Some("""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          CAST(rank() OVER v AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER v AS BIGINT) AS drnk,
+          percent_rank() OVER v AS prnk,
+          cume_dist() OVER v AS cdist,
+          first_value(l_quantity) OVER f AS first_q,
+          nth_value(l_quantity, 3) OVER f AS third_q
+        FROM lineitem
+        WINDOW v AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+          f AS (PARTITION BY l_returnflag
+            ORDER BY l_quantity, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ---- bitwise aggregates: per-user event-type membership masks —
+    //      the compact "which of K categories did this key touch" set
+    //      encoding (bit_or fold), its popcount cardinality, and a
+    //      bit_xor checksum of event ids (order-free by XOR's
+    //      commutativity, so cross-engine exact). The type→bit map is
+    //      computed IN-QUERY (alphabetical row_number over the
+    //      distinct types) and broadcast back — no hardcoded vocab.
+    //      Scale: distinct-types is a tiny combinable aggregate; the
+    //      mask fold is map-side combinable; one user-keyed shuffle. ----
+    QueryDef(
+      "q122_bitwise_agg",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val bits = e.select(col("event_type")).distinct()
+          .withColumn("bit",
+            row_number().over(Window.orderBy(col("event_type")))
+              .cast("long") - 1)
+        e.join(broadcast(bits), Seq("event_type"))
+          .groupBy("user_id")
+          .agg(
+            bit_or(expr("shiftleft(1L, int(bit))")).as("type_mask"),
+            bit_xor(col("event_id")).as("xor_event_ids"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("type_mask"),
+            bit_count(col("type_mask")).cast("long").as("n_types"),
+            col("xor_event_ids"), col("n_events"))
+      },
+      Some("""
+        WITH bits AS (
+          SELECT event_type,
+            CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1
+              AS bit
+          FROM (SELECT DISTINCT event_type FROM events)),
+        j AS (
+          SELECT e.user_id, e.event_id, b.bit
+          FROM events e JOIN bits b USING (event_type))
+        SELECT user_id,
+          CAST(bit_or(1::BIGINT << CAST(bit AS INT)) AS BIGINT)
+            AS type_mask,
+          CAST(bit_count(bit_or(1::BIGINT << CAST(bit AS INT)))
+            AS BIGINT) AS n_types,
+          CAST(bit_xor(event_id) AS BIGINT) AS xor_event_ids,
+          COUNT(*) AS n_events
+        FROM j GROUP BY user_id""")))
 }

@@ -534,5 +534,52 @@ object Temporal extends QueryPack {
           MAX(ad) AS max_abs_dev
         FROM dev JOIN mad USING (event_type)
         GROUP BY event_type""")),
+
+    // ---- time-series densification (gap fill): daily event counts
+    //      per type with MISSING days zero-filled — the step every
+    //      downstream window/forecast consumer needs (a lag() over a
+    //      sparse series silently skips gaps). The day grid is
+    //      sequence(min_day, max_day) × distinct types — both derived
+    //      in-query, no hardcoded calendar. Cross-engine exact: days
+    //      are epoch-microsecond trunc-divisions (all positive), and
+    //      the fill is COALESCE(count, 0). Scale: the grid is
+    //      types × days ≪ events; the count aggregate is map-side
+    //      combinable; the fill join is a broadcast of the grid's
+    //      matching side — events themselves are scanned once and
+    //      never re-shuffled. ----
+    QueryDef(
+      "q119_gap_fill",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_type"),
+            expr("(ts DIV 1000) div 86400000000").as("day"))
+        val counts = e.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"))
+        val days = e.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(days))
+        grid.join(broadcast(counts), Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        counts AS (
+          SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        days AS (
+          SELECT unnest(generate_series(MIN(day), MAX(day))) AS day
+          FROM e),
+        grid AS (
+          SELECT t.event_type, days.day
+          FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days)
+        SELECT g.event_type, g.day,
+          COALESCE(c.n, 0) AS n,
+          CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_gap
+        FROM grid g LEFT JOIN counts c USING (event_type, day)""")),
   )
 }

@@ -777,6 +777,120 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("q119 gap fill: grid broadcasts, fill is honest, no event reshuffle") {
+    val df = SparkEntry.queries("q119_gap_fill")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"gap-fill join must broadcast the tiny side:\n$p")
+    val rows = df.collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val days = rows.map(_.getAs[Long]("day")).distinct.length
+    // dense grid: every (type, day) cell present exactly once
+    assert(rows.length == types * days, "grid is not dense")
+    assert(rows.forall(r => (r.getAs[Long]("n") == 0L) ==
+      (r.getAs[Long]("is_gap") == 1L)))
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == events,
+      "fill must conserve the event count")
+  }
+
+  test("q120 unpivot: stack generates 3 metrics per key, no re-scan") {
+    val df = SparkEntry.queries("q120_unpivot")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1,
+      s"unpivot re-scans the input:\n$p")
+    val rows = df.collect()
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    assert(rows.length == flags.length * 3)
+    assert(rows.map(_.getAs[String]("metric")).distinct.sorted.toSeq ==
+      Seq("n_items", "sum_price", "sum_qty"))
+  }
+
+  test("q121 rank family: one partition exchange feeds both sorts") {
+    val df = SparkEntry.queries("q121_rank_family")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"both windows share the l_returnflag partitioning:\n$p")
+    val rows = df.collect().filter(_.getAs[String]("l_returnflag") == "A")
+    val n = rows.length
+    // rank family invariants on one partition
+    assert(rows.map(_.getAs[Long]("rnk")).max <= n)
+    val cd = rows.map(_.getAs[Double]("cdist"))
+    assert(cd.forall(c => c > 0.0 && c <= 1.0))
+    assert(rows.map(_.getAs[Double]("prnk")).forall(c => c >= 0.0 && c <= 1.0))
+    // first_q is the partition minimum under the tie-broken order
+    assert(rows.map(_.getAs[Double]("first_q")).distinct.length == 1)
+    assert(rows.head.getAs[Double]("first_q") ==
+      rows.map(_.getAs[Double]("l_quantity")).min)
+  }
+
+  test("q122 bitwise aggs: mask bits match distinct types, xor order-free") {
+    val df = SparkEntry.queries("q122_bitwise_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"type→bit map must broadcast:\n$p")
+    val rows = df.collect()
+    val nTypes = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type").distinct().count()
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("type_mask")
+      assert(java.lang.Long.bitCount(mask) == r.getAs[Long]("n_types"))
+      assert(mask < (1L << nTypes), s"mask uses unmapped bits: $r")
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_events"))
+    }
+    // some user must touch more than one type for the mask to matter
+    assert(rows.exists(_.getAs[Long]("n_types") > 1))
+  }
+
+  test("q123 url canonicalize: rules are load-bearing, map-side combine") {
+    val df = SparkEntry.queries("q123_url_canonicalize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert(p.contains("partial"), s"dedup agg lost map-side combine:\n$p")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val c = r.getAs[String]("canonical")
+      assert(c == c.toLowerCase || !c.takeWhile(_ != '/').exists(_.isUpper),
+        s"host not lowercased: $c")
+      assert(!c.contains(":443") && !c.startsWith("www."), s"residue: $c")
+      assert(!c.contains("utm_"), s"tracking param survived: $c")
+    }
+    // canonicalization must actually merge raw variants: raw URLs are
+    // unique per doc, canonical groups are not
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1L),
+      "no dedup happened — the planted variants never merged")
+  }
+
+  test("q124 heaps/zipf: one wordcount shuffle, sane growth stats") {
+    val df = SparkEntry.queries("q124_heaps_zipf")(spark, sf)
+    df.collect()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("med_count") <= r.getAs[Long]("top_count"))
+      assert(r.getAs[Long]("zipf_bits") >= 0L, s"zipf gap negative: $r")
+      assert(r.getAs[Long]("vocab_ppm") <= 1000000L)
+    }
+    // the driver corpus draws tokens near-uniformly (top ≈ 70,
+    // median ≈ 50 per source) — exactly what this audit exists to
+    // flag vs natural text's Zipf head; some source still clears one
+    // whole bit of head/median gap
+    assert(rows.exists(_.getAs[Long]("zipf_bits") >= 1L))
+    assert(rows.forall(_.getAs[Long]("zipf_bits") <= 3L),
+      "driver corpus is near-uniform; a large gap means the math broke")
+  }
+
   test("q118 source affinity: one corpus pass, S-row broadcast pairs") {
     val df = SparkEntry.queries("q118_source_affinity")(spark, sf)
     df.collect()

@@ -581,5 +581,142 @@ object Temporal extends QueryPack {
           CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
             AS is_gap
         FROM grid g LEFT JOIN counts c USING (event_type, day)""")),
+
+    // ---- SCD type-2 interval build: compress each user's event-type
+    //      stream into validity intervals [valid_from, valid_to) —
+    //      the slowly-changing-dimension history table a warehouse
+    //      derives from a change stream (and the exact batch shape of
+    //      streaming session/state compaction). Change points via
+    //      lag() over the tie-broken (ts, event_id) order; interval
+    //      ends via lead() over the SURVIVING change points — two
+    //      window passes over ONE user-keyed exchange (same partition
+    //      spec, Spark reuses the partitioning; plan-asserted). Open
+    //      intervals keep valid_to NULL with is_current = 1. All
+    //      comparisons at epoch-us longs. ----
+    QueryDef(
+      "q125_scd2",
+      (s, d) => {
+        val byTs = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts DIV 1000").as("ts_us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        e.withColumn("valid_to", lead(col("ts_us"), 1).over(byTs))
+          .select(col("user_id"), col("event_type"),
+            col("ts_us").as("valid_from"), col("valid_to"),
+            when(col("valid_to").isNull, 1L).otherwise(0L)
+              .as("is_current"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events),
+        ch AS (
+          SELECT user_id, event_id, event_type, ts_us FROM o
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type, ts_us AS valid_from,
+          lead(ts_us) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) AS valid_to,
+          CAST(CASE WHEN lead(ts_us) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+        FROM ch""")),
+
+    // ---- Ordered funnel analysis: view → click → purchase, each
+    //      step strictly AFTER the previous one (the sequence
+    //      constraint is what distinguishes a funnel from three
+    //      independent filters — a purchase before the first view
+    //      must NOT count). Three conditional-min aggregates, each
+    //      gated on the previous step's timestamp; the per-step
+    //      user table stays user-keyed and tiny, so the two gating
+    //      joins broadcast at test scale and stay co-partitioned
+    //      user-keyed joins at any scale (no re-shuffle: every stage
+    //      keys on user_id). Output: each user's deepest step and
+    //      step timestamps — the conversion report rolls up from it. ----
+    QueryDef(
+      "q126_funnel",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts DIV 1000").as("ts_us"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = e.join(broadcast(t1), "user_id")
+          .filter(col("event_type") === "click" && col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val t3 = e.join(broadcast(t2), "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        t1.join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+              + when(col("t3").isNotNull, 1L).otherwise(0L))
+              .as("funnel_depth"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        t1 AS (
+          SELECT user_id, MIN(ts_us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts_us) AS t2
+          FROM e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts_us > t1.t1
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts_us) AS t3
+          FROM e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2
+          GROUP BY e.user_id)
+        SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+          CAST(1 + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS funnel_depth
+        FROM t1
+        LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id""")),
+
+    // ---- Retention cohort matrix: users grouped by first-active day,
+    //      distinct-user counts at each later activity age — the
+    //      day-N retention table every growth dashboard opens with.
+    //      The cohort map is ONE user-keyed min aggregate joined back
+    //      to the activity stream (broadcast at test scale;
+    //      co-partitioned user-keyed at any scale), then a combinable
+    //      (cohort, age) distinct-count — which collapses to count(*)
+    //      because (user, day) rows are pre-deduped. Days are
+    //      epoch-us trunc-divisions, all positive. ----
+    QueryDef(
+      "q127_retention",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"),
+            expr("(ts DIV 1000) div 86400000000").as("day"))
+          .distinct()
+        val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ud.join(broadcast(cohort), "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day"))
+            .as("age_days"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM ud
+          GROUP BY user_id)
+        SELECT c.cohort_day, ud.day - c.cohort_day AS age_days,
+          COUNT(*) AS n_users
+        FROM ud JOIN cohort c USING (user_id)
+        GROUP BY 1, 2""")),
   )
 }

@@ -891,6 +891,84 @@ class NewQueryPlanSpec extends SparkTestBase {
       "driver corpus is near-uniform; a large gap means the math broke")
   }
 
+  test("q125 SCD2: one user exchange, intervals tile each user's stream") {
+    val df = SparkEntry.queries("q125_scd2")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"lag and lead windows must share the user partitioning:\n$p")
+    val rows = df.collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("valid_from"))
+      // exactly one open interval per user, and it is the last one
+      assert(g.count(_.getAs[Long]("is_current") == 1L) == 1, s"user $u")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+      // intervals chain: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+            s"user $u intervals do not tile")
+          // consecutive intervals must actually change type
+          assert(a.getAs[String]("event_type") !=
+            b.getAs[String]("event_type"), s"user $u uncompressed run")
+        case _ =>
+      }
+    }
+  }
+
+  test("q126 funnel: order constraint is load-bearing, depths honest") {
+    val df = SparkEntry.queries("q126_funnel")(spark, sf)
+    df.collect()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("funnel_depth")
+      assert(d >= 1 && d <= 3)
+      // step times strictly increase as far as the user got
+      if (d >= 2) assert(r.getAs[Long]("t2") > r.getAs[Long]("t1"))
+      if (d == 3) assert(r.getAs[Long]("t3") > r.getAs[Long]("t2"))
+      // depth is exactly the non-null step count
+      assert(d == 1 + (if (r.isNullAt(r.fieldIndex("t2"))) 0 else 1)
+        + (if (r.isNullAt(r.fieldIndex("t3"))) 0 else 1))
+    }
+    // the ORDER gate must bite: for some user the gated step-2 time is
+    // LATER than their unconditional first click (their first click
+    // happened before their first view and was correctly rejected)
+    import org.apache.spark.sql.functions.{col => c, expr, min => mn}
+    val naiveClick = spark.read.parquet(s"$sf/events.parquet")
+      .filter(c("event_type") === "click")
+      .groupBy("user_id").agg(mn(expr("ts DIV 1000")).as("naive_t2"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("naive_t2")).toMap
+    assert(rows.exists { r =>
+      !r.isNullAt(r.fieldIndex("t2")) &&
+        naiveClick.get(r.getAs[Long]("user_id"))
+          .exists(_ < r.getAs[Long]("t2"))
+    }, "gated t2 always equals the naive first click — order gate dead")
+  }
+
+  test("q127 retention: cohort tiling conserves activity, age-0 full") {
+    val df = SparkEntry.queries("q127_retention")(spark, sf)
+    df.collect()
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Long]("age_days") >= 0L))
+    // every cohort has an age-0 row and it is its maximum
+    rows.groupBy(_.getAs[Long]("cohort_day")).foreach { case (c, g) =>
+      val age0 = g.find(_.getAs[Long]("age_days") == 0L)
+      assert(age0.isDefined, s"cohort $c missing age 0")
+      assert(g.forall(_.getAs[Long]("n_users") <=
+        age0.get.getAs[Long]("n_users")), s"cohort $c grows after day 0")
+    }
+    // matrix conserves the distinct (user, day) activity volume
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val userDays = spark.read.parquet(s"$sf/events.parquet")
+      .select(c("user_id"), expr("(ts DIV 1000) div 86400000000"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == userDays)
+  }
+
   test("q118 source affinity: one corpus pass, S-row broadcast pairs") {
     val df = SparkEntry.queries("q118_source_affinity")(spark, sf)
     df.collect()

@@ -9,11 +9,11 @@ object GraftSession {
 
   /** Apply engine defaults to a builder.
     *
-    *  - `nanosAsLong`: the driver's `events` table stores `ts` as parquet
-    *    TIMESTAMP(NANOS), which Spark 4 refuses to read natively
-    *    ([PARQUET_TYPE_ILLEGAL]). With the flag the column surfaces as
-    *    LongType epoch-nanoseconds — matching DuckDB's `epoch_ns(ts)`
-    *    exactly, with no precision truncation.
+    *  - `nanosAsLong`: some testdata vintages store `events.ts` as
+    *    parquet TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+    *    ([PARQUET_TYPE_ILLEGAL]). With the flag that vintage surfaces as
+    *    LongType epoch-nanoseconds; [[Tables.t]] then normalizes any
+    *    vintage (ns-long, µs NTZ, µs LTZ) to epoch-µs longs.
     *  - UTC session TZ so date/timestamp literals agree with the oracle.
     *  - AQE on: runtime coalescing + skew-join handling is part of the
     *    100 TB design (SURVEY §4); local runs keep the same plan shape.

@@ -14,7 +14,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize an event-time column to epoch-MICROsecond longs.
+    *
+    * The driver's `events.ts` physical type has varied across testdata
+    * vintages — TIMESTAMP(NANOS) (surfaced as epoch-ns longs under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ) —
+    * while the DuckDB oracle side is always `epoch_us(ts)`. Pinning the
+    * engine-side representation here keeps every query site a plain
+    * `col("ts")` at µs precision regardless of the file vintage.
+    * The replacement is a projection, so column pruning still reaches
+    * the scan; no query filters on raw `ts` before deriving µs.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => // epoch-ns vintage
+        df.withColumn("ts", expr("ts DIV 1000"))
+      case Some(_: org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(
+          "ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts)"))
+      case _ => df
+    }
 
   /** Exact-arithmetic SUM for oracle parity.
     *

@@ -194,7 +194,7 @@ object Extended extends QueryPack {
         // order would break sub-µs ties differently than DuckDB's
         // (µs, event_id) order; event_id is unique so this stays total
         val w = Window.partitionBy("user_id")
-          .orderBy(expr("ts DIV 1000").asc, col("event_id").asc)
+          .orderBy(col("ts").asc, col("event_id").asc)
         // partition-edge nulls coalesced to -1/0 so the output is
         // null-free for the hash compare
         t(s, d, "events")
@@ -207,7 +207,7 @@ object Extended extends QueryPack {
             // µs resolution: DuckDB truncates the TIMESTAMP_NS parquet
             // column to micros at scan (see q09 note)
             coalesce(
-              expr("ts DIV 1000") - lag(expr("ts DIV 1000"), 1).over(w),
+              col("ts") - lag(col("ts"), 1).over(w),
               lit(0L)).as("us_since_prev"))
       },
       Some("""
@@ -249,7 +249,7 @@ object Extended extends QueryPack {
           .rangeBetween(-600000000L, 0)
         t(s, d, "events")
           .select(col("user_id"), col("event_id"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
           .withColumn("n_10min", count(lit(1)).over(w))
           .withColumn("sum_ids_10min", sum(col("event_id")).over(w))
       },

@@ -49,7 +49,7 @@ object Nested extends QueryPack {
           .groupBy("user_id")
           .agg(
             array_sort(
-              collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
+              collect_list(struct(col("ts").as("ts_us"), col("event_id"), col("value"))))
               .as("h"))
           .select(
             col("user_id"),
@@ -85,7 +85,7 @@ object Nested extends QueryPack {
         t(s, d, "events")
           .groupBy("user_id")
           .agg(
-            array_sort(collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
+            array_sort(collect_list(struct(col("ts").as("ts_us"), col("event_id"), col("value"))))
               .as("h"))
           .select(
             col("user_id"),
@@ -148,7 +148,7 @@ object Nested extends QueryPack {
           .filter(col("event_id") % 2 === parity)
           .groupBy("user_id")
           .agg(array_sort(
-            collect_list(struct(expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value"))))
+            collect_list(struct(col("ts").as("ts_us"), col("event_id"), col("value"))))
             .as("h"))
           .select(
             col("user_id"),

@@ -186,13 +186,12 @@ object Relational extends QueryPack {
       "q09_window_dedup",
       (s, d) => {
         val w = Window.partitionBy("user_id")
-        // ts surfaces as LongType epoch-ns (see GraftSession nanosAsLong);
-        // the max AND the equality both run at µs because DuckDB 1.0
-        // truncates TIMESTAMP_NS parquet to micros at scan — a ns-side
-        // max would keep fewer rows than the oracle whenever two events
-        // share the max microsecond. Integer DIV keeps it exact.
+        // Tables.t surfaces ts as epoch-µs longs for every testdata
+        // vintage, matching DuckDB's µs scan precision — the max AND
+        // the equality must run at the same precision or the dedup
+        // would keep fewer rows than the oracle on max-µs ties.
         t(s, d, "events")
-          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts_us", col("ts"))
           .withColumn("max_ts", max(col("ts_us")).over(w))
           .filter(col("ts_us") === col("max_ts"))
           .select(col("user_id"), col("event_id"),

@@ -295,7 +295,7 @@ object Reports extends QueryPack {
           .withColumn("tde_name",
             concat(lit("TDE"), col("user_id").cast("string")))
         ev.filter(col("event_type") =!= "click")
-          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts_us", col("ts"))
           .join(broadcast(known), Seq("user_id"))
           .groupBy("user_id", "tde_name")
           .agg(
@@ -340,7 +340,7 @@ object Reports extends QueryPack {
             .as("n_band_g"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .as("n_band_r"),
-          countDistinct(expr("(ts DIV 1000) DIV 86400000000"))
+          countDistinct(expr("ts DIV 86400000000"))
             .as("n_exposures"),
           sum(when(col("value") > 100.0, 1L).otherwise(0L))
             .as("n_classified")),
@@ -371,7 +371,7 @@ object Reports extends QueryPack {
       "q79_ssoft_features",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val day = expr("(ts DIV 1000) DIV 86400000000")
+        val day = expr("ts DIV 86400000000")
         val x = day.cast(DecimalType(18, 0))
         val y = col("value").cast(DecimalType(18, 2))
         val n = col("n").cast("double")

@@ -12,11 +12,10 @@ import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
   * exact-arithmetic correlation, and discrete percentiles.
   *
   * All `events.ts` comparisons happen at MICROsecond precision on both
-  * sides (`ts DIV 1000` vs DuckDB `epoch_us`): the parquet column is
-  * TIMESTAMP(NANOS), which Spark surfaces as epoch-ns longs
-  * (nanosAsLong) while DuckDB truncates to micros at scan — comparing
-  * at ns on one side and us on the other would disagree on ties and
-  * band boundaries.
+  * sides: [[graft.core.Tables.t]] normalizes the column to epoch-µs
+  * longs for every testdata vintage (ns-long or timestamp), matching
+  * DuckDB's `epoch_us(ts)` — comparing at different precisions would
+  * disagree on ties and band boundaries.
   */
 object Temporal extends QueryPack {
 
@@ -136,12 +135,12 @@ object Temporal extends QueryPack {
           .filter(col("event_type") === "click")
           .select(
             col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         // one row per (user, micro-ts): "the" latest prior row must be
         // unambiguous for any engine (see AsOfJoin scaladoc)
         val purchases = ev
           .filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
           .agg(min(col("event_id")).as("prior_purchase_id"))
         AsOfJoin
           .priorJoin(clicks, purchases, "user_id", "ts_us",
@@ -167,7 +166,7 @@ object Temporal extends QueryPack {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         RangeJoin.bandPairs(e, "user_id", "ts_us", "event_id", BandWidthUs)
       },
       Some("""
@@ -186,7 +185,7 @@ object Temporal extends QueryPack {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         Sessionize
           .withSessionId(e, "user_id", col("ts_us"), col("event_id"),
             SessionGapUs)
@@ -457,7 +456,7 @@ object Temporal extends QueryPack {
         t(s, d, "events")
           .select(col("event_type"),
             floor(col("value") * 1000.0).cast("long").as("v_milli"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
           .select(col("event_type"), col("v_milli"),
             window(timestamp_micros(col("ts_us")),
               "600 seconds", "300 seconds").as("w"))
@@ -552,7 +551,7 @@ object Temporal extends QueryPack {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("event_type"),
-            expr("(ts DIV 1000) div 86400000000").as("day"))
+            expr("ts div 86400000000").as("day"))
         val counts = e.groupBy("event_type", "day")
           .agg(count(lit(1)).as("n"))
         val days = e.agg(min("day").as("lo"), max("day").as("hi"))
@@ -601,7 +600,7 @@ object Temporal extends QueryPack {
           .orderBy(col("ts_us"), col("event_id"))
         val e = t(s, d, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
           .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
           .filter(col("prev_type").isNull ||
             col("prev_type") =!= col("event_type"))
@@ -644,7 +643,7 @@ object Temporal extends QueryPack {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("user_id"), col("event_type"),
-            expr("ts DIV 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         val t1 = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts_us").as("t1"))
         val t2 = e.join(broadcast(t1), "user_id")
@@ -699,7 +698,7 @@ object Temporal extends QueryPack {
       (s, d) => {
         val ud = t(s, d, "events")
           .select(col("user_id"),
-            expr("(ts DIV 1000) div 86400000000").as("day"))
+            expr("ts div 86400000000").as("day"))
           .distinct()
         val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
         ud.join(broadcast(cohort), "user_id")

@@ -936,10 +936,10 @@ class NewQueryPlanSpec extends SparkTestBase {
     // the ORDER gate must bite: for some user the gated step-2 time is
     // LATER than their unconditional first click (their first click
     // happened before their first view and was correctly rejected)
-    import org.apache.spark.sql.functions.{col => c, expr, min => mn}
-    val naiveClick = spark.read.parquet(s"$sf/events.parquet")
+    import org.apache.spark.sql.functions.{col => c, min => mn}
+    val naiveClick = graft.core.Tables.t(spark, sf, "events")
       .filter(c("event_type") === "click")
-      .groupBy("user_id").agg(mn(expr("ts DIV 1000")).as("naive_t2"))
+      .groupBy("user_id").agg(mn(c("ts")).as("naive_t2"))
       .collect().map(r => r.getAs[Long]("user_id") ->
         r.getAs[Long]("naive_t2")).toMap
     assert(rows.exists { r =>
@@ -963,8 +963,8 @@ class NewQueryPlanSpec extends SparkTestBase {
     }
     // matrix conserves the distinct (user, day) activity volume
     import org.apache.spark.sql.functions.{col => c, expr}
-    val userDays = spark.read.parquet(s"$sf/events.parquet")
-      .select(c("user_id"), expr("(ts DIV 1000) div 86400000000"))
+    val userDays = graft.core.Tables.t(spark, sf, "events")
+      .select(c("user_id"), expr("ts div 86400000000"))
       .distinct().count()
     assert(rows.map(_.getAs[Long]("n_users")).sum == userDays)
   }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+
+/** Corpus cleaning beyond per-document filters: exact-substring
+  * keep-first dedup with excision-run merging (the Lee et al. 2022
+  * "ExactSubstr" shape), and per-source document-frequency boilerplate
+  * line removal (the domain-footer / nav-bar class that global
+  * count thresholds — q90 — can't separate per site).
+  *
+  * Both operators shuffle ONLY (id, position, 16-byte md5) rows;
+  * document text never crosses an exchange.
+  */
+object Cleaning extends QueryPack {
+
+  /** Window width (words) for exact-substring dedup. Lee et al. use
+    * 50 BPE tokens; 24 words keeps the same "long verbatim overlap"
+    * regime at the driver corpus's 10-100-word doc lengths. */
+  val SubstrW = 24
+
+  /** 30 fixed words planted as a shared tail paragraph on every 6th
+    * doc, so cross-document duplicated windows exist by construction
+    * (the corpus is seeded word salad — natural 24-gram collisions
+    * are vanishingly rare). One string, used verbatim by both engines. */
+  val PlantedPara: String =
+    "the quick brown fox jumps over the lazy dog while the spark " +
+      "engine shuffles rows across the cluster and the driver " +
+      "collects nothing at all tonight"
+
+  /** documents with the shared paragraph appended on every 6th doc. */
+  private def plantedDocs(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" " + PlantedPara)))
+        .otherwise(col("text")).as("text"))
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- Exact-substring corpus dedup, keep-first occurrence ----
+    // Every W-word window is fingerprinted (compiled NgramMd5 pass);
+    // the FIRST occurrence in (doc_id, position) order survives, every
+    // later one is marked for excision; overlapping/adjacent excised
+    // windows merge into maximal runs per doc (gaps-and-islands, break
+    // when the gap exceeds W). Output is the per-doc excision audit.
+    //
+    // Scale shape: one exchange of (doc_id, pos, 32-hex) rows keyed by
+    // fingerprint for the keep-first window, then doc-keyed windows/
+    // aggregates; the join back to doc length is by doc_id. Shuffle
+    // volume is ~1 skinny row per corpus word, independent of doc size.
+    QueryDef(
+      "q128_substring_dedup",
+      (s, d) => {
+        val w = SubstrW
+        val base = plantedDocs(t(s, d, "documents"))
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        val docLen = base.select(
+          col("doc_id"), size(col("tk")).cast("long").as("n_words"))
+        val wins = base
+          .select(col("doc_id"),
+            posexplode(graft.functions.HashFunctions.ngramMd5(col("tk"), w)))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+        val firstWin = Window.partitionBy("g").orderBy("doc_id", "p")
+        val flagged = wins
+          .withColumn("rn", row_number().over(firstWin))
+          .filter(col("rn") > 1)
+          .select("doc_id", "p")
+        // gaps-and-islands: a new excision run starts when the gap to
+        // the previous flagged window exceeds the window width
+        val byDoc = Window.partitionBy("doc_id").orderBy("p")
+        val runs = flagged
+          .withColumn("brk",
+            when(col("p") - lag(col("p"), 1, -1000000L).over(byDoc) > w, 1L)
+              .otherwise(0L))
+          .withColumn("run_id",
+            sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "run_id")
+          .agg(min(col("p")).as("p0"), max(col("p")).as("p1"),
+            count(lit(1)).as("nw"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("nw")).as("n_dup_windows"),
+            count(lit(1)).as("n_runs"),
+            sum(col("p1") - col("p0") + w).as("words_excised"))
+        docLen
+          .join(runs, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            greatest(col("n_words") - (w - 1), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+            coalesce(col("words_excised"), lit(0L)).as("words_excised"),
+            col("n_words"),
+            ((col("n_words") - coalesce(col("words_excised"), lit(0L)))
+              .cast("double") / col("n_words").cast("double"))
+              .as("kept_frac"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0
+              THEN text || ' ' || '$PlantedPara'
+              ELSE text END AS text
+          FROM documents),
+        d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM aug),
+        wins AS (
+          SELECT doc_id, unnest(generate_series(1, greatest(len(tk) - ${SubstrW - 1}, 0))) AS p,
+            unnest(list_transform(
+              generate_series(1, greatest(len(tk) - ${SubstrW - 1}, 0)),
+              i -> md5(array_to_string(tk[i:i+${SubstrW - 1}], ' ')))) AS g
+          FROM d),
+        flagged AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+            FROM wins)
+          WHERE rn > 1),
+        runs AS (
+          SELECT doc_id, run_id, MIN(p) AS p0, MAX(p) AS p1,
+            COUNT(*) AS nw
+          FROM (
+            SELECT doc_id, p,
+              SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM (
+              SELECT doc_id, p,
+                CASE WHEN p - COALESCE(lag(p) OVER (PARTITION BY doc_id
+                  ORDER BY p), -1000000) > $SubstrW
+                  THEN 1 ELSE 0 END AS brk
+              FROM flagged))
+          GROUP BY doc_id, run_id),
+        per_doc AS (
+          SELECT doc_id,
+            SUM(nw) AS n_dup_windows,
+            COUNT(*) AS n_runs,
+            SUM(p1 - p0 + $SubstrW) AS words_excised
+          FROM runs GROUP BY doc_id)
+        SELECT d.doc_id,
+          greatest(len(d.tk) - ${SubstrW - 1}, 0) AS n_windows,
+          COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+          COALESCE(p.n_runs, 0) AS n_runs,
+          COALESCE(p.words_excised, 0) AS words_excised,
+          CAST(len(d.tk) AS BIGINT) AS n_words,
+          CAST(len(d.tk) - COALESCE(p.words_excised, 0) AS DOUBLE)
+            / CAST(len(d.tk) AS DOUBLE) AS kept_frac
+        FROM d LEFT JOIN per_doc p USING (doc_id)""")),
+
+    // ---- Per-source boilerplate line removal ----
+    // A line is boilerplate for a source when it appears in >= 30% of
+    // that source's documents (and at least 2) — the per-site footer /
+    // nav-bar class. Planted: a sitewide nav line on every 4th doc and
+    // a per-source copyright footer on 2 of every 3 docs, so the
+    // per-source DF threshold is load-bearing (the footer text differs
+    // per source, so a GLOBAL threshold would mis-rank it).
+    //
+    // Scale shape: line instances collapse to distinct
+    // (source, doc_id, fp) before the (source, fp) document-frequency
+    // aggregate — both combinable; the boilerplate set is tiny and
+    // joins back to instance counts by (source, fp). Text stays in
+    // per-row expressions.
+    QueryDef(
+      "q129_source_boilerplate",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          concat(
+            when(col("doc_id") % 4 === 0,
+              lit("home about contact sitemap login\n")).otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 3 =!= 2,
+              concat(lit("\ncopyright "), col("source"),
+                lit(" all rights reserved"))).otherwise(lit("")))
+            .as("t"))
+        val inst = aug
+          .select(col("source"), col("doc_id"),
+            explode(split(col("t"), "\n")).as("line"))
+          .select(col("source"), col("doc_id"), md5(col("line")).as("fp"))
+        val docLine = inst.distinct()
+        val srcDocs = aug.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val boiler = docLine
+          .groupBy("source", "fp")
+          .agg(count(lit(1)).as("df"))
+          .join(srcDocs, "source")
+          .filter(col("df") >= 2 && col("df") * 10 >= col("n_docs") * 3)
+          .select("source", "fp", "df")
+        val removed = inst.join(boiler, Seq("source", "fp"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_occurrences_removed"),
+            countDistinct(col("doc_id")).as("n_docs_affected"))
+        val nb = boiler.groupBy("source")
+          .agg(count(lit(1)).as("n_boiler_lines"))
+        val totals = inst.groupBy("source")
+          .agg(count(lit(1)).as("n_lines_total"))
+        totals
+          .join(nb, Seq("source"), "left")
+          .join(removed, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("n_lines_total"),
+            coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+            coalesce(col("n_occurrences_removed"), lit(0L))
+              .as("n_occurrences_removed"),
+            coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+            (col("n_lines_total") -
+              coalesce(col("n_occurrences_removed"), lit(0L)))
+              .as("n_lines_kept"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 4 = 0
+              THEN 'home about contact sitemap login' || chr(10)
+              ELSE '' END
+            || text
+            || CASE WHEN doc_id % 3 <> 2
+              THEN chr(10) || 'copyright ' || source
+                || ' all rights reserved'
+              ELSE '' END AS t
+          FROM documents),
+        inst AS (
+          SELECT source, doc_id, md5(unnest(string_split(t, chr(10)))) AS fp
+          FROM aug),
+        doc_line AS (SELECT DISTINCT source, doc_id, fp FROM inst),
+        src_docs AS (SELECT source, COUNT(*) AS n_docs FROM aug GROUP BY source),
+        boiler AS (
+          SELECT dl.source, dl.fp, COUNT(*) AS df
+          FROM doc_line dl
+          GROUP BY dl.source, dl.fp),
+        boiler_f AS (
+          SELECT b.source, b.fp FROM boiler b JOIN src_docs s USING (source)
+          WHERE b.df >= 2 AND b.df * 10 >= s.n_docs * 3),
+        removed AS (
+          SELECT i.source,
+            COUNT(*) AS n_occurrences_removed,
+            COUNT(DISTINCT i.doc_id) AS n_docs_affected
+          FROM inst i JOIN boiler_f b ON i.source = b.source AND i.fp = b.fp
+          GROUP BY i.source),
+        nb AS (
+          SELECT source, COUNT(*) AS n_boiler_lines FROM boiler_f
+          GROUP BY source),
+        totals AS (
+          SELECT source, COUNT(*) AS n_lines_total FROM inst GROUP BY source)
+        SELECT t.source, t.n_lines_total,
+          COALESCE(nb.n_boiler_lines, 0) AS n_boiler_lines,
+          COALESCE(r.n_occurrences_removed, 0) AS n_occurrences_removed,
+          COALESCE(r.n_docs_affected, 0) AS n_docs_affected,
+          t.n_lines_total - COALESCE(r.n_occurrences_removed, 0)
+            AS n_lines_kept
+        FROM totals t
+        LEFT JOIN nb USING (source)
+        LEFT JOIN removed r USING (source)""")),
+  )
+}

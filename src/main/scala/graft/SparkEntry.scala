@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.Reports.defs,
     graft.queries.Curation.defs,
     graft.queries.Serving.defs,
+    graft.queries.Cleaning.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

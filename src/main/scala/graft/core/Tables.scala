@@ -13,8 +13,13 @@ import org.apache.spark.sql.types.DecimalType
   * plan (PushedFilters / ReadSchema).
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Only `events` carries the event-time column whose physical type has
+    // varied across testdata vintages; gating on the table name keeps the
+    // epoch-ns assumption from ever rescaling an unrelated long `ts`.
+    if (name == "events") normalizeTs(df) else df
+  }
 
   /** Normalize an event-time column to epoch-MICROsecond longs.
     *

@@ -87,6 +87,34 @@ case class SimHashMd5(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash with md5-derived token hashes — the ORACLE-portable
+  * wide variant (q23): h(token) = first 8 md5 bytes big-endian (the
+  * full first 16 hex nibbles), so any engine with md5 + exact integer
+  * arithmetic can replicate every bit; DuckDB does it in HUGEINT and
+  * maps the top bit back to the signed-64 two's-complement value.
+  * Same single-compiled-pass shape as [[SimHashMd5]]; [[SimHash64]]
+  * (xxhash64) remains the non-oracle throughput path.
+  */
+case class SimHashMd5Wide(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5_64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressionsInternal.simHashMd5Wide(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionsInternal.simHashMd5Wide($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection cardinality of two SORTED string arrays by linear
   * merge — no per-call hash set, no result array. Callers pre-sort once
   * per document (`array_sort`), turning a pair-verify join's dominant
@@ -256,6 +284,35 @@ object HashExpressionsInternal {
     }
     var acc = 0L
     var b = 31
+    while (b >= 0) {
+      acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  /** 64-bit SimHash with md5-derived token hashes (oracle-portable,
+    * wide variant): h(token) = first 8 digest bytes big-endian. */
+  def simHashMd5Wide(arr: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tally = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 63
     while (b >= 0) {
       acc = (acc << 1) | (if (tally(b) > 0) 1L else 0L)
       b -= 1
@@ -475,4 +532,7 @@ object HashFunctions {
 
   def simhashMd5(tokens: Column): Column =
     shims.column(SimHashMd5(shims.expression(tokens)))
+
+  def simhashMd5Wide(tokens: Column): Column =
+    shims.column(SimHashMd5Wide(shims.expression(tokens)))
 }

@@ -32,6 +32,12 @@ object Cleaning extends QueryPack {
       "engine shuffles rows across the cluster and the driver " +
       "collects nothing at all tonight"
 
+  // PlantedPara is interpolated into a single-quoted DuckDB literal in the
+  // q128 oracle; a quote or backslash would break (or silently change) it.
+  require(
+    !PlantedPara.exists(c => c == '\'' || c == '\\'),
+    "PlantedPara must not contain quote/backslash characters")
+
   /** documents with the shared paragraph appended on every 6th doc. */
   private def plantedDocs(df: DataFrame): DataFrame =
     df.select(

@@ -967,13 +967,21 @@ object Curation extends QueryPack {
         val totals = caps.agg(
           sum(col("n_tokens")).as("budget"),
           count(lit(1)).as("k"))
+        // caps is one row per SOURCE (corpus cardinality K, ~dozens) —
+        // the waterline scan is inherently sequential over those K rows.
+        // Partitioning on the broadcast `k` attribute (single-valued by
+        // construction, but an attribute the optimizer can't fold away)
+        // makes the bounded-single-partition intent explicit in the
+        // plan — no unpartitioned WindowExec.
         val ranked = caps.crossJoin(broadcast(totals))
           .withColumn("i",
             row_number().over(
-              w.orderBy(col("cap_tokens"), col("source"))))
+              w.partitionBy(col("k"))
+                .orderBy(col("cap_tokens"), col("source"))))
           .withColumn("prefix",
             sum(col("cap_tokens")).over(
-              w.orderBy(col("cap_tokens"), col("source"))
+              w.partitionBy(col("k"))
+                .orderBy(col("cap_tokens"), col("source"))
                 .rowsBetween(w.unboundedPreceding, w.currentRow)))
           .withColumn("is_capped",
             (col("cap_tokens") * (col("k") - col("i"))
@@ -1305,10 +1313,16 @@ object Curation extends QueryPack {
               i => col("w").substr(i, lit(2)))).as("pair"))
           .groupBy("pair").agg(sum("f").as("cnt"))
         val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(20)
-        top.withColumn("rank",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("pair"))).cast("long"))
-          .select("rank", "pair", "cnt")
+        // rank the ≤20 post-limit rows without a window: one bounded
+        // collect_list row, sorted (struct(-cnt, pair) asc == cnt desc,
+        // pair asc), posexplode position = rank. No unpartitioned
+        // WindowExec anywhere in the plan.
+        top
+          .agg(sort_array(collect_list(
+            struct((-col("cnt")).as("nc"), col("pair")))).as("xs"))
+          .select(posexplode(col("xs")))
+          .select((col("pos") + 1).cast("long").as("rank"),
+            col("col.pair").as("pair"), (-col("col.nc")).as("cnt"))
       },
       Some("""
         WITH wd AS (
@@ -1382,10 +1396,15 @@ object Curation extends QueryPack {
           .groupBy("tok").agg(count(lit(1)).as("c"))
         val tot = wc.agg(sum("c").as("total_tokens"),
           count(lit(1)).as("vocab_size"))
+        // rank the ≤1024 post-limit rows without a window: one bounded
+        // collect_list row sorted (struct(-c, tok) asc == c desc, tok
+        // asc), posexplode position = rank — no unpartitioned WindowExec
         val top = wc.orderBy(col("c").desc, col("tok")).limit(1024)
-          .withColumn("rk",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("c").desc, col("tok"))).cast("long"))
+          .agg(sort_array(collect_list(
+            struct((-col("c")).as("nc"), col("tok")))).as("xs"))
+          .select(posexplode(col("xs")))
+          .select((col("pos") + 1).cast("long").as("rk"),
+            col("col.tok").as("tok"), (-col("col.nc")).as("c"))
         top.crossJoin(broadcast(tot))
           .withColumn("k", explode(array(
             Seq(16L, 64L, 256L, 1024L).map(lit): _*)))

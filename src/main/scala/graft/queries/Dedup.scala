@@ -395,17 +395,48 @@ object Dedup extends QueryPack {
         SELECT node AS doc_id, min(r) AS keep_id
         FROM reach GROUP BY node""".stripMargin)),
 
-    // ---- SimHash fingerprints (xxhash64-based — not reproducible in
-    //      DuckDB, so driver check is rows-only; Hamming-distance
-    //      behavior on near-dups is asserted in DedupSpec) ----
+    // ---- 64-bit SimHash fingerprints, oracle-certified: md5-derived
+    //      token hashes (first 8 digest bytes big-endian) so DuckDB can
+    //      replicate every bit in HUGEINT and map the top bit back to
+    //      the signed-64 value. One compiled pass per row (SimHashMd5Wide
+    //      with doGenCode); the xxhash64 SimHash64 expression remains the
+    //      library's non-oracle throughput path, value- and Hamming-
+    //      behavior-asserted in DedupSpec. ----
     QueryDef(
       "q23_simhash",
       (s, d) =>
         t(s, d, "documents")
           .select(
             col("doc_id"),
-            simhash64(tokens(normText(col("text")))).as("simhash")),
-      None),
+            graft.functions.HashFunctions
+              .simhashMd5Wide(array_distinct(tokens(normText(col("text")))))
+              .as("simhash64")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_distinct(regexp_split_to_array(
+              lower(trim(text)), '\s+')) AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_transform(toks, tk ->
+              list_sum(list_transform(range(0, 16), i ->
+                CAST(strpos('0123456789abcdef',
+                  substr(md5(tk), CAST(i + 1 AS INT), 1)) - 1 AS HUGEINT)
+                * CAST(2 ** (4 * (15 - i)) AS HUGEINT)))) AS hs
+          FROM d)
+        SELECT doc_id,
+          CAST(CASE WHEN fp >= CAST(2 ** 63 AS HUGEINT)
+            THEN fp - CAST(2 ** 64 AS HUGEINT) ELSE fp END AS BIGINT)
+            AS simhash64
+        FROM (
+          SELECT doc_id,
+            list_sum(list_transform(range(0, 64), b ->
+              CASE WHEN list_sum(list_transform(hs,
+                  h -> 2 * ((h // CAST(2 ** b AS HUGEINT)) % 2) - 1)) > 0
+                THEN CAST(2 ** b AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END)) AS fp
+          FROM h)""")),
 
     // ---- ORACLE-certified SimHash: same algorithm, md5-derived 32-bit
     //      token hashes so DuckDB can replicate every bit. q23 remains

@@ -172,7 +172,12 @@ object Extended extends QueryPack {
     // ---- Approximate sketches — the 100 TB substitutes for exact
     //      distinct/quantile (HLL++ / Greenwald-Khanna; deterministic
     //      for fixed input, no DuckDB oracle → rows-only + SketchSpec
-    //      error-bound assertions vs exact) ----
+    //      error-bound assertions vs exact).
+    //      DOCUMENTED rows-only: the sketch VALUES are artifacts of
+    //      Spark's HLL++ register layout / GK compression — no other
+    //      engine reproduces them bit-for-bit, so a value oracle is
+    //      impossible by construction; the correctness claim is the
+    //      error bound vs exact, which SketchSpec asserts. ----
     QueryDef(
       "q41_sketches",
       (s, d) =>
@@ -368,8 +373,14 @@ object Extended extends QueryPack {
     //      encoding (bit_or fold), its popcount cardinality, and a
     //      bit_xor checksum of event ids (order-free by XOR's
     //      commutativity, so cross-engine exact). The type→bit map is
-    //      computed IN-QUERY (alphabetical row_number over the
-    //      distinct types) and broadcast back — no hardcoded vocab.
+    //      computed IN-QUERY (alphabetical position in a collect_set →
+    //      sort_array vocabulary fold) and broadcast back — no
+    //      hardcoded vocab, and no unpartitioned WindowExec: the
+    //      vocabulary is ONE combinable aggregate row (partials bounded
+    //      by the category cardinality K), posexploded to (bit, type).
+    //      Bounded by construction: >64 types would silently overflow
+    //      the mask, so the plan raise_error()s instead — the bound the
+    //      mask encoding itself assumes, now enforced in-plan.
     //      Scale: distinct-types is a tiny combinable aggregate; the
     //      mask fold is map-side combinable; one user-keyed shuffle. ----
     QueryDef(
@@ -377,10 +388,14 @@ object Extended extends QueryPack {
       (s, d) => {
         val e = t(s, d, "events")
           .select(col("user_id"), col("event_id"), col("event_type"))
-        val bits = e.select(col("event_type")).distinct()
-          .withColumn("bit",
-            row_number().over(Window.orderBy(col("event_type")))
-              .cast("long") - 1)
+        val bits = e
+          .agg(sort_array(collect_set(col("event_type"))).as("types"))
+          .select(posexplode(
+            when(size(col("types")) <= 64, col("types"))
+              .otherwise(raise_error(lit(
+                "q122: >64 distinct event types — 64-bit mask overflow")))))
+          .select(col("col").as("event_type"),
+            col("pos").cast("long").as("bit"))
         e.join(broadcast(bits), Seq("event_type"))
           .groupBy("user_id")
           .agg(

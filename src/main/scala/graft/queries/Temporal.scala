@@ -102,13 +102,22 @@ object Temporal extends QueryPack {
     val local = striped
       .withColumn("la", sum(col("ca")).over(wp))
       .withColumn("lb", sum(col("cb")).over(wp))
-    val wo = org.apache.spark.sql.expressions.Window
-      .orderBy("pid").rowsBetween(Long.MinValue, -1)
+    // offsets: one row per stripe (P rows, fixed constant) — the
+    // exclusive prefix sums over those P rows fold inside ONE bounded
+    // collect_list row (transform + aggregate over the i-element
+    // slice, O(P^2) on P≈dozens), so no unpartitioned WindowExec ever
+    // enters the plan
     val offsets = striped.groupBy("pid")
       .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
-      .select(col("pid"),
-        coalesce(sum(col("sa")).over(wo), lit(0L)).as("oa"),
-        coalesce(sum(col("sb")).over(wo), lit(0L)).as("ob"))
+      .agg(sort_array(collect_list(
+        struct(col("pid"), col("sa"), col("sb")))).as("xs"))
+      .select(explode(expr(
+        """transform(xs, (x, i) -> struct(x.pid AS pid,
+          |  aggregate(slice(xs, 1, i), 0L, (a, y) -> a + y.sa) AS oa,
+          |  aggregate(slice(xs, 1, i), 0L, (a, y) -> a + y.sb) AS ob))"""
+          .stripMargin)).as("o"))
+      .select(col("o.pid").as("pid"), col("o.oa").as("oa"),
+        col("o.ob").as("ob"))
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     local
       .join(broadcast(offsets), Seq("pid"))

@@ -189,6 +189,34 @@ class DedupSpec extends SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("SimHashMd5Wide matches an independent JVM reference, both paths") {
+    // the q23 oracle proves cross-engine value parity at sf0.01; this
+    // pins the compiled expression (codegen + interpreted agree with a
+    // from-the-digest reference computed test-side)
+    def ref(ts: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tally = new Array[Int](64)
+      ts.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (d(k) & 0xffL))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      (63 to 0 by -1).foldLeft(0L)((a, b) =>
+        (a << 1) | (if (tally(b) > 0) 1L else 0L))
+    }
+    val toks = array_distinct(tokens(normText(col("text"))))
+    val rows = fixture.select(
+      toks.as("tk"),
+      graft.functions.HashFunctions.simhashMd5Wide(toks).as("fast")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("fast") === ref(r.getSeq[String](0))))
+  }
+
   test("shingles of a short doc are empty, not an error") {
     val n = fixture
       .filter(col("doc_id") === 4)

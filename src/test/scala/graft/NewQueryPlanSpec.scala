@@ -837,6 +837,10 @@ class NewQueryPlanSpec extends SparkTestBase {
       .split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"),
       s"type→bit map must broadcast:\n$p")
+    // the bit assignment is a combinable collect_set fold + posexplode —
+    // no unpartitioned WindowExec anywhere in the plan
+    assert(!p.contains("Window"),
+      s"q122 regressed to an unpartitioned window:\n$p")
     val rows = df.collect()
     val nTypes = spark.read.parquet(s"$sf/events.parquet")
       .select("event_type").distinct().count()

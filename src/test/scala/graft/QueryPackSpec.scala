@@ -27,6 +27,22 @@ class QueryPackSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no registered query plans an unpartitioned window") {
+    // an empty partitionSpec moves ALL rows to one partition — the
+    // silent 100 TB single-task trap. Bounded rank/scan windows must
+    // say so with a constant partition key; everything else partitions
+    // on a real column.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = allDefs.flatMap { d =>
+      val n = d.fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(s"${d.name} ($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   allDefs.foreach { d =>
     test(s"${d.name} executes at sf0.001") {
       val df = d.fn(spark, sf)

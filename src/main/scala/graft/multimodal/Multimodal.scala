@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs, processed by
   * batch decoders behind a narrow seam.
   *
-  * The decode kernels themselves are STUBS — image/audio codecs are not
-  * in this container — implemented as deterministic byte-level fakes so
-  * every piece of Spark plumbing (schema, batch shape, partitioning,
-  * null handling, feature extraction contract) is real and tested. A
-  * production deployment swaps [[decodeKernel]]/[[frameKernel]] for
-  * JNI/javacpp codecs; nothing else changes.
+  * Two image formats are decoded FOR REAL — PPM (P6) and BMP (24bpp
+  * uncompressed) are pure byte math, no codec library needed: header
+  * parse, row-padding/bottom-up normalization, BGR→RGB swizzle, and a
+  * real nearest-neighbor resize ([[decodePpm]]/[[decodeBmp]]/
+  * [[resizeRgb]], golden-pixel tested in MultimodalSpec). Compressed
+  * formats (JPEG/PNG/WAV/MP4) remain STUBS — those codecs are not in
+  * this container — as deterministic byte-level fakes so every piece of
+  * Spark plumbing (schema, batch shape, partitioning, null handling,
+  * feature extraction contract) is real and tested. A production
+  * deployment swaps the stub arms of [[decodeKernel]]/[[frameKernel]]
+  * for JNI/javacpp codecs; nothing else changes.
   *
   * Scale notes: decode is the expensive stage, so [[withDecodeParallelism]]
   * repartitions FIRST (ref Y3 precedent: repartition before costly
@@ -31,15 +36,133 @@ object Multimodal {
     StructField("bytes", LongType)))
 
   // ---------------------------------------------------------------
+  // REAL KERNELS — codec-free formats decoded by pure byte math.
+  // ---------------------------------------------------------------
+
+  /** REAL PPM (P6) decode: "P6" magic, whitespace/#-comment-tolerant
+    * ASCII header (width height maxval), single whitespace, then
+    * w*h RGB byte triplets. Returns None on malformed/truncated input.
+    */
+  private[multimodal] def decodePpm(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (data == null || data.length < 2 || data(0) != 'P' || data(1) != '6')
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < data.length) {
+        val c = data(i)
+        if (c == '#') { while (i < data.length && data(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < data.length && data(i) >= '0' && data(i) <= '9') {
+        v = v * 10 + (data(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    // 16-bit-per-channel PPMs (maxval > 255) are out of scope
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // exactly one whitespace byte separates maxval from pixels
+    val need = w * h * 3
+    if (i < 0 || data.length - i < need) None
+    else Some((w, h, java.util.Arrays.copyOfRange(data, i, i + need)))
+  }
+
+  /** REAL BMP decode: 24bpp uncompressed BITMAPINFOHEADER files.
+    * Handles the 4-byte row padding, bottom-up (positive height) vs
+    * top-down (negative height) row order, and the BGR→RGB swizzle.
+    * Output is top-down RGB triplets. None on anything else (other
+    * depths/compressions need real codec tables).
+    */
+  private[multimodal] def decodeBmp(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (data == null || data.length < 54 || data(0) != 'B' || data(1) != 'M')
+      return None
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val dibSize = bb.getInt(14)
+    if (dibSize < 40) return None
+    val w = bb.getInt(18); val hRaw = bb.getInt(22)
+    val planes = bb.getShort(26); val bpp = bb.getShort(28)
+    val compression = bb.getInt(30)
+    if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val h = math.abs(hRaw); val topDown = hRaw < 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off < 14 + dibSize || off.toLong + rowSize.toLong * h > data.length)
+      return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val s = off + srcRow * rowSize + x * 3
+        val d = (y * w + x) * 3
+        out(d) = data(s + 2); out(d + 1) = data(s + 1); out(d + 2) = data(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** REAL nearest-neighbor resize over top-down RGB triplets. */
+  private[multimodal] def resizeRgb(
+      w0: Int, h0: Int, rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = y * h0 / h
+      var x = 0
+      while (x < w) {
+        val sx = x * w0 / w
+        val s = (sy * w0 + sx) * 3
+        val d = (y * w + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal P6 re-encode (maxval 255) — the canonical output form for
+    * real-format transforms. */
+  private[multimodal] def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + rgb.length)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    System.arraycopy(rgb, 0, out, hdr.length, rgb.length)
+    out
+  }
+
+  // ---------------------------------------------------------------
   // STUB KERNELS — deterministic byte-level fakes standing in for real
   // codecs (no image/audio libraries in this container).
   // ---------------------------------------------------------------
 
-  /** STUB decode: reads a fake 12-byte header (fmt byte, w, h, frames)
-    * and returns metadata; a real kernel would parse JPEG/PNG/WAV.
+  /** Decode: REAL for PPM/BMP (magic-sniffed); STUB 12-byte fake
+    * header (fmt byte, w, h, frames) for everything else — a real
+    * kernel would parse JPEG/PNG/WAV there.
     */
   private[multimodal] def decodeKernel(data: Array[Byte]): (String, Int, Int, Int) = {
-    if (data == null || data.length < 12) ("unknown", 0, 0, 0)
+    decodePpm(data) match {
+      case Some((w, h, _)) => return ("ppm", w, h, 1)
+      case None =>
+    }
+    decodeBmp(data) match {
+      case Some((w, h, _)) => return ("bmp", w, h, 1)
+      case None =>
+    }
+    if (data == null || data.length < 12 ||
+      (data(0) == 'P' && data(1) == '6') || (data(0) == 'B' && data(1) == 'M'))
+      ("unknown", 0, 0, 0) // malformed real-format payloads stay unknown
     else {
       val bb = java.nio.ByteBuffer.wrap(data)
       val fmt = bb.get() match {
@@ -55,11 +178,17 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real kernel would rescale pixels; the fake keeps
-    * the header and truncates/pads the payload to w*h bytes so output
-    * size is what a real grayscale resize would produce.
+  /** Resize: REAL nearest-neighbor for PPM/BMP payloads (re-encoded as
+    * P6); STUB for fake-header payloads — keeps the header and
+    * truncates/pads the payload to w*h bytes so output size is what a
+    * real grayscale resize would produce.
     */
   private[multimodal] def resizeKernel(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    decodePpm(data).orElse(decodeBmp(data)) match {
+      case Some((w0, h0, rgb)) =>
+        return encodePpm(w, h, resizeRgb(w0, h0, rgb, w, h))
+      case None =>
+    }
     if (data == null || data.length < 12) Array.emptyByteArray
     else {
       val out = new Array[Byte](12 + w * h)
@@ -135,6 +264,15 @@ object Multimodal {
     * operators (same array<float> contract as `embeddings.embedding`).
     */
   def mediaFeatures(mediaCol: Column): Column = featureUdf(mediaCol)
+
+  private val rgbUdf = udf { data: Array[Byte] =>
+    decodePpm(data).orElse(decodeBmp(data)).map(_._3).orNull
+  }
+
+  /** REAL decoded pixels (top-down RGB byte triplets) for PPM/BMP
+    * payloads; null for formats that would need an external codec.
+    */
+  def decodedRgb(mediaCol: Column): Column = rgbUdf(mediaCol)
 
   /** Y3: spread rows before the expensive decode stage. */
   def withDecodeParallelism(df: DataFrame, partitions: Int): DataFrame =

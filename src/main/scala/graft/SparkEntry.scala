@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.Curation.defs,
     graft.queries.Serving.defs,
     graft.queries.Cleaning.defs,
+    graft.queries.Validation.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+
+/** Data-quality validation and physical-layout operators — the
+  * pre-training gate a 100 TB pipeline runs before any corpus ships:
+  * referential-integrity audits (q130), per-column profiling (q131), a
+  * rule-based expectation suite (q132), and a z-order (Morton) layout
+  * key with bucket-locality certification (q133).
+  *
+  * Scale shapes: every audit is a single scan with combinable
+  * conditional aggregates; FK checks join child keys against DISTINCT
+  * parent keys (broadcast for bounded dims, shuffle for fact-sized
+  * parents); the z-order key is pure per-row bit arithmetic off a
+  * one-row broadcast of the domain maxima.
+  */
+object Validation extends QueryPack {
+
+  /** Interleave the low `bits` of x (even positions) and y (odd
+    * positions) — the Morton / z-order curve key. Built from codegen'd
+    * shift/mask built-ins only.
+    */
+  def morton(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftrightunsigned(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftrightunsigned(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** One FK relation audit: child rows whose key has no LIVE parent.
+    * Parent "liveness" is planted deterministically (key % prime != 0)
+    * so orphans exist by construction and the counts are load-bearing.
+    * The left join against distinct parent keys never duplicates child
+    * rows (parent keys are unique) and counts orphans in the same pass
+    * as totals — no separate anti-join scan.
+    */
+  private def fkAudit(
+      rel: String,
+      child: DataFrame, key: String,
+      liveParentKeys: DataFrame, bcast: Boolean): DataFrame = {
+    val pk = (if (bcast) broadcast(liveParentKeys) else liveParentKeys)
+      .withColumn("ok", lit(1))
+    child.select(col(key).as("k"))
+      .join(pk, col("k") === col("pk"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        countDistinct(when(col("ok").isNull, col("k"))).as("n_orphan_keys"))
+      .select(lit(rel).as("relation"),
+        col("n_rows"), col("n_orphans"), col("n_orphan_keys"))
+  }
+
+  /** One column's profile row: totals, nulls, exact distincts, min/max
+    * (string columns report length bounds). Each profile is its own
+    * single-column scan — column pruning reaches the parquet reader per
+    * column, every aggregate is map-side combinable, and no EXPAND
+    * blow-up from multi-countDistinct. The approximate path for wider
+    * tables is q41's sketch family.
+    */
+  private def profile(df: DataFrame, c: String, numeric: Boolean): DataFrame = {
+    val v = if (numeric) col(c).cast("double")
+    else length(col(c)).cast("double")
+    df.select(col(c), v.as("v"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+
+  /** One expectation rule: (name, checked, violations, one IEEE-exact
+    * violation rate). `pass` must be null-safe (null counts as a
+    * violation — unknown never passes a gate).
+    */
+  private def rule(df: DataFrame, name: String, pass: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L))
+        .as("n_violations"))
+      .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations").cast("double") /
+          col("n_checked").cast("double")).as("violation_rate"))
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- q130: referential-integrity audit across the star schema.
+    //      Liveness planting: parents with key % prime == 0 are treated
+    //      as missing, so each relation has a deterministic nonzero
+    //      orphan set in both engines. customer/part/supplier key sets
+    //      broadcast (bounded dims); the orders parent joins by shuffle
+    //      — the fact-sized-parent shape that holds at 100 TB. ----
+    QueryDef(
+      "q130_fk_audit",
+      (s, d) => {
+        val live = (df: DataFrame, k: String, p: Int) =>
+          df.filter(col(k) % p =!= 0).select(col(k).as("pk")).distinct()
+        fkAudit("orders->customer",
+          t(s, d, "orders"), "o_custkey",
+          live(t(s, d, "customer"), "c_custkey", 97), bcast = true)
+          .unionByName(fkAudit("lineitem->orders",
+            t(s, d, "lineitem"), "l_orderkey",
+            live(t(s, d, "orders"), "o_orderkey", 89), bcast = false))
+          .unionByName(fkAudit("lineitem->part",
+            t(s, d, "lineitem"), "l_partkey",
+            live(t(s, d, "part"), "p_partkey", 83), bcast = true))
+          .unionByName(fkAudit("lineitem->supplier",
+            t(s, d, "lineitem"), "l_suppkey",
+            live(t(s, d, "supplier"), "s_suppkey", 79), bcast = true))
+      },
+      Some("""
+        WITH a1 AS (
+          SELECT 'orders->customer' AS relation,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_orphans,
+            COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN o.o_custkey END)
+              AS n_orphan_keys
+          FROM orders o LEFT JOIN (
+            SELECT DISTINCT c_custkey AS pk FROM customer
+            WHERE c_custkey % 97 <> 0) p ON o.o_custkey = p.pk),
+        a2 AS (
+          SELECT 'lineitem->orders', COUNT(*),
+            CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_orderkey END)
+          FROM lineitem l LEFT JOIN (
+            SELECT DISTINCT o_orderkey AS pk FROM orders
+            WHERE o_orderkey % 89 <> 0) p ON l.l_orderkey = p.pk),
+        a3 AS (
+          SELECT 'lineitem->part', COUNT(*),
+            CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_partkey END)
+          FROM lineitem l LEFT JOIN (
+            SELECT DISTINCT p_partkey AS pk FROM part
+            WHERE p_partkey % 83 <> 0) p ON l.l_partkey = p.pk),
+        a4 AS (
+          SELECT 'lineitem->supplier', COUNT(*),
+            CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_suppkey END)
+          FROM lineitem l LEFT JOIN (
+            SELECT DISTINCT s_suppkey AS pk FROM supplier
+            WHERE s_suppkey % 79 <> 0) p ON l.l_suppkey = p.pk)
+        SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""")),
+
+    // ---- q131: per-column profile of lineitem (numerics report value
+    //      bounds, strings length bounds; distincts are EXACT — the
+    //      oracle-checkable path; q41 is the sketch substitute). ----
+    QueryDef(
+      "q131_column_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        Seq(
+          ("l_quantity", true), ("l_extendedprice", true),
+          ("l_discount", true), ("l_tax", true),
+          ("l_returnflag", false), ("l_linestatus", false))
+          .map { case (c, num) => profile(li, c, num) }
+          .reduce(_ unionByName _)
+      },
+      Some("""
+        SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(l_quantity) AS n_nulls,
+          COUNT(DISTINCT l_quantity) AS n_distinct,
+          CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+          CAST(MAX(l_quantity) AS DOUBLE) AS max_v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+          COUNT(DISTINCT l_extendedprice),
+          CAST(MIN(l_extendedprice) AS DOUBLE),
+          CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+          COUNT(DISTINCT l_discount),
+          CAST(MIN(l_discount) AS DOUBLE),
+          CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+          COUNT(DISTINCT l_tax),
+          CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+          COUNT(DISTINCT l_returnflag),
+          CAST(MIN(length(l_returnflag)) AS DOUBLE),
+          CAST(MAX(length(l_returnflag)) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+          COUNT(DISTINCT l_linestatus),
+          CAST(MIN(length(l_linestatus)) AS DOUBLE),
+          CAST(MAX(length(l_linestatus)) AS DOUBLE) FROM lineitem""")),
+
+    // ---- q132: rule-based expectation suite (the great-expectations /
+    //      dbt-test class). Thresholds chosen INSIDE the data's natural
+    //      ranges so several rules genuinely fire and one passes clean —
+    //      the counts are load-bearing, not vacuous zeros. One scan per
+    //      table, conditional sums, rates as one IEEE division. ----
+    QueryDef(
+      "q132_expectations",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        rule(li, "lineitem.discount<=0.06", col("l_discount") <= 0.06)
+          .unionByName(rule(li, "lineitem.quantity<=30",
+            col("l_quantity") <= 30.0))
+          .unionByName(rule(li, "lineitem.tax+discount<=0.12",
+            col("l_tax") + col("l_discount") <= 0.12))
+          .unionByName(rule(li, "lineitem.extendedprice>0",
+            col("l_extendedprice") > 0.0))
+          .unionByName(rule(o, "orders.totalprice<=300000",
+            col("o_totalprice") <= 300000.0))
+          .unionByName(rule(o, "orders.status_in_OF",
+            col("o_orderstatus").isin("O", "F")))
+      },
+      Some("""
+        SELECT 'lineitem.discount<=0.06' AS rule, COUNT(*) AS n_checked,
+          CAST(SUM(CASE WHEN COALESCE(l_discount <= 0.06, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+          CAST(SUM(CASE WHEN COALESCE(l_discount <= 0.06, FALSE)
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS violation_rate
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.quantity<=30', COUNT(*),
+          CAST(SUM(CASE WHEN COALESCE(l_quantity <= 30.0, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT),
+          CAST(SUM(CASE WHEN COALESCE(l_quantity <= 30.0, FALSE)
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.tax+discount<=0.12', COUNT(*),
+          CAST(SUM(CASE WHEN COALESCE(l_tax + l_discount <= 0.12, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT),
+          CAST(SUM(CASE WHEN COALESCE(l_tax + l_discount <= 0.12, FALSE)
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.extendedprice>0', COUNT(*),
+          CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0.0, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT),
+          CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0.0, FALSE)
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'orders.totalprice<=300000', COUNT(*),
+          CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 300000.0, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT),
+          CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 300000.0, FALSE)
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) FROM orders
+        UNION ALL
+        SELECT 'orders.status_in_OF', COUNT(*),
+          CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F')
+            THEN 0 ELSE 1 END) AS BIGINT),
+          CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F')
+            THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) FROM orders""")),
+
+    // ---- q133: z-order (Morton) layout key over (l_partkey,
+    //      l_suppkey). Both dims scale to a 10-bit grid off a one-row
+    //      broadcast of the maxima, interleave to a 20-bit key, and the
+    //      top 6 key bits bucket the curve — each bucket is a 128×128
+    //      rectangle in grid space BY CONSTRUCTION, which the emitted
+    //      per-bucket min/max of BOTH dims certify (a 1-D sort key
+    //      would span the full second dimension). At 100 TB the write
+    //      path is repartitionByRange(zkey) + sortWithinPartitions:
+    //      parquet min/max row-group stats then prune BOTH dimensions.
+    //      The audit itself: one broadcast, per-row bit math, one
+    //      combinable 64-group aggregate. ----
+    QueryDef(
+      "q133_zorder_layout",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val dom = li.agg(
+          max(col("l_partkey")).as("max_pk"),
+          max(col("l_suppkey")).as("max_sk"))
+        li.crossJoin(broadcast(dom))
+          // integer `div` on both sides — a double division could round
+          // across an integer boundary and disagree with DuckDB's floor
+          .select(
+            expr("l_partkey * 1024L div (max_pk + 1L)").as("gx"),
+            expr("l_suppkey * 1024L div (max_sk + 1L)").as("gy"))
+          .withColumn("bucket",
+            shiftrightunsigned(morton(col("gx"), col("gy"), 10), 14))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("gx")).as("min_gx"), max(col("gx")).as("max_gx"),
+            min(col("gy")).as("min_gy"), max(col("gy")).as("max_gy"))
+      },
+      Some("""
+        WITH dom AS (
+          SELECT MAX(l_partkey) AS max_pk, MAX(l_suppkey) AS max_sk
+          FROM lineitem),
+        g AS (
+          SELECT CAST(l_partkey * 1024 // (max_pk + 1) AS BIGINT) AS gx,
+            CAST(l_suppkey * 1024 // (max_sk + 1) AS BIGINT) AS gy
+          FROM lineitem, dom),
+        z AS (
+          SELECT gx, gy,
+            CAST(list_sum(list_transform(range(0, 10), b ->
+              ((gx // (1::BIGINT << b)) % 2) * (1::BIGINT << (2 * b))
+              + ((gy // (1::BIGINT << b)) % 2) * (1::BIGINT << (2 * b + 1))))
+              AS BIGINT) // 16384 AS bucket
+          FROM g)
+        SELECT bucket, COUNT(*) AS n_rows,
+          MIN(gx) AS min_gx, MAX(gx) AS max_gx,
+          MIN(gy) AS min_gy, MAX(gy) AS max_gy
+        FROM z GROUP BY bucket""")),
+  )
+}

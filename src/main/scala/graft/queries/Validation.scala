@@ -305,5 +305,109 @@ object Validation extends QueryPack {
           MIN(gx) AS min_gx, MAX(gx) AS max_gx,
           MIN(gy) AS min_gy, MAX(gy) AS max_gy
         FROM z GROUP BY bucket""")),
+
+    // ---- q134: snapshot reconciliation — the migration-parity diff
+    //      run when a table moves engines/lakes: full-outer join two
+    //      snapshots on the key and classify every key as equal /
+    //      value-drift / missing-in-replica / extra-in-replica. The
+    //      replica derives deterministically from orders (key % 101
+    //      dropped, % 103 price-doubled, % 107 re-keyed as inserts) so
+    //      all four classes are populated by construction in both
+    //      engines. Value equality compares exact cents (decimal cast),
+    //      never raw doubles. ONE key-keyed full-outer shuffle + a
+    //      combinable 4-group rollup; no collects, no skew hotspots
+    //      (o_orderkey is unique on both sides). ----
+    QueryDef(
+      "q134_reconcile",
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val replica = base.filter(col("k") % 101 =!= 0)
+          .select(col("k"),
+            when(col("k") % 103 === 0, col("v") * 2).otherwise(col("v"))
+              .as("v"))
+          .unionByName(
+            base.filter(col("k") % 107 === 0)
+              .select((col("k") + 10000000L).as("k"), col("v")))
+        base.select(col("k"), col("v").as("v_base"))
+          .join(replica.select(col("k"), col("v").as("v_repl")),
+            Seq("k"), "full_outer")
+          .select(
+            when(col("v_base").isNull, "extra_in_replica")
+              .when(col("v_repl").isNull, "missing_in_replica")
+              .when(col("v_base") === col("v_repl"), "equal")
+              .otherwise("value_mismatch").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_keys"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS v
+          FROM orders),
+        replica AS (
+          SELECT k,
+            CASE WHEN k % 103 = 0 THEN v * 2 ELSE v END AS v
+          FROM base WHERE k % 101 <> 0
+          UNION ALL
+          SELECT k + 10000000 AS k, v FROM base WHERE k % 107 = 0),
+        j AS (
+          SELECT b.k AS bk, b.v AS v_base, r.k AS rk, r.v AS v_repl
+          FROM base b FULL OUTER JOIN replica r ON b.k = r.k)
+        SELECT CASE
+            WHEN bk IS NULL THEN 'extra_in_replica'
+            WHEN rk IS NULL THEN 'missing_in_replica'
+            WHEN v_base = v_repl THEN 'equal'
+            ELSE 'value_mismatch' END AS status,
+          COUNT(*) AS n_keys
+        FROM j GROUP BY 1""")),
+
+    // ---- q135: equal-width histogram of l_extendedprice (B=32) — the
+    //      exact-arithmetic profiling companion to q131's bounds and
+    //      q41's sketches. Bin edges come from integer CENTS (decimal
+    //      cast, then floor division) so the bin index is bigint-exact
+    //      in both engines — a double-typed (v-min)/width bin is NOT
+    //      cross-engine stable (cast rounds in DuckDB, truncates in
+    //      Spark). One-row min/max broadcast + a combinable 32-group
+    //      count; densities are one IEEE division each. ----
+    QueryDef(
+      "q135_histogram",
+      (s, d) => {
+        val b = 32
+        val li = t(s, d, "lineitem")
+          .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val dom = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        li.crossJoin(broadcast(dom))
+          .select(col("cents"), col("lo"), col("hi"),
+            least(lit(b - 1).cast("long"),
+              expr(s"(cents - lo) * $b div (hi - lo + 1)")).as("bin"))
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
+          .select(col("bin"), col("n"), col("min_cents"), col("max_cents"),
+            (col("n").cast("double") / col("total").cast("double"))
+              .as("density"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) AS cents
+          FROM lineitem),
+        dom AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+        tot AS (SELECT COUNT(*) AS total FROM c),
+        binned AS (
+          SELECT cents,
+            LEAST(31, (cents - lo) * 32 // (hi - lo + 1)) AS bin
+          FROM c, dom)
+        SELECT bin, COUNT(*) AS n,
+          MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+          CAST(COUNT(*) AS DOUBLE) / total AS density
+        FROM binned, tot
+        GROUP BY bin, total""")),
   )
 }

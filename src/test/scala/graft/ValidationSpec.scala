@@ -79,6 +79,41 @@ class ValidationSpec extends SparkTestBase {
     }
   }
 
+  test("q134 reconcile: all four diff classes populated, keys conserved") {
+    val rows = SparkEntry.queries("q134_reconcile")(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_keys")).toMap
+    assert(rows.keySet === Set(
+      "equal", "value_mismatch", "missing_in_replica", "extra_in_replica"))
+    rows.values.foreach(n => assert(n > 0L))
+    // conservation: base keys = equal + mismatch + missing
+    val nBase = graft.core.Tables.t(spark, sf, "orders").count()
+    assert(rows("equal") + rows("value_mismatch") +
+      rows("missing_in_replica") === nBase)
+    // drift keys (% 103, surviving the % 101 drop) are mismatches, not
+    // equals — the decimal compare is load-bearing
+    assert(rows("value_mismatch") > 0L)
+  }
+
+  test("q135 histogram: bins tile the domain, densities sum to 1") {
+    val rows = SparkEntry.queries("q135_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("density")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      // observed per-bin bounds stay inside the bin's share of the
+      // domain ordering: min <= max, and bins don't overlap in cents
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+    val sorted = rows.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents"),
+          "bins overlap in value space")
+      case _ =>
+    }
+    assert(total === graft.core.Tables.t(spark, sf, "lineitem").count())
+  }
+
   test("q133 z-order: every bucket is a tight rectangle in BOTH dims") {
     val rows = SparkEntry.queries("q133_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)

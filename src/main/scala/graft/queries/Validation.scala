@@ -409,5 +409,53 @@ object Validation extends QueryPack {
           CAST(COUNT(*) AS DOUBLE) / total AS density
         FROM binned, tot
         GROUP BY bin, total""")),
+
+    // ---- q136: KMV distinct sketch via the custom typed Aggregator
+    //      (the engine's UDAF surface, SURVEY §2.14). Per language the
+    //      sketch keeps the 5 smallest distinct token-md5 values —
+    //      O(k) memory per group, map-side-combinable merge — and the
+    //      5th minimum yields the Bar-Yossef (k-1)/u_k distinct
+    //      estimate. Every retained value is a deterministic md5, so
+    //      DuckDB re-derives the IDENTICAL sketch (per-group ordered
+    //      limit) and the estimate is one IEEE division of exact
+    //      operands: u_k parses the first 13 hex nibbles (52 bits,
+    //      double-exact) over 2^52 (a power of two — exact). ----
+    QueryDef(
+      "q136_kmv_sketch",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("lang"), explode(array_distinct(
+            graft.functions.TextFunctions.tokens(lower(col("text")))))
+            .as("tok"))
+          .select(col("lang"), md5(col("tok")).as("h"))
+        val sk = base.groupBy("lang")
+          .agg(graft.functions.KmvSketch.kmvMinHex(col("h"), 5).as("mins"))
+        sk.select(col("lang"), col("mins"),
+            posexplode(col("mins")).as(Seq("i", "h")))
+          .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+            col("h"),
+            (lit(4.0) / (conv(substring(element_at(col("mins"), 5), 1, 13),
+              16, 10).cast("long").cast("double") / lit(4.503599627370496e15)))
+              .as("est_distinct"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT lang, md5(unnest(list_distinct(
+            regexp_split_to_array(trim(lower(text)), '\s+')))) AS h
+          FROM documents),
+        dh AS (SELECT DISTINCT lang, h FROM tk),
+        rk AS (
+          SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+          FROM dh),
+        k5 AS (SELECT lang, h AS h5 FROM rk WHERE rank = 5)
+        SELECT r.lang, CAST(r.rank AS BIGINT) AS rank, r.h,
+          4.0 / (CAST(list_sum(list_transform(range(0, 13), i ->
+              CAST(strpos('0123456789abcdef',
+                substr(k.h5, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+              * CAST(2 ** (4 * (12 - i)) AS BIGINT))) AS DOUBLE)
+            / 4503599627370496.0) AS est_distinct
+        FROM rk r JOIN k5 k USING (lang)
+        WHERE r.rank <= 5""")),
   )
 }

@@ -114,6 +114,43 @@ class ValidationSpec extends SparkTestBase {
     assert(total === graft.core.Tables.t(spark, sf, "lineitem").count())
   }
 
+  test("KMV aggregator: partition-order invariant, equals sorted-take") {
+    import spark.implicits._
+    val df = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("lang"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(lower(col("text"))))).as("tok"))
+      .select(col("lang"), md5(col("tok")).as("h"))
+    def sketch(part: Int): Map[String, Seq[String]] =
+      df.repartition(part)
+        .groupBy("lang")
+        .agg(graft.functions.KmvSketch.kmvMinHex(col("h"), 5).as("mins"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // merge is associative+commutative → identical under any partitioning
+    val a = sketch(2); val b = sketch(7)
+    assert(a === b)
+    // and equal to the exact 5 smallest distinct hashes per group
+    val exact = df.distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (l, xs) =>
+        l -> xs.map(_._2).distinct.sorted.take(5).toSeq
+      }
+    assert(a === exact)
+  }
+
+  test("q136: estimate derives from the 5th minimum, ranks complete") {
+    val rows = SparkEntry.queries("q136_kmv_sketch")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // one estimate per group, positive, and ≥ k (can't estimate
+      // fewer distincts than the sketch holds)
+      val ests = rs.map(_.getAs[Double]("est_distinct")).distinct
+      assert(ests.length === 1 && ests.head >= 5.0)
+      // hashes ascend with rank (the sketch IS the k minimums, sorted)
+      val hs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("h"))
+      assert(hs.sorted.sameElements(hs))
+    }
+  }
+
   test("q133 z-order: every bucket is a tight rectangle in BOTH dims") {
     val rows = SparkEntry.queries("q133_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -457,5 +457,57 @@ object Validation extends QueryPack {
             / 4503599627370496.0) AS est_distinct
         FROM rk r JOIN k5 k USING (lang)
         WHERE r.rank <= 5""")),
+
+    // ---- q137: key-skew profile — the measurement that justifies (or
+    //      rejects) a Y4-style salting decision before a big keyed
+    //      shuffle: per-key counts → the top-10 heavy hitters with
+    //      their traffic share, plus the global max/mean skew ratio
+    //      (1.0 = perfectly uniform; a task-killing hot key shows up
+    //      as share → 1). One combinable count shuffle; the cut is
+    //      TakeOrdered; rank is the bounded collect/posexplode fold;
+    //      stats ride a one-row broadcast. All doubles are exact-
+    //      operand single multiplications/divisions — cross-engine
+    //      stable. ----
+    QueryDef(
+      "q137_skew_profile",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val stats = counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n_events")).as("total"),
+          max(col("n_events")).as("max_n"))
+        counts.orderBy(col("n_events").desc, col("user_id")).limit(10)
+          .agg(sort_array(collect_list(
+            struct((-col("n_events")).as("nn"), col("user_id")))).as("xs"))
+          .select(posexplode(col("xs")))
+          .select((col("pos") + 1).cast("long").as("rank"),
+            col("col.user_id").as("user_id"),
+            (-col("col.nn")).as("n_events"))
+          .crossJoin(broadcast(stats))
+          .select(col("rank"), col("user_id"), col("n_events"),
+            (col("n_events").cast("double") / col("total").cast("double"))
+              .as("share"),
+            (col("max_n").cast("double") * col("n_keys").cast("double") /
+              col("total").cast("double")).as("skew_ratio"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS n_events
+          FROM events GROUP BY user_id),
+        st AS (
+          SELECT COUNT(*) AS n_keys,
+            CAST(SUM(n_events) AS BIGINT) AS total,
+            MAX(n_events) AS max_n
+          FROM c),
+        rk AS (
+          SELECT user_id, n_events,
+            row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+          FROM c)
+        SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events,
+          CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+          CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+            / CAST(total AS DOUBLE) AS skew_ratio
+        FROM rk, st WHERE rank <= 10""")),
   )
 }

@@ -151,6 +151,24 @@ class ValidationSpec extends SparkTestBase {
     }
   }
 
+  test("q137 skew profile: ranks complete, shares bounded, ratio >= 1") {
+    val df = SparkEntry.queries("q137_skew_profile")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"heavy-hitter cut must be TakeOrdered, not a global sort:\n$p")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ===
+      (1L to rows.length).toSeq)
+    val shares = rows.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Double]("share"))
+    assert(shares.sum <= 1.0 + 1e-9)
+    assert(shares.sameElements(shares.sortBy(-_)), "shares must descend")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9,
+        "max/mean cannot be below 1")
+    }
+  }
+
   test("q133 z-order: every bucket is a tight rectangle in BOTH dims") {
     val rows = SparkEntry.queries("q133_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -996,6 +996,88 @@ object Similarity extends QueryPack {
               / sqrt(CAST(na2 * nb2 AS DOUBLE))
             ELSE NULL END AS cosine
         FROM pairs""")),
+
+    // ---- q139: margin-based bitext / pair mining (Artetxe & Schwenk
+    //      2019): pair each left-pool vector with the right-pool vector
+    //      maximizing the RATIO margin — cos(x,y) normalized by the
+    //      mean of both sides' top-k neighborhoods — instead of raw
+    //      cosine, which over-selects hub vectors that are near
+    //      everything. Demonstrated exactly on a bounded pool (the
+    //      q24 discipline); at 100 TB the pair candidates come from the
+    //      ANN families (q25/q31) and the SAME candidate table feeds
+    //      both directions' top-k sums — two bounded windows keyed by
+    //      either endpoint, never a second corpus pass.
+    //      Cross-engine exact: cosines quantize to floor(cos·2^40+0.5)
+    //      bigints BEFORE any sum (integer sums are order-free; a raw
+    //      double top-k sum would depend on fold order), and the margin
+    //      is ONE division of exact ≤2^43 integer operands. ----
+    QueryDef(
+      "q139_bitext_margin",
+      (s, d) => {
+        val k = 4
+        val pool = emb(s, d).filter(col("vec_id") < 400)
+        val a = pool.filter(col("label") < 5)
+          .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val b = pool.filter(col("label") >= 5)
+          .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        val p = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            floor(cosine(col("va"), col("vb")) * 1099511627776.0 + 0.5)
+              .cast("long").as("qcos"))
+        val wa = Window.partitionBy("a_id")
+          .orderBy(col("qcos").desc, col("b_id"))
+        val wb = Window.partitionBy("b_id")
+          .orderBy(col("qcos").desc, col("a_id"))
+        val sumA = p.withColumn("rn", row_number().over(wa))
+          .filter(col("rn") <= k)
+          .groupBy("a_id").agg(sum(col("qcos")).as("sum_a"))
+        val sumB = p.withColumn("rn", row_number().over(wb))
+          .filter(col("rn") <= k)
+          .groupBy("b_id").agg(sum(col("qcos")).as("sum_b"))
+        val m = p.join(sumA, Seq("a_id")).join(sumB, Seq("b_id"))
+          .withColumn("margin",
+            (col("qcos") * 2 * k).cast("double") /
+              (col("sum_a") + col("sum_b")).cast("double"))
+        val wBest = Window.partitionBy("a_id")
+          .orderBy(col("margin").desc, col("b_id"))
+        m.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1 && col("margin") > 1.0)
+          .select(col("a_id"), col("b_id"), col("qcos"), col("margin"))
+      },
+      Some("""
+        WITH pool AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 400),
+        a AS (SELECT vec_id AS a_id, v AS va FROM pool WHERE label < 5),
+        b AS (SELECT vec_id AS b_id, v AS vb FROM pool WHERE label >= 5),
+        p AS (
+          SELECT a_id, b_id,
+            CAST(floor(list_dot_product(va, vb)
+              / (sqrt(list_dot_product(va, va))
+                 * sqrt(list_dot_product(vb, vb)))
+              * 1099511627776.0 + 0.5) AS BIGINT) AS qcos
+          FROM a, b WHERE a_id <> b_id),
+        sa AS (
+          SELECT a_id, CAST(SUM(qcos) AS BIGINT) AS sum_a
+          FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY qcos DESC, b_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY a_id),
+        sb AS (
+          SELECT b_id, CAST(SUM(qcos) AS BIGINT) AS sum_b
+          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+              ORDER BY qcos DESC, a_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY b_id),
+        m AS (
+          SELECT p.a_id, p.b_id, p.qcos,
+            CAST(p.qcos * 8 AS DOUBLE) / CAST(sum_a + sum_b AS DOUBLE)
+              AS margin
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY margin DESC, b_id) AS rk
+          FROM m)
+        SELECT a_id, b_id, qcos, margin
+        FROM best WHERE rk = 1 AND margin > 1.0""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

@@ -189,7 +189,65 @@ object TextAnalysis extends QueryPack {
           CAST(CASE WHEN (h_bits * 1000) // n_letters < 1500
             THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
         FROM h"""
-      }))
+      }),
+
+    // ---- q138: inverted-index build — the retrieval-serving layout op
+    //      (term dictionary + posting lists). One explode to (doc, term)
+    //      then a (term, doc)-keyed tf count; the term dictionary (df,
+    //      cf) and the posting-list HEAD (first 8 doc ids as "id:tf",
+    //      comma-joined) come from term-keyed aggregates. The head cut
+    //      is a term-partitioned row_number <= 8 BEFORE any collect, so
+    //      no per-term list is ever df-sized — a stopword's full
+    //      posting list never materializes on one task. df >= 5 keeps
+    //      the emitted dictionary to the load-bearing vocabulary (the
+    //      long tail stays in the tf table). At 100 TB the posting-list
+    //      BODY shards by (term, doc-range) with this same plan; the
+    //      bounded head is what a dictionary / impact-ordered index
+    //      stores inline. ----
+    QueryDef(
+      "q138_inverted_index",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(tokens(lower(col("text")))).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+        val stats = tf.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+          .filter(col("df") >= 5)
+        val w = Window.partitionBy("term").orderBy("doc_id")
+        val head = tf
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 8)
+          .groupBy("term")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            x => concat(x.getField("doc_id").cast("string"), lit(":"),
+              x.getField("tf").cast("string"))), ",").as("postings_head"))
+        stats.join(head, Seq("term"))
+          .select(col("term"), col("df"), col("cf"), col("postings_head"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        stats AS (
+          SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY 1 HAVING COUNT(*) >= 5),
+        head AS (
+          SELECT term,
+            string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+              AS postings_head
+          FROM (SELECT term, doc_id, tf,
+              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM tf)
+          WHERE rn <= 8 GROUP BY term)
+        SELECT s.term, s.df, s.cf, h.postings_head
+        FROM stats s JOIN head h USING (term)""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -51,8 +51,13 @@ def main():
     # quadratic in DuckDB (pair joins / recursive closure) — they run
     # in minutes at sf0.01 but tens of minutes to hours at sf0.1.
     skip = set()
+    only = None
     if len(sys.argv) > 4 and sys.argv[3] == "--skip":
         skip = {s.strip() for s in sys.argv[4].split(",")}
+    # --only q138,q139 restricts the compare to matching name prefixes
+    # (single-query iteration against a filtered Verify dump).
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = {s.strip() for s in sys.argv[4].split(",")}
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -65,6 +70,8 @@ def main():
     for name in sorted(set(oracle) - present):
         if any(name.startswith(s) for s in skip):
             continue
+        if only is not None and not any(name.startswith(s) for s in only):
+            continue
         print(f"FAIL {name}: oracle registered but no Verify output "
               "(query threw or lint-tripped in Verify)")
         n_fail += 1
@@ -72,6 +79,8 @@ def main():
         name = qdir.name
         if any(name.startswith(s) for s in skip):
             print(f"  {name}: skipped by request")
+            continue
+        if only is not None and not any(name.startswith(s) for s in only):
             continue
         spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         s_rows, s_cols = canon(spark_rel.fetchall(), spark_rel.columns)

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-range-sorted lake layout: `repartitionByRange` +
+  * `sortWithinPartitions` on the layout column so every output file
+  * covers a (near-)disjoint value range — the 1-D companion to the
+  * z-order key (queries/Validation.scala q133). With disjoint files,
+  * parquet footer min/max stats prune a time-range scan to the files
+  * that can match, which is the property the reference gets from hive
+  * y/m/d partitioning (`bin/ztf/merge.py:62-91`, layout Y1) — range
+  * sorting provides it WITHIN a partition grain, where hive
+  * partitioning would explode the directory count.
+  *
+  * At 100 TB: `repartitionByRange` samples the column to pick balanced
+  * boundaries (one pass + one range shuffle), so file sizes stay even
+  * under time skew; the audit reads footer-sized stats per file, never
+  * data pages.
+  */
+object RangeLayout {
+
+  /** Write `df` range-partitioned and sorted by `c` into `nFiles`
+    * files. */
+  def writeSorted(df: DataFrame, c: String, nFiles: Int, path: String): Unit =
+    df.repartitionByRange(nFiles, col(c))
+      .sortWithinPartitions(col(c))
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max, rows) of `c` — the layout audit table. One
+    * column scan grouped by `input_file_name`; row count = file count,
+    * so the result is always collect-safe. */
+  def fileStats(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(c).as("v"), input_file_name().as("file"))
+      .groupBy("file")
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Clustering depth: the maximum number of files whose [min,max]
+    * interval covers a single point — 1 means perfectly disjoint
+    * (every range scan touches the minimum possible file set); a
+    * round-robin layout degenerates to ~fileCount. Driver-side sweep
+    * over the audit table — bounded by the file count by construction.
+    */
+  def overlapDepth(stats: DataFrame): Int = {
+    val events = stats.select("min_v", "max_v").collect()
+      .flatMap(r => Seq((BigDecimal(r.get(0).toString), 1),
+        (BigDecimal(r.get(1).toString), -1)))
+      // closed intervals: at equal coordinates the +1 sorts first so a
+      // shared endpoint counts as overlap
+      .sortBy { case (v, delta) => (v, -delta) }
+    var depth = 0
+    var best = 0
+    events.foreach { case (_, delta) =>
+      depth += delta
+      if (depth > best) best = depth
+    }
+    best
+  }
+}

@@ -1816,5 +1816,102 @@ object Curation extends QueryPack {
             - (length(bin(quantile_disc(c, 0.5))) - 1) AS BIGINT)
             AS zipf_bits
         FROM cc GROUP BY source""")),
+
+    // ---- q143: length-grouped batch packing — the dynamic-batching
+    //      audit behind every padded-batch training loop (and the
+    //      policy knob q81's sequence packing complements): batch size
+    //      B=32, batches padded to their max sequence length. Grouping
+    //      docs into 64-token length buckets before batching (the
+    //      torchtext/fairseq bucket-batching policy) is compared
+    //      against naive arrival-order (doc_id FIFO) batching, per
+    //      source: padded-token overhead of each policy and the
+    //      resulting padding efficiency. All masses are exact bigints;
+    //      the two efficiencies are one IEEE division each.
+    //      Scale: both policies are one window + one combinable agg
+    //      keyed by (source[, bucket]) — batch ids derive from a
+    //      row_number inside natural partitions, never a global sort;
+    //      at 100 TB the bucket key fans each source's window across
+    //      executors exactly like q81's composite shard key. ----
+    QueryDef(
+      "q143_batch_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tok"))
+        // per-source rollup of one batching policy: batch rows on the
+        // given keys + a batch counter from an in-partition row_number
+        val policy = (withBatch: DataFrame, keys: Seq[String]) =>
+          withBatch.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("mx"),
+              sum(col("n_tok")).as("sm"))
+            .groupBy("source")
+            .agg(sum(col("cnt")).as("n_docs"),
+              sum(col("sm")).as("sum_tokens"),
+              sum(col("cnt") * col("mx") - col("sm")).as("padded"))
+        val wB = Window.partitionBy("source", "lb").orderBy("doc_id")
+        val bucketed = policy(
+          docs.withColumn("lb", expr("n_tok div 64"))
+            .withColumn("b", ((row_number().over(wB) - 1) / 32)
+              .cast("long")),
+          Seq("source", "lb", "b"))
+        val wF = Window.partitionBy("source").orderBy("doc_id")
+        val fifo = policy(
+          docs.withColumn("b", ((row_number().over(wF) - 1) / 32)
+            .cast("long")),
+          Seq("source", "b"))
+        bucketed
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            col("padded").as("padded_bucketed"))
+          .join(fifo.select(col("source"), col("padded").as("padded_fifo")),
+            Seq("source"))
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            col("padded_fifo"), col("padded_bucketed"),
+            (col("sum_tokens").cast("double") /
+              (col("sum_tokens") + col("padded_fifo")).cast("double"))
+              .as("eff_fifo"),
+            (col("sum_tokens").cast("double") /
+              (col("sum_tokens") + col("padded_bucketed")).cast("double"))
+              .as("eff_bucketed"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+        bk AS (
+          SELECT source, n_tok, n_tok // 64 AS lb,
+            (row_number() OVER (PARTITION BY source, n_tok // 64
+               ORDER BY doc_id) - 1) // 32 AS b
+          FROM docs),
+        bb AS (
+          SELECT source, lb, b, COUNT(*) AS cnt, MAX(n_tok) AS mx,
+            CAST(SUM(n_tok) AS BIGINT) AS sm
+          FROM bk GROUP BY 1, 2, 3),
+        bs AS (
+          SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+            CAST(SUM(sm) AS BIGINT) AS sum_tokens,
+            CAST(SUM(cnt * mx - sm) AS BIGINT) AS padded_bucketed
+          FROM bb GROUP BY source),
+        fk AS (
+          SELECT source, n_tok,
+            (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+              // 32 AS b
+          FROM docs),
+        fb AS (
+          SELECT source, b, COUNT(*) AS cnt, MAX(n_tok) AS mx,
+            CAST(SUM(n_tok) AS BIGINT) AS sm
+          FROM fk GROUP BY 1, 2),
+        fs AS (
+          SELECT source, CAST(SUM(cnt * mx - sm) AS BIGINT) AS padded_fifo
+          FROM fb GROUP BY source)
+        SELECT source, n_docs, sum_tokens, padded_fifo, padded_bucketed,
+          CAST(sum_tokens AS DOUBLE)
+            / CAST(sum_tokens + padded_fifo AS DOUBLE) AS eff_fifo,
+          CAST(sum_tokens AS DOUBLE)
+            / CAST(sum_tokens + padded_bucketed AS DOUBLE) AS eff_bucketed
+        FROM bs JOIN fs USING (source)""")),
   )
 }

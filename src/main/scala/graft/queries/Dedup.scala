@@ -734,5 +734,80 @@ object Dedup extends QueryPack {
         SELECT a, b, n_inter, na,
           (n_inter * 1000000) // na AS containment_ppm
         FROM inter JOIN na USING (a)
-        WHERE (n_inter * 1000000) // na >= 900000""")))
+        WHERE (n_inter * 1000000) // na >= 900000""")),
+
+    // ---- q140: fuzzy key matching at edit distance <= 1 via deletion
+    //      neighborhoods (the SymSpell / FastSS blocking scheme): a
+    //      string pair is within ED 1 iff their {self} ∪ del1 variant
+    //      sets intersect, so candidates come from an EQUI-join on
+    //      variant strings — never an all-pairs edit-distance scan —
+    //      and an exact levenshtein verify prunes the ED-2 false
+    //      candidates the del1∩del1 overlap admits (substitution pairs
+    //      collide at the same deleted position). Planted typos: every
+    //      7th part key re-derives its name with the (key mod len)-th
+    //      character deleted, so every dirty row has a true ED-1 match
+    //      in the dictionary by construction and multi-matches /
+    //      ED-2 prunes are both exercised. Scale: a length-L key fans
+    //      out to <= L+1 skinny (variant, id) rows — the shuffle
+    //      carries short strings, the dictionary side is
+    //      vocabulary-bounded, and the verify runs only on candidate
+    //      pairs. ----
+    QueryDef(
+      "q140_fuzzy_ed1_join",
+      (s, d) => {
+        val del1 = (cn: Column) => array_union(
+          array(cn),
+          transform(sequence(lit(1), length(cn)), i =>
+            concat(cn.substr(lit(1), i - lit(1)),
+              cn.substr(i + lit(1), length(cn)))))
+        val dict = t(s, d, "part").select(col("p_name").as("name")).distinct()
+        val pos = pmod(col("p_partkey"), length(col("p_name")))
+        val dirty = t(s, d, "part")
+          .filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey").as("dirty_id"),
+            concat(col("p_name").substr(lit(1), pos),
+              col("p_name").substr(pos + lit(2), length(col("p_name"))))
+              .as("dirty_name"))
+        val dv = dirty.select(col("dirty_id"), col("dirty_name"),
+          explode(del1(col("dirty_name"))).as("variant"))
+        val kv = dict.select(col("name"),
+          explode(del1(col("name"))).as("variant"))
+        dv.join(kv, Seq("variant"))
+          .select("dirty_id", "dirty_name", "name")
+          .distinct()
+          .filter(levenshtein(col("dirty_name"), col("name")) <= 1)
+          .select(col("dirty_id"), col("dirty_name"),
+            col("name").as("matched_name"),
+            levenshtein(col("dirty_name"), col("name")).cast("long")
+              .as("lev"))
+      },
+      Some("""
+        WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+        dirty AS (
+          SELECT p_partkey AS dirty_id,
+            substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+              || substr(p_name,
+                   CAST(p_partkey % length(p_name) AS INT) + 2)
+              AS dirty_name
+          FROM part WHERE p_partkey % 7 = 0),
+        dv AS (
+          SELECT dirty_id, dirty_name, unnest(list_distinct(list_append(
+            list_transform(range(1, length(dirty_name) + 1), i ->
+              substr(dirty_name, 1, CAST(i AS INT) - 1)
+                || substr(dirty_name, CAST(i AS INT) + 1)),
+            dirty_name))) AS variant
+          FROM dirty),
+        kv AS (
+          SELECT name, unnest(list_distinct(list_append(
+            list_transform(range(1, length(name) + 1), i ->
+              substr(name, 1, CAST(i AS INT) - 1)
+                || substr(name, CAST(i AS INT) + 1)),
+            name))) AS variant
+          FROM dict),
+        cand AS (
+          SELECT DISTINCT dirty_id, dirty_name, name
+          FROM dv JOIN kv USING (variant))
+        SELECT dirty_id, dirty_name, name AS matched_name,
+          CAST(levenshtein(dirty_name, name) AS BIGINT) AS lev
+        FROM cand WHERE levenshtein(dirty_name, name) <= 1""")))
 }

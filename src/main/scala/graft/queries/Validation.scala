@@ -509,5 +509,84 @@ object Validation extends QueryPack {
           CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
             / CAST(total AS DOUBLE) AS skew_ratio
         FROM rk, st WHERE rank <= 10""")),
+
+    // ---- q142: order-independent table content checksum — q134's
+    //      companion for engine/lake migrations when the comparison has
+    //      to travel (one row per table, not a row per key): each row
+    //      serializes canonically (keys and exact CENTS, never a
+    //      formatted double — double→string formatting is NOT
+    //      cross-engine stable), hashes to a 60-bit md5 prefix, and the
+    //      checksum is the plain SUM split into the value's low/high 30
+    //      bits (two bigint sums — commutative, so partition order and
+    //      engine are irrelevant, and a single flipped row moves the
+    //      pair with probability 1-2^-60). One scan per table, fully
+    //      map-side-combinable, zero shuffles beyond the 1-row agg. ----
+    QueryDef(
+      "q142_table_checksum",
+      (s, d) => {
+        val cksum = (df: DataFrame, tbl: String, canon: Column) =>
+          df.select(
+            conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+              .as("h"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("h % 1073741824")).as("checksum_lo"),
+              sum(expr("h div 1073741824")).as("checksum_hi"))
+            .select(lit(tbl).as("tbl"), col("n_rows"),
+              col("checksum_lo"), col("checksum_hi"))
+        val cents = (c: Column) =>
+          (c.cast("decimal(18,2)") * 100).cast("long").cast("string")
+        cksum(t(s, d, "orders"), "orders",
+          concat_ws("|", col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"), col("o_orderstatus"),
+            cents(col("o_totalprice"))))
+          .unionByName(cksum(t(s, d, "lineitem"), "lineitem",
+            concat_ws("|", col("l_orderkey").cast("string"),
+              col("l_partkey").cast("string"),
+              col("l_suppkey").cast("string"),
+              cents(col("l_quantity")), cents(col("l_extendedprice")))))
+          .unionByName(cksum(t(s, d, "customer"), "customer",
+            concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+              col("c_nationkey").cast("string"))))
+      },
+      Some("""
+        WITH h1 AS (
+          SELECT CAST(list_sum(list_transform(range(0, 15), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(
+                o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                  || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS VARCHAR)),
+                CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+              * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
+          FROM orders),
+        h2 AS (
+          SELECT CAST(list_sum(list_transform(range(0, 15), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(
+                l_orderkey || '|' || l_partkey || '|' || l_suppkey
+                  || '|' || CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS VARCHAR)
+                  || '|' || CAST(CAST(CAST(l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)),
+                CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+              * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
+          FROM lineitem),
+        h3 AS (
+          SELECT CAST(list_sum(list_transform(range(0, 15), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(
+                c_custkey || '|' || c_name || '|' || c_nationkey),
+                CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+              * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
+          FROM customer)
+        SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+          CAST(SUM(h % 1073741824) AS BIGINT) AS checksum_lo,
+          CAST(SUM(h // 1073741824) AS BIGINT) AS checksum_hi
+        FROM h1
+        UNION ALL
+        SELECT 'lineitem', COUNT(*),
+          CAST(SUM(h % 1073741824) AS BIGINT),
+          CAST(SUM(h // 1073741824) AS BIGINT) FROM h2
+        UNION ALL
+        SELECT 'customer', COUNT(*),
+          CAST(SUM(h % 1073741824) AS BIGINT),
+          CAST(SUM(h // 1073741824) AS BIGINT) FROM h3""")),
   )
 }

@@ -992,4 +992,159 @@ class NewQueryPlanSpec extends SparkTestBase {
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
     }
   }
+
+  test("q138 inverted index: head never exceeds 8 postings, df honest") {
+    val df = SparkEntry.queries("q138_inverted_index")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df_ = r.getAs[Long]("df")
+      val cf = r.getAs[Long]("cf")
+      val head = r.getAs[String]("postings_head").split(",")
+      assert(df_ >= 5 && cf >= df_, s"df/cf inconsistent: $r")
+      assert(head.length == math.min(df_, 8L),
+        s"head must hold min(df,8) entries: $r")
+      // entries ascend by doc id and each carries a positive tf
+      val ids = head.map(_.split(":")(0).toLong)
+      assert(ids.sameElements(ids.sorted), s"head not doc-ordered: $r")
+      assert(head.forall(_.split(":")(1).toLong >= 1), r.toString)
+    }
+    // the head cut happens BEFORE any collect_list: the plan's window
+    // feeds a filter on the rank, so no per-term df-sized array exists
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the rank window in the plan:\n$p")
+  }
+
+  test("q139 bitext margin: margin reorders raw cosine, pool bounded") {
+    val df = SparkEntry.queries("q139_bitext_margin")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") > 1.0, s"margin gate leaked: $r")
+    }
+    // one match per left vector
+    val ids = rows.map(_.getAs[Long]("a_id"))
+    assert(ids.distinct.length == ids.length)
+    // the margin criterion must not be a relabeled cosine argmax:
+    // on real (non-planted) data at least one probe picks a partner
+    // that raw cosine would not rank first — otherwise the
+    // neighborhood normalization is dead code
+    val q = SparkEntry.queries("q24_knn_brute")(spark, sf)
+    // q24 covers probes < 10 only; recompute raw-best inline instead
+    val pool = graft.core.Tables.t(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 400)
+    val byCos = {
+      import org.apache.spark.sql.functions._
+      val a = pool.filter(col("label") < 5)
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = pool.filter(col("label") >= 5)
+        .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a_id")
+        .orderBy(col("c").desc, col("b_id"))
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("c",
+          graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a_id"), col("b_id").as("cos_best"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val marginBest = rows.map(r =>
+      r.getAs[Long]("a_id") -> r.getAs[Long]("b_id")).toMap
+    val diverges = marginBest.count { case (a, b) => byCos.get(a).exists(_ != b) }
+    assert(diverges > 0,
+      "margin selection never diverged from raw cosine — normalization dead")
+    assert(q.columns.nonEmpty) // keep q24 referenced (sanity, not timing)
+  }
+
+  test("q140 fuzzy join: equi-join blocking, verify prunes ED-2 noise") {
+    val df = SparkEntry.queries("q140_fuzzy_ed1_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the variant equi-join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every planted typo recovers a true ED<=1 dictionary match
+    import org.apache.spark.sql.functions._
+    val planted = graft.core.Tables.t(spark, sf, "part")
+      .filter(col("p_partkey") % 7 === 0).count()
+    assert(rows.map(_.getAs[Long]("dirty_id")).distinct.length == planted,
+      "some planted typo found no dictionary match")
+    rows.foreach(r => assert(r.getAs[Long]("lev") <= 1))
+    // the levenshtein verify is load-bearing: the deletion-variant join
+    // admits ED-2 candidates that must have been pruned
+    val del1 = (s: String) =>
+      (s.indices.map(i => s.take(i) + s.drop(i + 1)) :+ s).toSet
+    val dictionary = graft.core.Tables.t(spark, sf, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val dirty = rows.map(_.getAs[String]("dirty_name")).distinct
+    val candidatePairs = for {
+      dn <- dirty; n <- dictionary
+      if del1(dn).intersect(del1(n)).nonEmpty
+    } yield (dn, n)
+    val ed2 = candidatePairs.count { case (x, y) =>
+      // tiny local levenshtein, bounded strings
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length) > 1
+    }
+    assert(ed2 > 0, "no ED-2 candidate existed — the verify is untested")
+  }
+
+  test("q142 checksum: map-side combinable, sensitive to one flipped row") {
+    val df = SparkEntry.queries("q142_table_checksum")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0)
+      assert(r.getAs[Long]("checksum_lo") > 0 &&
+        r.getAs[Long]("checksum_hi") > 0)
+    }
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("partial"),
+      s"checksum aggregate must combine map-side:\n$p")
+    // order independence + sensitivity, on a local frame
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mk = (rows: Seq[(Long, String)]) =>
+      rows.toDF("k", "v")
+        .select(conv(substring(md5(concat_ws("|", $"k", $"v")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .agg(sum(expr("h % 1073741824")).as("lo"),
+          sum(expr("h div 1073741824")).as("hi"))
+        .head()
+    val a = mk(Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    val b = mk(Seq((3L, "z"), (1L, "x"), (2L, "y")))
+    val c = mk(Seq((1L, "x"), (2L, "y"), (3L, "w")))
+    assert(a == b, "checksum must be insertion-order independent")
+    assert(a != c, "checksum must move when a value changes")
+  }
+
+  test("q143 batch packing: bucketing beats FIFO on every source") {
+    val df = SparkEntry.queries("q143_batch_packing")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fifo = r.getAs[Double]("eff_fifo")
+      val bucketed = r.getAs[Double]("eff_bucketed")
+      assert(bucketed >= fifo,
+        s"length bucketing must not lose to FIFO: $r")
+      assert(bucketed <= 1.0 && fifo > 0.0)
+      // mass conservation: padded + useful = batch capacity >= tokens
+      assert(r.getAs[Long]("padded_bucketed") >= 0 &&
+        r.getAs[Long]("padded_fifo") >= 0)
+    }
+    // the policy contrast is strict somewhere, or the comparison is
+    // vacuous on this corpus
+    assert(rows.exists(r =>
+      r.getAs[Double]("eff_bucketed") > r.getAs[Double]("eff_fifo")))
+  }
 }

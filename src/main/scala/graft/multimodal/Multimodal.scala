@@ -112,6 +112,71 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  /** REAL WAV decode — pure byte math, no codec library: RIFF header
+    * sniff, chunk walk to `fmt ` (PCM format 1, 16-bit only) and
+    * `data`, little-endian PCM16 samples. Returns (sampleRate,
+    * channels, interleaved samples). Malformed/compressed payloads →
+    * None (the stub seam keeps handling those).
+    */
+  private[graft] def decodeWav(
+      data: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (data == null || data.length < 44) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => data(off + i) == s(i).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1; var channels = -1
+    var pcmOff = -1; var pcmLen = -1
+    while (pos + 8 <= data.length && (rate < 0 || pcmOff < 0)) {
+      val id = new String(data, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > data.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = bb.getShort(pos + 8).toInt
+          channels = bb.getShort(pos + 10).toInt
+          rate = bb.getInt(pos + 12)
+          val bits = bb.getShort(pos + 22).toInt
+          if (audioFormat != 1 || bits != 16 || channels < 1 || rate <= 0)
+            return None
+        case "data" => pcmOff = pos + 8; pcmLen = len
+        case _ => // skip unknown chunks (LIST, cue , ...)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || pcmOff < 0) return None
+    val n = pcmLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(pcmOff + 2 * i); i += 1 }
+    Some((rate, channels, out))
+  }
+
+  /** Encode PCM16 samples as a minimal RIFF/WAVE payload (fixtures +
+    * the inverse proof for decodeWav). */
+  private[graft] def encodeWav(
+      rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+    ascii("RIFF"); bb.putInt(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort) // block align
+    bb.putShort(16) // bits
+    ascii("data"); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    out
+  }
+
   /** REAL nearest-neighbor resize over top-down RGB triplets. */
   private[multimodal] def resizeRgb(
       w0: Int, h0: Int, rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -151,7 +216,7 @@ object Multimodal {
     * header (fmt byte, w, h, frames) for everything else — a real
     * kernel would parse JPEG/PNG/WAV there.
     */
-  private[multimodal] def decodeKernel(data: Array[Byte]): (String, Int, Int, Int) = {
+  private[graft] def decodeKernel(data: Array[Byte]): (String, Int, Int, Int) = {
     decodePpm(data) match {
       case Some((w, h, _)) => return ("ppm", w, h, 1)
       case None =>
@@ -160,8 +225,16 @@ object Multimodal {
       case Some((w, h, _)) => return ("bmp", w, h, 1)
       case None =>
     }
+    decodeWav(data) match {
+      // audio reuses the meta shape: w = sample rate, h = channels,
+      // frames = whole seconds of audio (duration at the meta grain)
+      case Some((rate, ch, samples)) =>
+        return ("wav", rate, ch, math.max(1, samples.length / (rate * ch)))
+      case None =>
+    }
     if (data == null || data.length < 12 ||
-      (data(0) == 'P' && data(1) == '6') || (data(0) == 'B' && data(1) == 'M'))
+      (data(0) == 'P' && data(1) == '6') || (data(0) == 'B' && data(1) == 'M') ||
+      (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F'))
       ("unknown", 0, 0, 0) // malformed real-format payloads stay unknown
     else {
       val bb = java.nio.ByteBuffer.wrap(data)
@@ -215,6 +288,30 @@ object Multimodal {
       .toSeq
   }
 
+  /** REAL audio feature for WAV payloads: the 16-window RMS energy
+    * envelope (normalized to [0,1] against full-scale PCM16) — the
+    * standard voice-activity / silence-trim signal; the hash stub
+    * stands in for formats that need an external codec. */
+  private[multimodal] def envelopeKernel(data: Array[Byte]): Array[Float] =
+    decodeWav(data) match {
+      case Some((_, _, samples)) if samples.nonEmpty =>
+        val win = math.max(1, samples.length / 16)
+        Array.tabulate(16) { w =>
+          val from = w * win
+          val until = math.min(samples.length, from + win)
+          if (from >= until) 0f
+          else {
+            var sumsq = 0L
+            var i = from
+            while (i < until) {
+              sumsq += samples(i).toLong * samples(i); i += 1
+            }
+            (math.sqrt(sumsq.toDouble / (until - from)) / 32768.0).toFloat
+          }
+        }
+      case _ => featureKernel(data)
+    }
+
   /** STUB feature extraction: 16 deterministic hash-derived floats (a
     * real kernel would run an image/audio encoder).
     */
@@ -264,6 +361,14 @@ object Multimodal {
     * operators (same array<float> contract as `embeddings.embedding`).
     */
   def mediaFeatures(mediaCol: Column): Column = featureUdf(mediaCol)
+
+  private val envelopeUdf = udf { data: Array[Byte] => envelopeKernel(data) }
+
+  /** 16-window RMS energy envelope: REAL for RIFF/PCM16 WAV payloads
+    * (silence detection / activity trimming), hash-stub features for
+    * codec-gated formats — same array<float> column contract as
+    * [[mediaFeatures]]. */
+  def audioEnvelope(mediaCol: Column): Column = envelopeUdf(mediaCol)
 
   private val rgbUdf = udf { data: Array[Byte] =>
     decodePpm(data).orElse(decodeBmp(data)).map(_._3).orNull

@@ -490,5 +490,108 @@ object Corpus extends QueryPack {
           CAST(len(toks) - len(kept) AS BIGINT) AS n_excised,
           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_fp
         FROM kept""")),
+
+    // ---- q144: hybrid retrieval via reciprocal-rank fusion (Cormack
+    //      et al. 2009, the standard lexical+vector combiner): each
+    //      probe doc ranks the candidate pool twice — token-set
+    //      Jaccard (the lexical arm; integer ppm) and embedding cosine
+    //      (the vector arm; the repo's 2^40 quantization) — and the
+    //      fused score is 10^6/(60+r_lex) + 10^6/(60+r_vec), ALL
+    //      integer arithmetic, so the final top-10 is bit-exact in
+    //      both engines. RRF needs only RANKS, never comparable raw
+    //      scores — which is the point: at 100 TB each arm is its own
+    //      retrieval index (q138's postings, q31's IVF), each
+    //      returning a bounded candidate slate per probe, and the
+    //      fusion is a per-probe window over slate-sized input. The
+    //      demonstrator scores a bounded pool exhaustively so the
+    //      oracle can certify the whole pipeline. ----
+    QueryDef(
+      "q144_rrf_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions.tokens
+        import graft.functions.VectorFunctions.cosine
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            array_distinct(tokens(lower(col("text")))).as("toks"))
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val probes = docs.filter(col("doc_id") < 3)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("probe_id"), col("toks").as("ptoks"),
+            col("embedding").as("pv"))
+        val cands = docs.filter(col("doc_id") >= 3 && col("doc_id") < 500)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("cand_id"), col("toks").as("ctoks"),
+            col("embedding").as("cv"))
+        val inter = size(array_intersect(col("ptoks"), col("ctoks")))
+          .cast("long")
+        val union = size(col("ptoks")).cast("long") +
+          size(col("ctoks")).cast("long") - inter
+        val scored = cands.crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("cand_id"),
+            inter.as("n_inter"), union.as("n_union"),
+            floor(cosine(col("pv"), col("cv")) * 1099511627776.0 + 0.5)
+              .cast("long").as("qcos"))
+          .select(col("probe_id"), col("cand_id"),
+            expr("n_inter * 1000000 div n_union").as("jac_ppm"),
+            col("qcos"))
+        val wLex = Window.partitionBy("probe_id")
+          .orderBy(col("jac_ppm").desc, col("cand_id"))
+        val wVec = Window.partitionBy("probe_id")
+          .orderBy(col("qcos").desc, col("cand_id"))
+        val ranked = scored
+          .withColumn("r_lex", row_number().over(wLex).cast("long"))
+          .withColumn("r_vec", row_number().over(wVec).cast("long"))
+          .withColumn("rrf_ppm",
+            expr("1000000 div (60 + r_lex) + 1000000 div (60 + r_vec)"))
+        val wFuse = Window.partitionBy("probe_id")
+          .orderBy(col("rrf_ppm").desc, col("cand_id"))
+        ranked.withColumn("rank", row_number().over(wFuse).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("probe_id", "rank", "cand_id", "r_lex", "r_vec",
+            "rrf_ppm")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+            list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS toks
+          FROM documents),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        probes AS (
+          SELECT doc_id AS probe_id, toks AS ptoks, v AS pv
+          FROM docs JOIN e ON doc_id = vec_id WHERE doc_id < 3),
+        cands AS (
+          SELECT doc_id AS cand_id, toks AS ctoks, v AS cv
+          FROM docs JOIN e ON doc_id = vec_id
+          WHERE doc_id >= 3 AND doc_id < 500),
+        scored AS (
+          SELECT probe_id, cand_id,
+            CAST(len(list_intersect(ptoks, ctoks)) AS BIGINT) * 1000000
+              // (CAST(len(ptoks) AS BIGINT) + len(ctoks)
+                  - len(list_intersect(ptoks, ctoks))) AS jac_ppm,
+            CAST(floor(list_dot_product(pv, cv)
+              / (sqrt(list_dot_product(pv, pv))
+                 * sqrt(list_dot_product(cv, cv)))
+              * 1099511627776.0 + 0.5) AS BIGINT) AS qcos
+          FROM cands, probes),
+        ranked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY jac_ppm DESC, cand_id) AS r_lex,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY qcos DESC, cand_id) AS r_vec
+          FROM scored),
+        fused AS (
+          SELECT probe_id, cand_id,
+            CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec,
+            1000000 // (60 + r_lex) + 1000000 // (60 + r_vec) AS rrf_ppm
+          FROM ranked)
+        SELECT probe_id,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY rrf_ppm DESC, cand_id) AS BIGINT) AS rank,
+          cand_id, r_lex, r_vec, rrf_ppm
+        FROM fused
+        QUALIFY rank <= 10""")),
   )
 }

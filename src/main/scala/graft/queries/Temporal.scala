@@ -726,5 +726,55 @@ object Temporal extends QueryPack {
           COUNT(*) AS n_users
         FROM ud JOIN cohort c USING (user_id)
         GROUP BY 1, 2""")),
+
+    // ---- q141: OHLC bars — the time-series downsampling shape every
+    //      metrics/market pipeline runs: per (user, minute) open (first
+    //      value by event time), high, low, close (last value), count.
+    //      Open/close come from one rank window per direction inside
+    //      the (user, minute) partition — deterministic under the
+    //      (ts, event_id) total order — then one combinable aggregate.
+    //      No value arithmetic at all (pass-through doubles + min/max),
+    //      so cross-engine exactness is structural. Scale: both windows
+    //      and the aggregate share the (user, minute) partitioning —
+    //      ONE keyed exchange; bars per key are time-bounded. ----
+    QueryDef(
+      "q141_ohlc_bars",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            expr("ts div 60000000").as("minute"), col("ts"))
+        val wAsc = Window.partitionBy("user_id", "minute")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy("user_id", "minute")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        e.withColumn("rn_o", row_number().over(wAsc))
+          .withColumn("rn_c", row_number().over(wDesc))
+          .groupBy("user_id", "minute")
+          .agg(
+            max(when(col("rn_o") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rn_c") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+            epoch_us(ts) // 60000000 AS minute, epoch_us(ts) AS tsu
+          FROM events),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY user_id, minute
+              ORDER BY tsu ASC, event_id ASC) AS rn_o,
+            row_number() OVER (PARTITION BY user_id, minute
+              ORDER BY tsu DESC, event_id DESC) AS rn_c
+          FROM e)
+        SELECT user_id, minute,
+          MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+          MAX(value) AS high, MIN(value) AS low,
+          MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+          COUNT(*) AS n_events
+        FROM r GROUP BY user_id, minute""")),
   )
 }

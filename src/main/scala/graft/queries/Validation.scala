@@ -588,5 +588,117 @@ object Validation extends QueryPack {
         SELECT 'customer', COUNT(*),
           CAST(SUM(h % 1073741824) AS BIGINT),
           CAST(SUM(h // 1073741824) AS BIGINT) FROM h3""")),
+
+    // ---- q145: KMV sketch set ALGEBRA — the reason engines keep
+    //      mergeable distinct sketches (q136) instead of exact sets:
+    //      union/intersection estimates between sources without ever
+    //      joining their element sets. Per source the k=64 smallest
+    //      distinct 3-gram md5s; for each source pair the union sketch
+    //      is the k smallest of the merged sketches (EXACTLY the union
+    //      set's sketch, by KMV's order-statistics closure), the union
+    //      estimate is Bar-Yossef (k-1)/u_k, and the intersection
+    //      estimate is the Jaccard-via-rho rule ρ/k · est_union
+    //      (Beyer et al. 2007). Everything before the two final float
+    //      ops is deterministic md5 order statistics, so DuckDB
+    //      re-derives the IDENTICAL sketches; exact per-pair truth
+    //      rides along (the pair sets are vocabulary-bounded here) so
+    //      every row audits its own sketch error. Scale: per-source
+    //      sketches are one combinable O(k) aggregate over the gram
+    //      stream; the pair stage touches only S sketch rows — at
+    //      100 TB the exact-truth columns are the part you drop, and
+    //      the sketch columns are the part that still works. ----
+    QueryDef(
+      "q145_kmv_algebra",
+      (s, d) => {
+        val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+        val grams = t(s, d, "documents")
+          .filter(col("source").isin(srcs: _*))
+          .select(col("source"),
+            explode(graft.functions.HashFunctions.ngramMd5(
+              graft.functions.TextFunctions.tokens(lower(col("text"))), 3))
+              .as("h"))
+          .distinct()
+        val sk = grams.groupBy("source")
+          .agg(graft.functions.KmvSketch.kmvMinHex(col("h"), 64).as("sk"),
+            count(lit(1)).as("n_exact"))
+        val pairs = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+            col("n_exact").as("n_a"))
+          .join(sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+            col("n_exact").as("n_b")), col("src_a") < col("src_b"))
+        val exactInter = grams.select(col("source").as("src_a"), col("h"))
+          .join(grams.select(col("source").as("src_b"), col("h")),
+            Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("exact_inter"))
+        val frac52 = (c: Column) =>
+          conv(substring(c, 1, 13), 16, 10).cast("long").cast("double") /
+            lit(4.503599627370496e15)
+        pairs
+          .withColumn("u", slice(array_sort(
+            array_union(col("sk_a"), col("sk_b"))), 1, 64))
+          .withColumn("rho", size(filter(col("u"), x =>
+            array_contains(col("sk_a"), x) &&
+              array_contains(col("sk_b"), x))).cast("long"))
+          .withColumn("est_union", lit(63.0) / frac52(element_at(col("u"), 64)))
+          .withColumn("est_inter",
+            col("rho").cast("double") * col("est_union") / lit(64.0))
+          .join(exactInter, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+            col("exact_inter"), col("rho"), col("est_union"),
+            col("est_inter"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT source,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        g AS (
+          SELECT DISTINCT source,
+            unnest(list_transform(range(1, len(toks) - 1),
+              i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
+          FROM tk WHERE len(toks) >= 3),
+        rk AS (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM g),
+        sk AS (
+          SELECT source, list(h ORDER BY h) AS sk,
+            (SELECT COUNT(*) FROM g g2 WHERE g2.source = rk.source)
+              AS n_exact
+          FROM rk WHERE rn <= 64 GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            a.sk AS sk_a, b.sk AS sk_b,
+            CAST(a.n_exact AS BIGINT) AS n_a,
+            CAST(b.n_exact AS BIGINT) AS n_b
+          FROM sk a JOIN sk b ON a.source < b.source),
+        ei AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(COUNT(*) AS BIGINT) AS exact_inter
+          FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2),
+        algebra AS (
+          SELECT src_a, src_b, n_a, n_b, sk_a, sk_b,
+            list_sort(list_distinct(list_concat(sk_a, sk_b)))[1:64] AS u
+          FROM pairs),
+        est AS (
+          SELECT src_a, src_b, n_a, n_b,
+            CAST(len(list_filter(u, x ->
+              list_contains(sk_a, x) AND list_contains(sk_b, x)))
+              AS BIGINT) AS rho,
+            63.0 / (CAST(list_sum(list_transform(range(0, 13), i ->
+                CAST(strpos('0123456789abcdef',
+                  substr(u[64], CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                * CAST(2 ** (4 * (12 - i)) AS BIGINT))) AS DOUBLE)
+              / 4503599627370496.0) AS est_union
+          FROM algebra)
+        SELECT e.src_a, e.src_b, n_a, n_b,
+          n_a + n_b - exact_inter AS exact_union, exact_inter,
+          rho, est_union,
+          CAST(rho AS DOUBLE) * est_union / 64.0 AS est_inter
+        FROM est e JOIN ei USING (src_a, src_b)""")),
   )
 }

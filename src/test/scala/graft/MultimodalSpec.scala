@@ -179,4 +179,58 @@ class MultimodalSpec extends SparkTestBase {
     back.select(col("media_id"), md5(col("data")).as("h")).collect()
       .foreach(r => assert(orig(r.getLong(0)) === r.getString(1)))
   }
+
+  test("WAV decode is real: RIFF chunk walk, PCM16 round trip, meta") {
+    import spark.implicits._
+    // golden fixture: 2 s of an 8 kHz mono square wave at full scale,
+    // with an unknown LIST chunk between fmt and data that the chunk
+    // walk must skip
+    val rate = 8000
+    val samples = Array.tabulate[Short](rate * 2) { i =>
+      if ((i / 4) % 2 == 0) 16384 else -16384
+    }
+    val plain = Multimodal.encodeWav(rate, 1, samples)
+    // splice a LIST chunk after fmt (offset 36 = start of "data")
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = plain.take(36) ++ listChunk ++ plain.drop(36)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8) // fix RIFF size
+    for (payload <- Seq(plain, spliced)) {
+      val Some((r, ch, got)) = Multimodal.decodeWav(payload)
+      assert(r === rate && ch === 1)
+      assert(got.sameElements(samples), "PCM16 samples must round-trip")
+    }
+    // metadata surfaces through the typed decode column
+    val df = Seq((1L, plain)).toDF("media_id", "data")
+    val meta = Multimodal.withMediaMeta(df, "data").select("media_meta.*")
+      .collect()(0)
+    assert(meta.getAs[String]("format") === "wav")
+    assert(meta.getAs[Int]("width") === rate) // sample rate in w slot
+    assert(meta.getAs[Int]("height") === 1) // channels
+    assert(meta.getAs[Int]("n_frames") === 2) // whole seconds
+    // malformed RIFF (truncated) stays unknown, never fake-decoded
+    val (fmt, _, _, _) = Multimodal.decodeKernel(plain.take(30))
+    assert(fmt === "unknown")
+  }
+
+  test("WAV envelope is a real RMS: silence and level are measured") {
+    import spark.implicits._
+    val rate = 8000
+    // first half: full-scale square (RMS = 0.5 of full scale);
+    // second half: digital silence
+    val samples = Array.tabulate[Short](rate) { i =>
+      if (i < rate / 2) { if (i % 2 == 0) 16384 else -16384 } else 0
+    }
+    val df = Seq((1L, Multimodal.encodeWav(rate, 1, samples)))
+      .toDF("media_id", "data")
+    val env = df.select(Multimodal.audioEnvelope(col("data")).as("e"))
+      .collect()(0).getSeq[Float](0)
+    assert(env.length === 16)
+    env.take(8).foreach(v => assert(math.abs(v - 0.5f) < 1e-3,
+      s"active window RMS must be 0.5 full scale, got $v"))
+    env.drop(8).foreach(v => assert(v === 0f,
+      "silent windows must measure exactly zero"))
+  }
 }

@@ -1128,6 +1128,65 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(a != c, "checksum must move when a value changes")
   }
 
+  test("q141 OHLC: bar invariants hold and events are conserved") {
+    val df = SparkEntry.queries("q141_ohlc_bars")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= h && l <= o && o <= h && l <= c && c <= h,
+        s"bar bounds violated: $r")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    val total = graft.core.Tables.t(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total,
+      "bars must conserve the event count")
+  }
+
+  test("q144 RRF: fusion is load-bearing, not a relabeled single arm") {
+    val df = SparkEntry.queries("q144_rrf_fusion")(spark, sf)
+    val rows = df.collect()
+    val probes = rows.map(_.getAs[Long]("probe_id")).distinct
+    assert(probes.length >= 2)
+    probes.foreach { p =>
+      val mine = rows.filter(_.getAs[Long]("probe_id") == p)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(mine.map(_.getAs[Long]("rank")).toSeq == (1L to 10L),
+        s"probe $p must emit ranks 1..10")
+    }
+    // somewhere the fused winner is ranked first by NEITHER arm alone —
+    // otherwise the fusion never changed an outcome on this corpus
+    val fusedMoves = rows.filter(r => r.getAs[Long]("rank") == 1 &&
+      r.getAs[Long]("r_lex") != 1 && r.getAs[Long]("r_vec") != 1)
+    val armsDisagree = rows.filter(r =>
+      r.getAs[Long]("r_lex") != r.getAs[Long]("r_vec"))
+    assert(armsDisagree.nonEmpty, "both arms identical — fusion vacuous")
+    assert(fusedMoves.nonEmpty || armsDisagree.length > rows.length / 2,
+      "fusion outcome indistinguishable from a single arm")
+  }
+
+  test("q145 KMV algebra: union estimate inside the k=64 error envelope") {
+    val df = SparkEntry.queries("q145_kmv_algebra")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10) // C(5,2) source pairs
+    rows.foreach { r =>
+      val exactU = r.getAs[Long]("exact_union").toDouble
+      val estU = r.getAs[Double]("est_union")
+      // Bar-Yossef k=64: relative sigma ~ 1/sqrt(k-1) ~ 12.6%; allow 3x
+      assert(math.abs(estU - exactU) / exactU < 0.4,
+        s"union estimate outside envelope: $r")
+      val rho = r.getAs[Long]("rho")
+      assert(rho >= 0 && rho <= 64)
+      assert(r.getAs[Long]("exact_inter") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Double]("est_inter") >= 0.0)
+    }
+    // the sketches must actually compress: every pair set is far
+    // larger than k, so the estimate is doing real work
+    rows.foreach(r => assert(r.getAs[Long]("exact_union") > 64 * 10))
+  }
+
   test("q143 batch packing: bucketing beats FIFO on every source") {
     val df = SparkEntry.queries("q143_batch_packing")(spark, sf)
     val rows = df.collect()

@@ -700,5 +700,70 @@ object Validation extends QueryPack {
           rho, est_union,
           CAST(rho AS DOUBLE) * est_union / 64.0 AS est_inter
         FROM est e JOIN ei USING (src_a, src_b)""")),
+
+    // ---- q146: Count-Min frequency sketch (Cormode & Muthukrishnan
+    //      2005) — q137 measures the exact heavy hitters; this is the
+    //      bounded-memory path when the KEY DOMAIN itself is too wide
+    //      to shuffle: a d=4 × w=64 counter matrix (md5-derived row
+    //      hashes), point estimate = min over the d counters. Unlike
+    //      the Misra-Gries summary the state is pure SUMS — order-free
+    //      and engine-free — so the ENTIRE sketch, not just its
+    //      guarantee, is DuckDB-oracle-exact: both engines derive the
+    //      identical 256-cell matrix and identical estimates. Exact
+    //      truth rides along per key; est >= exact always (one-sided
+    //      error) and the overestimate column audits collision mass.
+    //      Scale: the build is a map-side-combinable (r, cell) count —
+    //      the shuffle carries <= 256 partial rows per task whatever
+    //      the corpus size; estimates join keys against the broadcast
+    //      matrix. ----
+    QueryDef(
+      "q146_countmin",
+      (s, d) => {
+        val cell = (r: Column, k: Column) =>
+          conv(substring(md5(concat_ws(":", r, k)), 1, 8), 16, 10)
+            .cast("long") % 64
+        val ev = t(s, d, "events").select(col("user_id"))
+        val counters = ev
+          .select(explode(sequence(lit(0), lit(3))).as("r"), col("user_id"))
+          .select(col("r"), cell(col("r"), col("user_id")).as("c"))
+          .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+        val keys = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        keys
+          .select(col("user_id"), col("exact_n"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("c", cell(col("r"), col("user_id")))
+          .join(broadcast(counters), Seq("r", "c"))
+          .groupBy("user_id", "exact_n")
+          .agg(min(col("cnt")).as("est_n"))
+          .select(col("user_id"), col("exact_n"), col("est_n"),
+            (col("est_n") - col("exact_n")).as("overestimate"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id FROM events),
+        cells AS (
+          SELECT r, user_id,
+            CAST(list_sum(list_transform(range(0, 8), i ->
+              CAST(strpos('0123456789abcdef', substr(
+                md5(r || ':' || user_id), CAST(i + 1 AS INT), 1)) - 1
+                AS BIGINT)
+              * CAST(2 ** (4 * (7 - i)) AS BIGINT))) AS BIGINT) % 64 AS c
+          FROM ev, range(0, 4) t(r)),
+        counters AS (
+          SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+        keys AS (
+          SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY 1),
+        probe AS (
+          SELECT k.user_id, k.exact_n, t.r,
+            CAST(list_sum(list_transform(range(0, 8), i ->
+              CAST(strpos('0123456789abcdef', substr(
+                md5(t.r || ':' || k.user_id), CAST(i + 1 AS INT), 1)) - 1
+                AS BIGINT)
+              * CAST(2 ** (4 * (7 - i)) AS BIGINT))) AS BIGINT) % 64 AS c
+          FROM keys k, range(0, 4) t(r))
+        SELECT p.user_id, p.exact_n,
+          CAST(MIN(cnt) AS BIGINT) AS est_n,
+          CAST(MIN(cnt) - p.exact_n AS BIGINT) AS overestimate
+        FROM probe p JOIN counters USING (r, c)
+        GROUP BY p.user_id, p.exact_n""")),
   )
 }

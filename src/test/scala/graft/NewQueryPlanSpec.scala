@@ -1187,6 +1187,28 @@ class NewQueryPlanSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("exact_union") > 64 * 10))
   }
 
+  test("q146 count-min: one-sided error, collision mass within theory") {
+    val df = SparkEntry.queries("q146_countmin")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("exact_n")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"),
+        s"CM must never underestimate: $r")
+      assert(r.getAs[Long]("overestimate") ===
+        r.getAs[Long]("est_n") - r.getAs[Long]("exact_n"))
+    }
+    // standard guarantee: overestimate <= e*N/w with prob 1 - e^-d per
+    // key (w=64, d=4) — allow the expected tail across all keys
+    val bound = math.ceil(math.E * n / 64.0).toLong
+    val tail = rows.count(_.getAs[Long]("overestimate") > bound)
+    assert(tail.toDouble / rows.length < 0.1,
+      s"$tail/${rows.length} keys exceed the e*N/w bound")
+    // the matrix really compresses: far more keys than cells touched
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("partial"), s"counter build must map-side combine:\n$p")
+  }
+
   test("q143 batch packing: bucketing beats FIFO on every source") {
     val df = SparkEntry.queries("q143_batch_packing")(spark, sf)
     val rows = df.collect()

@@ -37,6 +37,47 @@ object RangeLayout {
       .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
         count(lit(1)).as("n_rows"))
 
+  /** Two-dimensional layout: write range-partitioned and sorted by the
+    * z-order (Morton) interleave of two grid-scaled dimensions — the
+    * WRITE path for q133's layout key (queries/Validation.scala): with
+    * the curve key as the file order, every file's (c1, c2) bounding
+    * box stays near-square instead of spanning the full second
+    * dimension, so parquet min/max stats prune scans filtered on
+    * EITHER dimension. Domain maxima come from one tiny aggregate
+    * (broadcast back); everything else is per-row bit math + one range
+    * shuffle.
+    */
+  def writeZOrdered(
+      df: DataFrame, c1: String, c2: String, bits: Int, nFiles: Int,
+      path: String): Unit = {
+    val dom = df.agg(max(col(c1)).as("max_1"), max(col(c2)).as("max_2"))
+    val grid = 1L << bits
+    val z = graft.queries.Validation.morton(
+      expr(s"$c1 * $grid div (max_1 + 1)"),
+      expr(s"$c2 * $grid div (max_2 + 1)"), bits)
+    df.crossJoin(broadcast(dom))
+      .withColumn("zkey", z)
+      .drop("max_1", "max_2")
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file bounding boxes of two layout dimensions plus the mean
+    * box area as a fraction of the domain — the 2-D pruning audit
+    * (smaller boxes ⇒ more files skipped by a predicate on either
+    * dimension). */
+  def boxStats(spark: SparkSession, path: String, c1: String, c2: String)
+      : DataFrame =
+    spark.read.parquet(path)
+      .select(col(c1).as("v1"), col(c2).as("v2"),
+        input_file_name().as("file"))
+      .groupBy("file")
+      .agg(min("v1").as("min_1"), max("v1").as("max_1"),
+        min("v2").as("min_2"), max("v2").as("max_2"),
+        count(lit(1)).as("n_rows"))
+
   /** Clustering depth: the maximum number of files whose [min,max]
     * interval covers a single point — 1 means perfectly disjoint
     * (every range scan touches the minimum possible file set); a

@@ -38,6 +38,34 @@ class RangeLayoutSpec extends SparkTestBase {
     assert(RangeLayout.overlapDepth(rrStats) >= n - 1)
   }
 
+  test("z-ordered write bounds BOTH dimensions; 1-D sort spans the second") {
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val dom2 = li.agg(max("l_suppkey")).head().getLong(0) + 1
+
+    val zdir = Files.createTempDirectory("graft_z_").toString
+    RangeLayout.writeZOrdered(li, "l_partkey", "l_suppkey", 10, 8, zdir)
+    val oneDir = Files.createTempDirectory("graft_1d_").toString
+    RangeLayout.writeSorted(li, "l_partkey", 8, oneDir)
+
+    def meanSuppExtent(dir: String): Double = {
+      val boxes = RangeLayout.boxStats(spark, dir, "l_partkey", "l_suppkey")
+        .collect()
+      boxes.map(r => (r.getAs[Long]("max_2") - r.getAs[Long]("min_2") + 1)
+        .toDouble / dom2).sum / boxes.length
+    }
+    val z = meanSuppExtent(zdir)
+    val one = meanSuppExtent(oneDir)
+    // the partkey-sorted layout cannot know about suppkey — its files
+    // span (almost) the whole second domain; z-order halves it or better
+    assert(one > 0.9, s"1-D layout unexpectedly bounded dim 2: $one")
+    assert(z < one / 2, s"z-order must bound dim 2: z=$z vs 1d=$one")
+    // row conservation
+    val total = li.count()
+    assert(RangeLayout.boxStats(spark, zdir, "l_partkey", "l_suppkey")
+      .agg(sum("n_rows")).head().getLong(0) === total)
+  }
+
   test("a range predicate on the sorted layout touches a bounded file set") {
     val events = Tables.t(spark, sf, "events").select("event_id", "ts")
     val dir = Files.createTempDirectory("graft_range_q_").toString

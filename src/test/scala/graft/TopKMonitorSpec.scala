@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TopKMonitor
+
+/** Cross-batch Misra-Gries monitoring: the running summary merges
+  * batch summaries with the mergeable-summaries rule, so after B
+  * batches the lower bounds are within N_total/(k+1) of the true
+  * cumulative counts and the dominant key ranks first.
+  */
+class TopKMonitorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("running top-k across micro-batches: bounds + dominant key") {
+    val src = Files.createTempDirectory("tk_src_").toString
+    val metrics = Files.createTempDirectory("tk_met_").toString
+    val ckpt = Files.createTempDirectory("tk_ck_").toString
+    // two files on disk before start; maxFilesPerTrigger=1 makes them
+    // two sequential micro-batches of ONE query run (the running
+    // summary deliberately lives only within a run)
+    val batch0 = Seq.fill(30)("hot") ++ Seq.fill(15)("warm") ++
+      (0 until 15).map(i => s"u$i")
+    val batch1 = Seq.fill(20)("hot") ++ Seq.fill(5)("cold") ++
+      (0 until 10).map(i => s"v$i")
+    batch0.toDF("k").coalesce(1).write.mode("append").parquet(src)
+    batch1.toDF("k").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema("k string")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = TopKMonitor.start(stream, "k", k = 4, metrics, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val snaps = spark.read.parquet(metrics)
+    val batches = snaps.select("batch_id").distinct().count()
+    assert(batches === 2, "one snapshot per micro-batch")
+    // per-batch snapshots are bounded by k
+    snaps.groupBy("batch_id").count().collect()
+      .foreach(r => assert(r.getLong(1) <= 4))
+
+    val last = snaps.filter(col("batch_id") ===
+        snaps.agg(max("batch_id")).head().getLong(0))
+      .collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("lb_count"), r.getAs[Long]("rank"))).toMap
+    val exact = (batch0 ++ batch1).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = (batch0.length + batch1.length).toLong
+    val slack = n / 5 // k+1 = 5
+    // the dominant key survives, ranks first, and its bound is honest
+    assert(last.contains("hot"), "dominant key evicted")
+    assert(last("hot")._2 === 1L, s"hot must rank first: $last")
+    last.foreach { case (item, (lb, _)) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(lb <= t && t - lb <= slack,
+        s"$item: lb $lb vs exact $t, slack $slack")
+    }
+    // every cumulative heavy hitter above the guarantee survives
+    exact.filter(_._2 > slack).keys
+      .foreach(i => assert(last.contains(i), s"heavy $i missing"))
+  }
+}

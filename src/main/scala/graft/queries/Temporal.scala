@@ -776,5 +776,98 @@ object Temporal extends QueryPack {
           MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
           COUNT(*) AS n_events
         FROM r GROUP BY user_id, minute""")),
+
+    // ---- q147: per-(type, hour) latency/value bands — the SLO
+    //      monitoring rollup (p50/p95/p99 per service per hour), built
+    //      on discrete percentiles (element-picking, q50's discipline
+    //      — no interpolation arithmetic to diverge cross-engine).
+    //      One combinable keyed aggregate; group count is
+    //      types × hours, time-bounded at any scale. ----
+    QueryDef(
+      "q147_latency_bands",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"), expr("ts div 3600000000").as("hour"),
+            col("value"))
+          .groupBy("event_type", "hour")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+              .as("p50"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+              .as("p95"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+              .as("p99")),
+      Some("""
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+          COUNT(*) AS n,
+          quantile_disc(value, 0.5) AS p50,
+          quantile_disc(value, 0.95) AS p95,
+          quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- q148: last-touch conversion attribution — REUSES the J5
+    //      as-of operator (q45): each purchase joins the latest prior
+    //      non-purchase touch of the same user (touches pre-deduped to
+    //      one row per (user, µs), the operator's contract); credit
+    //      goes to the touch's event type when it landed within the
+    //      30-minute window, else 'none'. The attribution report is a
+    //      tiny keyed count + one broadcast total; shares are one IEEE
+    //      division each. Same plan shape at 100 TB: the as-of union
+    //      window is the only corpus-sized exchange. ----
+    QueryDef(
+      "q148_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("ts_us"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
+          .agg(min(col("event_id")).as("touch_id"))
+          .withColumn("touch_ts", col("ts_us"))
+        val joined = AsOfJoin.priorJoin(conv, touches, "user_id", "ts_us",
+          Seq("touch_id", "touch_ts"))
+        val typed = joined.join(
+          ev.select(col("event_id").as("touch_id"),
+            col("event_type").as("touch_type")),
+          Seq("touch_id"), "left")
+        val credited = typed.select(col("conv_id"),
+          when(col("touch_id").isNull ||
+            col("ts_us") - col("touch_ts") > 1800000000L, "none")
+            .otherwise(col("touch_type")).as("credit"))
+        val total = credited.agg(count(lit(1)).as("total"))
+        credited.groupBy("credit")
+          .agg(count(lit(1)).as("n_conversions"))
+          .crossJoin(broadcast(total))
+          .select(col("credit"), col("n_conversions"),
+            (col("n_conversions").cast("double") /
+              col("total").cast("double")).as("share"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            MIN(event_id) AS touch_id, epoch_us(ts) AS touch_ts
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY user_id, epoch_us(ts)),
+        j AS (
+          SELECT c.conv_id, c.ts_us, t.touch_id, t.touch_ts
+          FROM conv c ASOF LEFT JOIN touches t
+            ON c.user_id = t.user_id AND c.ts_us >= t.ts_us),
+        typed AS (
+          SELECT j.*, e.event_type AS touch_type
+          FROM j LEFT JOIN events e ON j.touch_id = e.event_id),
+        credited AS (
+          SELECT conv_id,
+            CASE WHEN touch_id IS NULL OR ts_us - touch_ts > 1800000000
+              THEN 'none' ELSE touch_type END AS credit
+          FROM typed),
+        tot AS (SELECT COUNT(*) AS total FROM credited)
+        SELECT credit, COUNT(*) AS n_conversions,
+          CAST(COUNT(*) AS DOUBLE) / total AS share
+        FROM credited, tot GROUP BY credit, total""")),
   )
 }

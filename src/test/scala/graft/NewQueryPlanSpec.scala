@@ -1209,6 +1209,42 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("partial"), s"counter build must map-side combine:\n$p")
   }
 
+  test("q147 latency bands: percentiles ordered, groups time-bounded") {
+    val df = SparkEntry.queries("q147_latency_bands")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p95, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p95"), r.getAs[Double]("p99"))
+      assert(p50 <= p95 && p95 <= p99, s"percentile order violated: $r")
+      assert(r.getAs[Long]("n") >= 1)
+    }
+  }
+
+  test("q148 attribution: shares sum to one, window gate load-bearing") {
+    val df = SparkEntry.queries("q148_attribution")(spark, sf)
+    df.collect()
+    // the as-of core must be the J5 window plan — no join operator
+    // materializes the as-of itself. The single BroadcastNestedLoopJoin
+    // is the legitimate 1-row total broadcast (q135/q137's shape); a
+    // second one would mean the as-of degenerated.
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"attribution degenerated:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"more than the one-row total broadcast degenerated to BNLJ:\n$p")
+    val rows = df.collect()
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares must sum to 1: $shareSum")
+    val n = rows.map(_.getAs[Long]("n_conversions")).sum
+    val purchases = graft.core.Tables.t(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(n === purchases, "every conversion gets exactly one credit")
+    // multiple real touch types get credit (attribution not vacuous)
+    assert(rows.count(_.getAs[String]("credit") != "none") >= 2)
+  }
+
   test("q143 batch packing: bucketing beats FIFO on every source") {
     val df = SparkEntry.queries("q143_batch_packing")(spark, sf)
     val rows = df.collect()

@@ -117,11 +117,21 @@ object GraftExtensions {
       arity("graft_from_avro", 2)(args =>
         FromAvro(args(0), strLit(args(1), "schemaJson")))))
 
-  /** Register every graft function on a live session. */
+  /** Register every graft function on a live session. Also registers
+    * the typed-Aggregator sketches at their gate arities (UDAFs go
+    * through `spark.udf`, not the expression registry): `graft_kmv64`
+    * (KMV distinct sketch, k=64 — q145's algebra arity; q136 uses
+    * k=5) and `graft_heavy_hitters16` (Misra-Gries, k=16). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, (_, builder)) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    spark.udf.register("graft_kmv64",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.KmvMinHex(64)))
+    spark.udf.register("graft_heavy_hitters16",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.MisraGries(16)))
   }
 }

@@ -334,5 +334,17 @@ class ArchiveSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("graft_cosine") &&
       e.getMessage.contains("2"), e.getMessage)
+    // the typed-Aggregator sketches are SQL-callable too; skewed
+    // stream: 'hot' (600 rows) vs 400 singletons
+    val agg = spark.sql(
+      "SELECT graft_kmv64(md5(k)) AS sk, graft_heavy_hitters16(k) AS hh " +
+        "FROM (SELECT CASE WHEN id < 600 THEN 'hot' " +
+        "ELSE CAST(id AS STRING) END AS k FROM range(1000))")
+      .collect()(0)
+    assert(agg.getSeq[String](0).length === 64) // 401 distinct, k=64 kept
+    val hh = agg.getSeq[org.apache.spark.sql.Row](1)
+    assert(hh.nonEmpty && hh.length <= 16)
+    assert(hh.head.getString(0) === "hot")
+    assert(hh.head.getLong(1) >= 600 - 1000 / 17) // MG deficit bound
   }
 }

@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs, processed by
   * batch decoders behind a narrow seam.
   *
-  * Two image formats are decoded FOR REAL — PPM (P6) and BMP (24bpp
-  * uncompressed) are pure byte math, no codec library needed: header
-  * parse, row-padding/bottom-up normalization, BGR→RGB swizzle, and a
-  * real nearest-neighbor resize ([[decodePpm]]/[[decodeBmp]]/
-  * [[resizeRgb]], golden-pixel tested in MultimodalSpec). Compressed
-  * formats (JPEG/PNG/WAV/MP4) remain STUBS — those codecs are not in
-  * this container — as deterministic byte-level fakes so every piece of
+  * Four formats are decoded FOR REAL — PPM (P6), PGM (P5), BMP (24bpp
+  * uncompressed) and WAV (RIFF/PCM16) are pure byte math, no codec
+  * library needed: header parse, row-padding/bottom-up normalization,
+  * BGR→RGB swizzle, grayscale expansion, RIFF chunk walk, and a real
+  * nearest-neighbor resize ([[decodePpm]]/[[decodePgm]]/[[decodeBmp]]/
+  * [[decodeWav]]/[[resizeRgb]], golden-tested in MultimodalSpec).
+  * Compressed formats (JPEG/PNG/MP4) remain STUBS — those codecs are
+  * not in this container — as deterministic byte-level fakes so every piece of
   * Spark plumbing (schema, batch shape, partitioning, null handling,
   * feature extraction contract) is real and tested. A production
   * deployment swaps the stub arms of [[decodeKernel]]/[[frameKernel]]
@@ -71,6 +72,44 @@ object Multimodal {
     val need = w * h * 3
     if (i < 0 || data.length - i < need) None
     else Some((w, h, java.util.Arrays.copyOfRange(data, i, i + need)))
+  }
+
+  /** REAL PGM (P5) decode: same ASCII header discipline as P6 but one
+    * gray byte per pixel, expanded to RGB triplets (r=g=b) so every
+    * downstream consumer (resize, features) sees one pixel format. */
+  private[graft] def decodePgm(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (data == null || data.length < 2 || data(0) != 'P' || data(1) != '5')
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < data.length) {
+        val c = data(i)
+        if (c == '#') { while (i < data.length && data(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < data.length && data(i) >= '0' && data(i) <= '9') {
+        v = v * 10 + (data(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1
+    if (i < 0 || data.length - i < w * h) return None
+    val out = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val g = data(i + p)
+      out(3 * p) = g; out(3 * p + 1) = g; out(3 * p + 2) = g
+      p += 1
+    }
+    Some((w, h, out))
   }
 
   /** REAL BMP decode: 24bpp uncompressed BITMAPINFOHEADER files.
@@ -221,6 +260,10 @@ object Multimodal {
       case Some((w, h, _)) => return ("ppm", w, h, 1)
       case None =>
     }
+    decodePgm(data) match {
+      case Some((w, h, _)) => return ("pgm", w, h, 1)
+      case None =>
+    }
     decodeBmp(data) match {
       case Some((w, h, _)) => return ("bmp", w, h, 1)
       case None =>
@@ -233,7 +276,8 @@ object Multimodal {
       case None =>
     }
     if (data == null || data.length < 12 ||
-      (data(0) == 'P' && data(1) == '6') || (data(0) == 'B' && data(1) == 'M') ||
+      (data(0) == 'P' && (data(1) == '6' || data(1) == '5')) ||
+      (data(0) == 'B' && data(1) == 'M') ||
       (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F'))
       ("unknown", 0, 0, 0) // malformed real-format payloads stay unknown
     else {
@@ -257,7 +301,7 @@ object Multimodal {
     * real grayscale resize would produce.
     */
   private[multimodal] def resizeKernel(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    decodePpm(data).orElse(decodeBmp(data)) match {
+    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data)) match {
       case Some((w0, h0, rgb)) =>
         return encodePpm(w, h, resizeRgb(w0, h0, rgb, w, h))
       case None =>
@@ -371,7 +415,7 @@ object Multimodal {
   def audioEnvelope(mediaCol: Column): Column = envelopeUdf(mediaCol)
 
   private val rgbUdf = udf { data: Array[Byte] =>
-    decodePpm(data).orElse(decodeBmp(data)).map(_._3).orNull
+    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data)).map(_._3).orNull
   }
 
   /** REAL decoded pixels (top-down RGB byte triplets) for PPM/BMP

@@ -180,6 +180,30 @@ class MultimodalSpec extends SparkTestBase {
       .foreach(r => assert(orig(r.getLong(0)) === r.getString(1)))
   }
 
+  test("PGM decode is real: grayscale expands to RGB, header tolerant") {
+    import spark.implicits._
+    // 3x2 gradient with a header comment
+    val pixels = Array[Byte](0, 50, 100, (150 & 0xff).toByte,
+      (200 & 0xff).toByte, (250 & 0xff).toByte)
+    val payload = "P5\n# gray\n3 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val Some((w, h, rgb)) = graft.multimodal.Multimodal.decodePgm(payload)
+    assert(w === 3 && h === 2)
+    assert(rgb.length === 18)
+    // every pixel expands to an equal triplet
+    pixels.zipWithIndex.foreach { case (g, i) =>
+      assert(rgb(3 * i) === g && rgb(3 * i + 1) === g && rgb(3 * i + 2) === g)
+    }
+    val df = Seq((1L, payload)).toDF("media_id", "data")
+    val meta = graft.multimodal.Multimodal.withMediaMeta(df, "data")
+      .select("media_meta.*").collect()(0)
+    assert(meta.getAs[String]("format") === "pgm")
+    assert(meta.getAs[Int]("width") === 3 && meta.getAs[Int]("height") === 2)
+    // truncated P5 stays unknown, never fake-decoded
+    val (fmt, _, _, _) =
+      graft.multimodal.Multimodal.decodeKernel(payload.take(10))
+    assert(fmt === "unknown")
+  }
+
   test("WAV decode is real: RIFF chunk walk, PCM16 round trip, meta") {
     import spark.implicits._
     // golden fixture: 2 s of an 8 kHz mono square wave at full scale,

@@ -247,7 +247,73 @@ object TextAnalysis extends QueryPack {
             FROM tf)
           WHERE rn <= 8 GROUP BY term)
         SELECT s.term, s.df, s.cf, h.postings_head
-        FROM stats s JOIN head h USING (term)""")))
+        FROM stats s JOIN head h USING (term)""")),
+
+    // ---- q149: INCREMENTAL index maintenance — the operation a
+    //      serving index needs nightly: fold a new crawl batch's
+    //      postings into the standing dictionary without re-reading
+    //      the base corpus. Base (doc_id < 1500) and delta (>= 1500)
+    //      partition the doc space, so per-term df/cf ADD exactly.
+    //      The oracle is deliberately asymmetric: Spark computes the
+    //      INCREMENTAL merge (base stats + delta stats), DuckDB
+    //      REBUILDS the dictionary from the full corpus — the
+    //      hash-exact compare IS the proof that the maintenance
+    //      algebra equals a rebuild. Scale: the delta pass touches
+    //      only new docs; the merge is a term-keyed outer join of two
+    //      dictionary tables (vocabulary-bounded), never a corpus
+    //      re-scan. ----
+    QueryDef(
+      "q149_index_maintenance",
+      (s, d) => {
+        val stats = (docs: org.apache.spark.sql.DataFrame) =>
+          docs.select(col("doc_id"),
+            explode(tokens(lower(col("text")))).as("term"))
+            .groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"))
+            .groupBy("term")
+            .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        val all = t(s, d, "documents")
+        val base = stats(all.filter(col("doc_id") < 1500))
+          .select(col("term"), col("df").as("df_base"),
+            col("cf").as("cf_base"))
+        val delta = stats(all.filter(col("doc_id") >= 1500))
+          .select(col("term"), col("df").as("df_delta"),
+            col("cf").as("cf_delta"))
+        base.join(delta, Seq("term"), "full_outer")
+          .select(col("term"),
+            coalesce(col("df_base"), lit(0L)).as("df_base"),
+            coalesce(col("df_delta"), lit(0L)).as("df_delta"),
+            (coalesce(col("df_base"), lit(0L)) +
+              coalesce(col("df_delta"), lit(0L))).as("df_merged"),
+            (coalesce(col("cf_base"), lit(0L)) +
+              coalesce(col("cf_delta"), lit(0L))).as("cf_merged"))
+          .filter(col("df_merged") >= 5)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        -- the REBUILD side: full-corpus dictionary, never the merge
+        full_d AS (
+          SELECT term, COUNT(*) AS df_merged,
+            CAST(SUM(tf) AS BIGINT) AS cf_merged
+          FROM tf GROUP BY 1),
+        base_d AS (
+          SELECT term, COUNT(*) AS df_base FROM tf
+          WHERE doc_id < 1500 GROUP BY 1),
+        delta_d AS (
+          SELECT term, COUNT(*) AS df_delta FROM tf
+          WHERE doc_id >= 1500 GROUP BY 1)
+        SELECT f.term,
+          COALESCE(b.df_base, 0) AS df_base,
+          COALESCE(dl.df_delta, 0) AS df_delta,
+          f.df_merged, f.cf_merged
+        FROM full_d f
+        LEFT JOIN base_d b USING (term)
+        LEFT JOIN delta_d dl USING (term)
+        WHERE f.df_merged >= 5""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -869,5 +869,55 @@ object Temporal extends QueryPack {
         SELECT credit, COUNT(*) AS n_conversions,
           CAST(COUNT(*) AS DOUBLE) / total AS share
         FROM credited, tot GROUP BY credit, total""")),
+
+    // ---- q150: time-weighted average (TWAP) per (user, hour) — the
+    //      metric that differs from a plain mean exactly when sampling
+    //      is irregular: each value holds until the next event (or the
+    //      hour end for the last one). Cross-engine exact by the 2^20
+    //      quantization discipline: values quantize BEFORE the
+    //      weighted products, weights are integer µs, and the per-group
+    //      sums ride DECIMAL(38,0) (a qv·dt product reaches ~2^59 —
+    //      bigint sums could overflow); the TWAP is one division of
+    //      identically-rounded operands. One lead window + one
+    //      combinable aggregate on the same (user, hour) key. ----
+    QueryDef(
+      "q150_twap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("ts"),
+            expr("ts div 3600000000").as("hour"),
+            floor(col("value") * 1048576.0 + 0.5).cast("long").as("qv"))
+        val w = Window.partitionBy("user_id", "hour")
+          .orderBy(col("ts"), col("qv"))
+        e.withColumn("nxt",
+            coalesce(lead(col("ts"), 1).over(w),
+              (col("hour") + 1) * 3600000000L))
+          .withColumn("dt", col("nxt") - col("ts"))
+          .groupBy("user_id", "hour")
+          .agg(count(lit(1)).as("n"),
+            sum(col("dt")).as("sum_dt"),
+            sum((col("qv") * col("dt")).cast("decimal(38,0)"))
+              .as("wsum"))
+          .select(col("user_id"), col("hour"), col("n"), col("sum_dt"),
+            (col("wsum").cast("double") /
+              (col("sum_dt").cast("double") * 1048576.0)).as("twap"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tsu,
+            epoch_us(ts) // 3600000000 AS hour,
+            CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS qv
+          FROM events),
+        l AS (
+          SELECT user_id, hour, qv, tsu,
+            COALESCE(lead(tsu, 1) OVER (PARTITION BY user_id, hour
+              ORDER BY tsu, qv), (hour + 1) * 3600000000) - tsu AS dt
+          FROM e)
+        SELECT user_id, hour, COUNT(*) AS n,
+          CAST(SUM(dt) AS BIGINT) AS sum_dt,
+          CAST(SUM(CAST(qv * dt AS DECIMAL(38,0))) AS DOUBLE)
+            / (CAST(SUM(dt) AS BIGINT) * 1048576.0) AS twap
+        FROM l GROUP BY user_id, hour""")),
   )
 }

@@ -62,4 +62,31 @@ class TopKMonitorSpec extends SparkTestBase {
     exact.filter(_._2 > slack).keys
       .foreach(i => assert(last.contains(i), s"heavy $i missing"))
   }
+
+  test("monitor fan-out: quality + top-k observe ONE source concurrently") {
+    import graft.streaming.QualityMonitor
+    val src = Files.createTempDirectory("fan_src_").toString
+    val met1 = Files.createTempDirectory("fan_q_").toString
+    val met2 = Files.createTempDirectory("fan_t_").toString
+    val ck1 = Files.createTempDirectory("fan_c1_").toString
+    val ck2 = Files.createTempDirectory("fan_c2_").toString
+    (Seq.fill(40)("hot") ++ (0 until 20).map(i => s"u$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+    // the T5 shape: two independent streaming queries over the same
+    // source dir, each with its own checkpoint
+    def stream = spark.readStream.schema("k string, v bigint").parquet(src)
+    val q1 = QualityMonitor.start(stream,
+      Seq(("v_nonneg", col("v") >= 0L), ("k_known", col("k") =!= "zzz")),
+      met1, ck1)
+    val q2 = TopKMonitor.start(stream, "k", 4, met2, ck2)
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    val quality = spark.read.parquet(met1)
+    assert(quality.count() === 2, "two rules, one batch")
+    assert(quality.agg(sum("n_violations")).head().getLong(0) === 0L)
+    val topk = spark.read.parquet(met2).collect()
+    assert(topk.nonEmpty)
+    assert(topk.minBy(_.getAs[Long]("rank")).getAs[String]("item") === "hot")
+  }
 }

@@ -533,46 +533,59 @@ object Validation extends QueryPack {
               sum(expr("h div 1073741824")).as("checksum_hi"))
             .select(lit(tbl).as("tbl"), col("n_rows"),
               col("checksum_lo"), col("checksum_hi"))
+        // NULLs serialize as an explicit sentinel on BOTH sides:
+        // concat_ws silently SKIPS nulls (so (a,NULL,b) and (a,b,NULL)
+        // would collide) and DuckDB's || NULLs the whole hash (so its
+        // SUM would silently drop the row) — either default corrupts a
+        // checksum exactly when it matters
+        val nn = (c: Column) => coalesce(c.cast("string"), lit("<NULL>"))
         val cents = (c: Column) =>
-          (c.cast("decimal(18,2)") * 100).cast("long").cast("string")
+          nn((c.cast("decimal(18,2)") * 100).cast("long"))
         cksum(t(s, d, "orders"), "orders",
-          concat_ws("|", col("o_orderkey").cast("string"),
-            col("o_custkey").cast("string"), col("o_orderstatus"),
+          concat_ws("|", nn(col("o_orderkey")),
+            nn(col("o_custkey")), nn(col("o_orderstatus")),
             cents(col("o_totalprice"))))
           .unionByName(cksum(t(s, d, "lineitem"), "lineitem",
-            concat_ws("|", col("l_orderkey").cast("string"),
-              col("l_partkey").cast("string"),
-              col("l_suppkey").cast("string"),
+            concat_ws("|", nn(col("l_orderkey")),
+              nn(col("l_partkey")),
+              nn(col("l_suppkey")),
               cents(col("l_quantity")), cents(col("l_extendedprice")))))
           .unionByName(cksum(t(s, d, "customer"), "customer",
-            concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
-              col("c_nationkey").cast("string"))))
+            concat_ws("|", nn(col("c_custkey")), nn(col("c_name")),
+              nn(col("c_nationkey")))))
       },
       Some("""
         WITH h1 AS (
           SELECT CAST(list_sum(list_transform(range(0, 15), i ->
               CAST(strpos('0123456789abcdef', substr(md5(
-                o_orderkey || '|' || o_custkey || '|' || o_orderstatus
-                  || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                    * 100 AS BIGINT) AS VARCHAR)),
+                COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(o_orderstatus, '<NULL>') || '|'
+                  || COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS VARCHAR), '<NULL>')),
                 CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
               * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
           FROM orders),
         h2 AS (
           SELECT CAST(list_sum(list_transform(range(0, 15), i ->
               CAST(strpos('0123456789abcdef', substr(md5(
-                l_orderkey || '|' || l_partkey || '|' || l_suppkey
-                  || '|' || CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
-                    * 100 AS BIGINT) AS VARCHAR)
-                  || '|' || CAST(CAST(CAST(l_extendedprice
-                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)),
+                COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(CAST(CAST(CAST(l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                    '<NULL>')),
                 CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
               * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
           FROM lineitem),
         h3 AS (
           SELECT CAST(list_sum(list_transform(range(0, 15), i ->
               CAST(strpos('0123456789abcdef', substr(md5(
-                c_custkey || '|' || c_name || '|' || c_nationkey),
+                COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') || '|'
+                  || COALESCE(c_name, '<NULL>') || '|'
+                  || COALESCE(CAST(c_nationkey AS VARCHAR), '<NULL>')),
                 CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
               * CAST(2 ** (4 * (14 - i)) AS BIGINT))) AS BIGINT) AS h
           FROM customer)

@@ -1126,6 +1126,19 @@ class NewQueryPlanSpec extends SparkTestBase {
     val c = mk(Seq((1L, "x"), (2L, "y"), (3L, "w")))
     assert(a == b, "checksum must be insertion-order independent")
     assert(a != c, "checksum must move when a value changes")
+    // null canonicalization: with the sentinel discipline, a null in
+    // column 2 vs column 3 must NOT collide (raw concat_ws would skip
+    // the null and hash both rows identically)
+    val mkN = (rows: Seq[(String, String)]) =>
+      rows.toDF("u", "v")
+        .select(conv(substring(md5(concat_ws("|",
+          coalesce($"u", lit("<NULL>")), coalesce($"v", lit("<NULL>")))),
+          1, 15), 16, 10).cast("long").as("h"))
+        .agg(sum(expr("h % 1073741824")).as("lo")).head()
+    val nullMid = mkN(Seq(("a", null)))
+    val nullEnd = mkN(Seq((null, "a")))
+    assert(nullMid != nullEnd,
+      "null position must be distinguishable in the canonical form")
   }
 
   test("q141 OHLC: bar invariants hold and events are conserved") {

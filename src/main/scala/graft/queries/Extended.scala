@@ -422,5 +422,78 @@ object Extended extends QueryPack {
             AS BIGINT) AS n_types,
           CAST(bit_xor(event_id) AS BIGINT) AS xor_event_ids,
           COUNT(*) AS n_events
-        FROM j GROUP BY user_id""")))
+        FROM j GROUP BY user_id""")),
+
+    // ---- q151: grouped MODE with an EXPLICIT tie policy. Engines'
+    //      built-in mode() leaves ties unspecified (DuckDB picks
+    //      "first", Spark 4's mode() is non-deterministic on ties), so
+    //      the portable form is the count + rank idiom both engines
+    //      run identically: highest count wins, smallest value breaks
+    //      ties. One keyed count + a group-partitioned rank window
+    //      over the (group, value) table — vocabulary-sized input, not
+    //      row-sized. ----
+    QueryDef(
+      "q151_grouped_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"),
+            col("l_quantity").cast("decimal(18,2)").as("q"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("q").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"),
+            col("q").cast("double").as("mode_quantity"),
+            col("n").as("mode_count"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY n DESC, q ASC) AS rk
+          FROM c)
+        SELECT l_returnflag, CAST(q AS DOUBLE) AS mode_quantity,
+          n AS mode_count
+        FROM rk WHERE rk = 1""")),
+
+    // ---- q152: period-over-period growth — the BI staple: daily
+    //      event counts per type with previous-day lag, absolute
+    //      delta, and growth in ppm (integer division; a float pct
+    //      would be one more exact-operand division, but ppm keeps
+    //      the whole row integer). Day gaps are real gaps (lag is
+    //      over the observed series; q119's grid fill is the
+    //      densify-first alternative). One keyed count + one lag
+    //      window over the (type, day) series — time-bounded. ----
+    QueryDef(
+      "q152_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+          .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+            (col("n") - col("prev_n")).as("delta"),
+            when(col("prev_n").isNotNull,
+              expr("(n - prev_n) * 1000000 div prev_n")).as("growth_ppm"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT *, lag(n, 1) OVER (PARTITION BY event_type
+            ORDER BY day) AS prev_n
+          FROM daily)
+        SELECT event_type, day, n, prev_n, n - prev_n AS delta,
+          CASE WHEN prev_n IS NOT NULL
+            THEN (n - prev_n) * 1000000 // prev_n END AS growth_ppm
+        FROM l""")))
 }

@@ -919,5 +919,66 @@ object Temporal extends QueryPack {
           CAST(SUM(CAST(qv * dt AS DECIMAL(38,0))) AS DOUBLE)
             / (CAST(SUM(dt) AS BIGINT) * 1048576.0) AS twap
         FROM l GROUP BY user_id, hour""")),
+
+    // ---- q153: time-to-convert distribution — q148's attribution
+    //      join reused for the LATENCY question (how long after the
+    //      last touch do users convert?): per crediting touch type,
+    //      the count and the p50/p90/max touch→purchase delay in
+    //      integer milliseconds (µs div 1000 — exact; percentile_disc
+    //      picks an element, so the whole row is integers). Same plan
+    //      spine as q148: the as-of union window is the only
+    //      corpus-sized exchange; the percentile aggregate is keyed by
+    //      the 5-value touch-type vocabulary. ----
+    QueryDef(
+      "q153_convert_latency",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("ts_us"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
+          .agg(min(col("event_id")).as("touch_id"))
+          .withColumn("touch_ts", col("ts_us"))
+        AsOfJoin.priorJoin(conv, touches, "user_id", "ts_us",
+          Seq("touch_id", "touch_ts"))
+          .filter(col("touch_id").isNotNull &&
+            col("ts_us") - col("touch_ts") <= 1800000000L)
+          .join(ev.select(col("event_id").as("touch_id"),
+            col("event_type").as("touch_type")), Seq("touch_id"))
+          .select(col("touch_type"),
+            expr("(ts_us - touch_ts) div 1000").as("latency_ms"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_ms)")
+              .as("p50_ms"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_ms)")
+              .as("p90_ms"),
+            max(col("latency_ms")).as("max_ms"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            MIN(event_id) AS touch_id, epoch_us(ts) AS touch_ts
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY user_id, epoch_us(ts)),
+        j AS (
+          SELECT c.conv_id, c.ts_us, t.touch_id, t.touch_ts
+          FROM conv c ASOF LEFT JOIN touches t
+            ON c.user_id = t.user_id AND c.ts_us >= t.ts_us),
+        credited AS (
+          SELECT j.*, e.event_type AS touch_type,
+            (j.ts_us - j.touch_ts) // 1000 AS latency_ms
+          FROM j JOIN events e ON j.touch_id = e.event_id
+          WHERE j.touch_id IS NOT NULL
+            AND j.ts_us - j.touch_ts <= 1800000000)
+        SELECT touch_type, COUNT(*) AS n,
+          quantile_disc(latency_ms, 0.5) AS p50_ms,
+          quantile_disc(latency_ms, 0.9) AS p90_ms,
+          MAX(latency_ms) AS max_ms
+        FROM credited GROUP BY touch_type""")),
   )
 }

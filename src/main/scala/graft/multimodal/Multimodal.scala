@@ -69,9 +69,14 @@ object Multimodal {
     // 16-bit-per-channel PPMs (maxval > 255) are out of scope
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     i += 1 // exactly one whitespace byte separates maxval from pixels
-    val need = w * h * 3
-    if (i < 0 || data.length - i < need) None
-    else Some((w, h, java.util.Arrays.copyOfRange(data, i, i + need)))
+    // Long arithmetic: a malformed header declaring huge dims must
+    // not Int-overflow the size check into a spurious pass
+    val needL = w.toLong * h * 3
+    if (i < 0 || needL > Int.MaxValue || data.length - i < needL) None
+    else {
+      val need = needL.toInt
+      Some((w, h, java.util.Arrays.copyOfRange(data, i, i + need)))
+    }
   }
 
   /** REAL PGM (P5) decode: same ASCII header discipline as P6 but one
@@ -101,7 +106,10 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     i += 1
-    if (i < 0 || data.length - i < w * h) return None
+    // Long arithmetic: 46341x46341 would Int-overflow w*h and sneak
+    // past the payload-length guard into a negative allocation
+    if (i < 0 || w.toLong * h * 3 > Int.MaxValue ||
+      data.length - i < w.toLong * h) return None
     val out = new Array[Byte](w * h * 3)
     var p = 0
     while (p < w * h) {
@@ -132,9 +140,13 @@ object Multimodal {
     if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
       return None
     val h = math.abs(hRaw); val topDown = hRaw < 0
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (off < 14 + dibSize || off.toLong + rowSize.toLong * h > data.length)
+    // Long arithmetic end-to-end: declared dims near Int.MaxValue must
+    // fail the bounds check, not wrap into a negative allocation
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (off < 14 + dibSize || w.toLong * h * 3 > Int.MaxValue ||
+      off.toLong + rowSizeL * h > data.length)
       return None
+    val rowSize = rowSizeL.toInt
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -171,7 +183,9 @@ object Multimodal {
     while (pos + 8 <= data.length && (rate < 0 || pcmOff < 0)) {
       val id = new String(data, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > data.length) return None
+      // Long sum: len near Int.MaxValue would wrap pos+8+len negative
+      // and pass the bound, then drive an out-of-bounds PCM read
+      if (len < 0 || pos.toLong + 8 + len > data.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None
@@ -187,6 +201,9 @@ object Multimodal {
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (rate < 0 || pcmOff < 0) return None
+    // belt-and-braces: the chunk-walk bound already implies this, but
+    // never let pcmLen exceed the payload actually present
+    if (pcmLen > data.length - pcmOff) return None
     val n = pcmLen / 2
     val out = new Array[Short](n)
     var i = 0

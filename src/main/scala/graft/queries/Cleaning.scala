@@ -144,9 +144,9 @@ object Cleaning extends QueryPack {
           GROUP BY doc_id, run_id),
         per_doc AS (
           SELECT doc_id,
-            SUM(nw) AS n_dup_windows,
+            CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
             COUNT(*) AS n_runs,
-            SUM(p1 - p0 + $SubstrW) AS words_excised
+            CAST(SUM(p1 - p0 + $SubstrW) AS BIGINT) AS words_excised
           FROM runs GROUP BY doc_id)
         SELECT d.doc_id,
           greatest(len(d.tk) - ${SubstrW - 1}, 0) AS n_windows,

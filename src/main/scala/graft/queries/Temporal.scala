@@ -925,7 +925,9 @@ object Temporal extends QueryPack {
     //      last touch do users convert?): per crediting touch type,
     //      the count and the p50/p90/max touch→purchase delay in
     //      integer milliseconds (µs div 1000 — exact; percentile_disc
-    //      picks an element, so the whole row is integers). Same plan
+    //      picks an element — integral values — but Spark types the
+    //      aggregate DOUBLE, so we cast back to long for the
+    //      dtype-exact oracle compare). Same plan
     //      spine as q148: the as-of union window is the only
     //      corpus-sized exchange; the percentile aggregate is keyed by
     //      the 5-value touch-type vocabulary. ----
@@ -951,9 +953,9 @@ object Temporal extends QueryPack {
           .groupBy("touch_type")
           .agg(count(lit(1)).as("n"),
             expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_ms)")
-              .as("p50_ms"),
+              .cast("long").as("p50_ms"),
             expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_ms)")
-              .as("p90_ms"),
+              .cast("long").as("p90_ms"),
             max(col("latency_ms")).as("max_ms"))
       },
       Some("""

@@ -18,11 +18,17 @@ import graft.functions.MisraGries
   * Σ_b N_b/(k+1) = N_total/(k+1) holds over the whole stream and the
   * cross-batch state is one k-entry map however long the stream runs.
   *
-  * Snapshot appends are exactly-once per batch via the K3 checkpoint
-  * contract. The running summary itself lives on the driver: after a
-  * restart it resumes EMPTY (monitoring-grade semantics — the history
-  * stays queryable in the metrics table, and the last snapshot row
-  * set is the warm-start if a caller wants to reload it).
+  * Snapshot writes are IDEMPOTENT per batch: foreachBatch alone is
+  * only at-least-once for side effects (a failure between the write
+  * and the checkpoint commit replays the batch), so each snapshot is
+  * written as a dynamic overwrite of its own `batch_id=` partition —
+  * a replayed batch rewrites that partition instead of appending
+  * duplicate rows. The running summary itself lives on the driver:
+  * after a restart it resumes EMPTY (monitoring-grade semantics —
+  * the history stays queryable in the metrics table, and the last
+  * snapshot row set is the warm-start if a caller wants to reload
+  * it; a replayed partition therefore reflects the post-restart
+  * summary, which is the honest state).
   */
 object TopKMonitor {
 
@@ -51,8 +57,15 @@ object TopKMonitor {
       }
       val spark = batch.sparkSession
       import spark.implicits._
+      // dynamic partition overwrite keyed by batch_id: replaces only
+      // THIS batch's partition, so checkpoint-replayed batches can't
+      // duplicate rows (idempotent side effect under at-least-once
+      // foreachBatch delivery)
       snap.toDF("batch_id", "item", "lb_count", "rank")
-        .write.mode("append").parquet(metricsPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(metricsPath)
     }
   }
 }

@@ -239,6 +239,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(fmt === "unknown")
   }
 
+  test("malformed headers with overflowing dims return None, never throw") {
+    // PGM/PPM declaring 46341x46341: w*h Int-overflows negative; the
+    // Long-arithmetic guard must reject, not NegativeArraySizeException
+    val bigPgm = "P5\n46341 46341\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7)
+    assert(Multimodal.decodePgm(bigPgm).isEmpty)
+    val bigPpm = "P6\n46341 46341\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7)
+    assert(graft.multimodal.Multimodal.decodeKernel(bigPpm)._1 === "unknown")
+    // BMP with width near Int.MaxValue/3: rowSize wraps in Int math
+    val bmp = new Array[Byte](128)
+    val bb = java.nio.ByteBuffer.wrap(bmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bb.putInt(10, 54); bb.putInt(14, 40)
+    bb.putInt(18, 1431655765); bb.putInt(22, 3) // w*3 wraps negative
+    bb.putShort(26, 1); bb.putShort(28, 24); bb.putInt(30, 0)
+    assert(graft.multimodal.Multimodal.decodeKernel(bmp)._1 === "unknown")
+    // WAV chunk whose declared length is near Int.MaxValue: the sum
+    // pos+8+len wraps negative in Int math and would pass the bound
+    val wav = Multimodal.encodeWav(8000, 1, Array.tabulate[Short](16)(_.toShort))
+    val evil = wav.clone()
+    val wb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putInt(40, Int.MaxValue - 4) // data chunk len, offset 40 in minimal RIFF
+    assert(Multimodal.decodeWav(evil).isEmpty)
+  }
+
   test("WAV envelope is a real RMS: silence and level are measured") {
     import spark.implicits._
     val rate = 8000

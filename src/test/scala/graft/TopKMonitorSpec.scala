@@ -34,9 +34,18 @@ class TopKMonitorSpec extends SparkTestBase {
     try q.processAllAvailable()
     finally q.stop()
 
+    // batch_id is now a PARTITION column (idempotent dynamic
+    // overwrite per batch) — inference types it int, cast back
     val snaps = spark.read.parquet(metrics)
+      .withColumn("batch_id", col("batch_id").cast("long"))
     val batches = snaps.select("batch_id").distinct().count()
     assert(batches === 2, "one snapshot per micro-batch")
+    // the idempotency contract is structural: each batch owns its own
+    // batch_id= partition, so a checkpoint replay overwrites rather
+    // than duplicates
+    val dirs = new java.io.File(metrics).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("batch_id=0", "batch_id=1"), dirs.toString)
     // per-batch snapshots are bounded by k
     snaps.groupBy("batch_id").count().collect()
       .foreach(r => assert(r.getLong(1) <= 4))

@@ -8,6 +8,14 @@ run the matching oracle SQL in DuckDB over the sf_dir tables; sort
 columns by name, sort rows, compare values (hash-style exact compare,
 with a tiny float tolerance fallback reported separately).
 
+The compare is DTYPE-STRICT: both sides are materialized to pandas
+(exactly what the driver hashes) and per-column numpy dtype *kinds*
+must match before values are compared. Python `==` says 123 == 123.0,
+but the driver's hash says "123" != "123.0" — int-vs-float divergence
+(Spark percentile_disc returning DOUBLE, DuckDB SUM returning
+HUGEINT→float64) shipped two red rows in round 9 because the old
+value-only compare could not see it.
+
 Dev tool only — the engine itself has no Python dependency.
 """
 import json
@@ -116,6 +124,22 @@ def main():
         o_rows, o_cols = canon(o_rel.fetchall(), o_rel.columns)
         if s_cols != o_cols:
             print(f"FAIL {name}: schema {s_cols} vs oracle {o_cols}")
+            n_fail += 1
+            continue
+        # dtype-kind gate: the driver compares pandas-materialized
+        # values, where int64 vs float64 hash differently even when
+        # numerically equal. Re-run both sides through .df() and
+        # demand matching numpy kinds ('i' vs 'f' vs 'O' ...).
+        s_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        o_df = con.sql(oracle[name]).df()
+        kind_bad = [
+            (c, s_df[c].dtype.kind, o_df[c].dtype.kind)
+            for c in s_cols
+            if s_df[c].dtype.kind != o_df[c].dtype.kind
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch {kind_bad} "
+                  "(spark vs oracle — would hash-FAIL in the driver)")
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):

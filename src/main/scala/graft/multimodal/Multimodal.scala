@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   * BGR→RGB swizzle, grayscale expansion, RIFF chunk walk, and a real
   * nearest-neighbor resize ([[decodePpm]]/[[decodePgm]]/[[decodeBmp]]/
   * [[decodeWav]]/[[resizeRgb]], golden-tested in MultimodalSpec).
-  * Compressed formats (JPEG/PNG/MP4) remain STUBS — those codecs are
-  * not in this container — as deterministic byte-level fakes so every piece of
-  * Spark plumbing (schema, batch shape, partitioning, null handling,
-  * feature extraction contract) is real and tested. A production
-  * deployment swaps the stub arms of [[decodeKernel]]/[[frameKernel]]
-  * for JNI/javacpp codecs; nothing else changes.
+  * JPEG and PNG are ALSO decoded for real via the JDK's own
+  * `javax.imageio.ImageIO` ([[decodeImageIO]]) — probed present in
+  * this container's JRE, no external dependency — with magic-number
+  * sniffing so arbitrary binary never reaches the codec. Only video
+  * (MP4) remains a STUB — a deterministic byte-level fake so every
+  * piece of Spark plumbing (schema, batch shape, partitioning, null
+  * handling, feature extraction contract) is real and tested. A
+  * production deployment swaps the stub arm of
+  * [[decodeKernel]]/[[frameKernel]] for JNI/javacpp video codecs;
+  * nothing else changes.
   *
   * Scale notes: decode is the expensive stage, so [[withDecodeParallelism]]
   * repartitions FIRST (ref Y3 precedent: repartition before costly
@@ -44,7 +48,7 @@ object Multimodal {
     * ASCII header (width height maxval), single whitespace, then
     * w*h RGB byte triplets. Returns None on malformed/truncated input.
     */
-  private[multimodal] def decodePpm(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  private[graft] def decodePpm(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data == null || data.length < 2 || data(0) != 'P' || data(1) != '6')
       return None
     var i = 2
@@ -233,6 +237,80 @@ object Multimodal {
     out
   }
 
+  /** REAL JPEG/PNG decode via the JDK's `javax.imageio.ImageIO` —
+    * ships in every JRE, so no external codec dependency. Payloads
+    * are magic-sniffed (JPEG FFD8, PNG 89'PNG') before the codec ever
+    * sees them; output is top-down RGB triplets like every other
+    * image decoder here. JPEG being lossy, pixel values are
+    * codec-defined — tests assert dimensions and per-pixel tolerance
+    * on round trips, exact bytes only for PNG (lossless). None on
+    * malformed/truncated payloads (ImageIO returns null or throws;
+    * both map to None). */
+  private[graft] def decodeImageIO(
+      data: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (data == null || data.length < 8) return None
+    val isJpeg = (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8
+    val isPng = (data(0) & 0xff) == 0x89 && data(1) == 'P' &&
+      data(2) == 'N' && data(3) == 'G'
+    if (!isJpeg && !isPng) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(data))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+      // one bulk getRGB pass (not per-pixel calls) keeps the decode
+      // stage's per-row cost dominated by the codec, not the copy
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        val v = argb(i)
+        out(3 * i) = ((v >> 16) & 0xff).toByte
+        out(3 * i + 1) = ((v >> 8) & 0xff).toByte
+        out(3 * i + 2) = (v & 0xff).toByte
+        i += 1
+      }
+      Some((if (isJpeg) "jpeg" else "png", w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode top-down RGB triplets as PNG via ImageIO (fixtures + the
+    * lossless inverse proof for [[decodeImageIO]]). */
+  private[graft] def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((rgb(3 * i) & 0xff) << 16) |
+        ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode top-down RGB triplets as JPEG via ImageIO (fixture side
+    * of the lossy round-trip test). */
+  private[graft] def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((rgb(3 * i) & 0xff) << 16) |
+        ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
   /** REAL nearest-neighbor resize over top-down RGB triplets. */
   private[multimodal] def resizeRgb(
       w0: Int, h0: Int, rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -292,10 +370,17 @@ object Multimodal {
         return ("wav", rate, ch, math.max(1, samples.length / (rate * ch)))
       case None =>
     }
+    decodeImageIO(data) match {
+      case Some((fmt, w, h, _)) => return (fmt, w, h, 1)
+      case None =>
+    }
     if (data == null || data.length < 12 ||
       (data(0) == 'P' && (data(1) == '6' || data(1) == '5')) ||
       (data(0) == 'B' && data(1) == 'M') ||
-      (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F'))
+      (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F') ||
+      ((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8) ||
+      ((data(0) & 0xff) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+        data(3) == 'G'))
       ("unknown", 0, 0, 0) // malformed real-format payloads stay unknown
     else {
       val bb = java.nio.ByteBuffer.wrap(data)
@@ -318,7 +403,8 @@ object Multimodal {
     * real grayscale resize would produce.
     */
   private[multimodal] def resizeKernel(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data)) match {
+    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data))
+      .orElse(decodeImageIO(data).map { case (_, w0, h0, rgb) => (w0, h0, rgb) }) match {
       case Some((w0, h0, rgb)) =>
         return encodePpm(w, h, resizeRgb(w0, h0, rgb, w, h))
       case None =>
@@ -432,11 +518,14 @@ object Multimodal {
   def audioEnvelope(mediaCol: Column): Column = envelopeUdf(mediaCol)
 
   private val rgbUdf = udf { data: Array[Byte] =>
-    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data)).map(_._3).orNull
+    decodePpm(data).orElse(decodePgm(data)).orElse(decodeBmp(data))
+      .orElse(decodeImageIO(data).map { case (_, w0, h0, rgb) => (w0, h0, rgb) })
+      .map(_._3).orNull
   }
 
-  /** REAL decoded pixels (top-down RGB byte triplets) for PPM/BMP
-    * payloads; null for formats that would need an external codec.
+  /** REAL decoded pixels (top-down RGB byte triplets) for
+    * PPM/PGM/BMP/JPEG/PNG payloads; null for formats that would need
+    * an external codec (video).
     */
   def decodedRgb(mediaCol: Column): Column = rgbUdf(mediaCol)
 

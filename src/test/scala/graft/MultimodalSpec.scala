@@ -239,6 +239,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(fmt === "unknown")
   }
 
+  test("PNG decode is real: ImageIO lossless round trip, golden pixels") {
+    import spark.implicits._
+    // 3x2 primary-color grid, encoded to PNG by the JDK codec and
+    // decoded back by the production kernel: lossless → exact bytes
+    val rgb = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+      0, 0, 0, 255.toByte, 255.toByte, 255.toByte, 7, 42, 99)
+    val png = Multimodal.encodePng(3, 2, rgb)
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P', "real PNG magic")
+    val Some((fmt, w, h, back)) = Multimodal.decodeImageIO(png)
+    assert(fmt === "png" && w === 3 && h === 2)
+    assert(back.sameElements(rgb), "PNG is lossless: exact pixel bytes")
+    // metadata + real decoded pixels flow through the Spark plumbing
+    val df = Seq((1L, png)).toDF("media_id", "data")
+    val meta = Multimodal.withMediaMeta(df, "data").select("media_meta.*")
+      .collect()(0)
+    assert(meta.getAs[String]("format") === "png")
+    assert(meta.getAs[Int]("width") === 3 && meta.getAs[Int]("height") === 2)
+    val px = df.select(Multimodal.decodedRgb(col("data")).as("px"))
+      .collect()(0).getAs[Array[Byte]]("px")
+    assert(px.sameElements(rgb))
+    // resize through the real path: 3x2 → 6x4 nearest-neighbor
+    val res = df.select(Multimodal.resized(col("data"), 6, 4).as("r"))
+      .collect()(0).getAs[Array[Byte]]("r")
+    val Some((rw, rh, rpx)) = Multimodal.decodePpm(res)
+    assert(rw === 6 && rh === 4)
+    // nearest-neighbor: top-left quadrant pixel is the original red
+    assert(rpx(0) === 255.toByte && rpx(1) === 0 && rpx(2) === 0)
+    // truncated PNG stays unknown, never fake-decoded
+    assert(Multimodal.decodeKernel(png.take(20))._1 === "unknown")
+  }
+
+  test("JPEG decode is real: ImageIO round trip within lossy tolerance") {
+    import spark.implicits._
+    // flat mid-gray 8x8: JPEG is lossy but near-exact on flat fields
+    val rgb = Array.fill[Byte](8 * 8 * 3)(128.toByte)
+    val jpg = Multimodal.encodeJpeg(8, 8, rgb)
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8,
+      "real JFIF magic")
+    val Some((fmt, w, h, back)) = Multimodal.decodeImageIO(jpg)
+    assert(fmt === "jpeg" && w === 8 && h === 8)
+    rgb.zip(back).foreach { case (a, b) =>
+      assert(math.abs((a & 0xff) - (b & 0xff)) <= 8,
+        "lossy round trip must stay within codec tolerance")
+    }
+    val meta = Seq((1L, jpg)).toDF("media_id", "data")
+      .select(Multimodal.mediaFeatures(col("data")).as("f"),
+        Multimodal.decodedRgb(col("data")).as("px"))
+      .collect()(0)
+    assert(meta.getAs[Seq[Float]]("f").length === 16)
+    assert(meta.getAs[Array[Byte]]("px").length === 8 * 8 * 3)
+  }
+
   test("malformed headers with overflowing dims return None, never throw") {
     // PGM/PPM declaring 46341x46341: w*h Int-overflows negative; the
     // Long-arithmetic guard must reject, not NegativeArraySizeException

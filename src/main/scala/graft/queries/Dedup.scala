@@ -79,12 +79,15 @@ object Dedup extends QueryPack {
     * per-iteration joins stay small at any corpus scale, and iteration
     * count is bounded by cluster diameter.
     */
-  def resolveClusters(pairs: DataFrame): DataFrame = {
+  def resolveClusters(
+      pairs: DataFrame, localLimit: Long = 200000L): DataFrame = {
     // adaptive: a pair graph that fits comfortably on the driver is
     // solved with local union-find (one job instead of a fixpoint loop
     // of joins); the distributed path remains for genuinely large
     // near-dup graphs. Same cutoff spirit as AQE's local-shuffle-read.
-    val LocalLimit = 200000L
+    // `localLimit` is overridable so tests can force the distributed
+    // fixpoint path on small graphs and assert both paths agree.
+    val LocalLimit = localLimit
     val spark = pairs.sparkSession
     // ONE materialization decides the path AND feeds the local solver:
     // collecting limit+1 ids costs 16 bytes/pair, and the unpersisted
@@ -113,23 +116,39 @@ object Dedup extends QueryPack {
       return parent.keys.toSeq.sorted
         .map(n => (n, find(n))).toDF("doc_id", "keep_id")
     }
+    // the edge set is SYMMETRIZED and iterated, so localCheckpoint
+    // (not just persist) everywhere in the loop: each fixpoint round
+    // derives `labels` from the previous round, and without lineage
+    // truncation the logical plan doubles per iteration — a
+    // 40-iteration chain OOMs the driver on plan strings alone long
+    // before any data pressure (caught by DedupSpec's forced-
+    // distributed test). localCheckpoint materializes to executor
+    // storage and cuts the plan back to a leaf each round.
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint()
     var changed = true
     while (changed) {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy("u").agg(min("label").as("nlabel"))
+      // pointer-jumping accelerant: after taking the neighborhood min,
+      // follow the label one hop (label -> its OWN current label) so
+      // long chains converge in O(log diameter) rounds, not O(diameter)
+      val hop = labels.select(col("node").as("label"),
+        col("label").as("label2"))
       val next = labels
         .join(nbrMin.select(col("u").as("node"), col("nlabel")), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .join(hop, Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()

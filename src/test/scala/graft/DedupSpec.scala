@@ -91,6 +91,27 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("distributed min-label fixpoint agrees with local union-find") {
+    import spark.implicits._
+    // localLimit=0 forces the >cutoff distributed path on a graph
+    // whose diameter (a 40-node chain) needs several fixpoint rounds,
+    // plus a star and isolated pairs — the shapes that distinguish a
+    // correct propagation from a one-hop approximation
+    val chain = (0L until 39L).map(i => (100L + i, 101L + i))
+    val star = Seq((500L, 501L), (500L, 502L), (500L, 503L))
+    val pairs = (chain ++ star ++ Seq((900L, 901L)))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.resolveClusters(pairs, localLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local, "both paths must label identically")
+    // and the labels are the true component minima
+    (100L to 139L).foreach(n => assert(dist(n) === 100L))
+    Seq(500L, 501L, 502L, 503L).foreach(n => assert(dist(n) === 500L))
+    assert(dist(900L) === 900L && dist(901L) === 900L)
+  }
+
   test("single-pass hash expressions equal their HOF reference forms") {
     val rows = fixture
       .filter(size(wordShingles(col("text"), 3)) > 0)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.{sumDec, t}
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, DistributedSelect, RangeJoin, Sessionize}
 
 /** Temporal operators over `events` plus grouping/statistics extensions:
   * as-of join, banded range join, sessionization, CUBE grouping sets,
@@ -982,5 +982,43 @@ object Temporal extends QueryPack {
           quantile_disc(latency_ms, 0.9) AS p90_ms,
           MAX(latency_ms) AS max_ms
         FROM credited GROUP BY touch_type""")),
+
+    // ---- q156: exact k-th order statistic by distributed selection —
+    //      the global-sort killer. A total sort to read ONE order
+    //      statistic is the canonical 100 TB anti-pattern (one
+    //      total-order exchange, straggler range partitions);
+    //      [[graft.operators.DistributedSelect]] finds the exact k-th
+    //      smallest in <= 7 histogram-narrowing passes, each a plain
+    //      map-side-combined groupBy().count() whose output to the
+    //      driver is 1024 counters — the DATA never shuffles at all.
+    //      k is the 37th percentile index (an awkward k, so no
+    //      percentile shortcut applies). Values are exact integer
+    //      cents. The ORACLE side sorts (DuckDB can afford to at
+    //      sf0.01) — the hash compare proves selection == sort. ----
+    QueryDef(
+      "q156_exact_kth",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("c"))
+          .filter(col("c").isNotNull)
+          .persist()
+        try {
+          val n = ev.count()
+          val k = n * 37 / 100 + 1
+          val kth = DistributedSelect.kthSmallest(ev, col("c"), k)
+          import s.implicits._
+          Seq((n, k, kth)).toDF("n", "k", "kth_cents")
+        } finally ev.unpersist()
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(round("value" * 100) AS BIGINT) AS c
+          FROM events WHERE "value" IS NOT NULL),
+        r AS (
+          SELECT c, row_number() OVER (ORDER BY c) AS rn,
+            COUNT(*) OVER () AS n
+          FROM v)
+        SELECT n, (n * 37) // 100 + 1 AS k, c AS kth_cents
+        FROM r WHERE rn = (n * 37) // 100 + 1""")),
   )
 }

@@ -313,7 +313,226 @@ object TextAnalysis extends QueryPack {
         FROM full_d f
         LEFT JOIN base_d b USING (term)
         LEFT JOIN delta_d dl USING (term)
-        WHERE f.df_merged >= 5""")))
+        WHERE f.df_merged >= 5""")),
+
+    // ---- q154: distinctive-term extraction (chi-squared-style) ----
+    // Which terms are OVER-represented in each source vs the corpus?
+    // The signed association numerator c_st*N - n_s*n_t (the chi-
+    // squared / G-test numerator before normalization) ranks terms
+    // with pure int64 arithmetic — no log/sqrt to diverge across
+    // engines. Top-5 per source, ties broken by term. The corpus-
+    // curation use: per-site vocabulary drift / topical fingerprint.
+    //
+    // Scale shape: one (source, term) count pass (map-side combined),
+    // term totals and source totals are vocabulary- and source-bounded
+    // broadcasts, the window is partitioned by source. Magnitudes:
+    // c_st*N <= 1e10 at sf0.1, orders below int64 range; at 100 TB
+    // the same statistic runs on per-shard counts summed in the same
+    // int64 discipline (N ~ 1e13, c_st*N bounded by 1e18 — still in
+    // range for single-term counts; beyond that, scale both factors
+    // down by a common power of two first).
+    QueryDef(
+      "q154_distinctive_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, d, "documents")
+          .select(col("source"),
+            explode(tokens(lower(col("text")))).as("term"))
+        val st = tok.groupBy("source", "term")
+          .agg(count(lit(1)).as("c_st"))
+        val srcTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+        val termTot = st.groupBy("term").agg(sum("c_st").as("n_t"))
+        val totN = st.agg(sum("c_st").as("n")).select(col("n"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("lift_num").desc, col("term"))
+        st.join(broadcast(srcTot), "source")
+          .join(termTot, "term")
+          .crossJoin(broadcast(totN))
+          .filter(col("c_st") >= 10)
+          .withColumn("lift_num",
+            col("c_st") * col("n") - col("n_s") * col("n_t"))
+          .filter(col("lift_num") > 0)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("source", "rank", "term", "c_st", "n_s", "n_t",
+            "lift_num")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        st AS (
+          SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        tot AS (
+          SELECT source, term, c_st,
+            CAST(SUM(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+            CAST(SUM(c_st) OVER (PARTITION BY term) AS BIGINT) AS n_t,
+            CAST(SUM(c_st) OVER () AS BIGINT) AS n
+          FROM st),
+        scored AS (
+          SELECT source, term, c_st, n_s, n_t,
+            c_st * n - n_s * n_t AS lift_num
+          FROM tot WHERE c_st >= 10 AND c_st * n - n_s * n_t > 0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY lift_num DESC, term) AS rank
+          FROM scored)
+        SELECT source, rank, term, c_st, n_s, n_t, lift_num
+        FROM ranked WHERE rank <= 5""")),
+
+    // ---- q155: pointwise mutual information over adjacent bigrams ----
+    // Collocation mining with EXACT integer output: for every bigram
+    // with c_ab >= 20, PMI = log(c_ab·N1² / (N2·c_a·c_b)) is reported
+    // as its integer numerator/denominator pair plus the bit-length
+    // log2 proxy (the q124 Zipf discipline) — no transcendental
+    // function crosses the engine boundary. Positive-PMI filter keeps
+    // genuine collocations.
+    //
+    // Scale shape: the bigram explode is one corpus pass; unigram and
+    // bigram count tables are vocabulary-bounded; the two unigram
+    // joins key on the bigram's own words. Magnitudes at sf0.1:
+    // N1² ~ 1e12, c_ab·N1² <= ~1e16 < 2^63. At larger N, divide both
+    // sides by gcd-free common powers (or report the log2 proxy only,
+    // which needs just bit lengths of the factors).
+    QueryDef(
+      "q155_pmi_bigrams",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+        val uni = tk.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val n1 = uni.agg(sum("c").as("n1"))
+        val bi = tk
+          .select(explode(arrays_zip(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+          .select(col("p.0").as("a"), col("p.1").as("b"))
+        val n2 = bi.agg(count(lit(1)).as("n2"))
+        val ab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 20)
+        ab
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+          .crossJoin(broadcast(n1))
+          .crossJoin(broadcast(n2))
+          .withColumn("pmi_num", col("c_ab") * col("n1") * col("n1"))
+          .withColumn("pmi_den", col("n2") * col("c_a") * col("c_b"))
+          .filter(col("pmi_num") > col("pmi_den"))
+          .withColumn("log2_pmi",
+            (length(bin(col("pmi_num"))) - length(bin(col("pmi_den"))))
+              .cast("long"))
+          .select("a", "b", "c_ab", "c_a", "c_b", "pmi_num", "pmi_den",
+            "log2_pmi")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        uni AS (
+          SELECT unnest(tk) AS w FROM tk),
+        uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+        n1t AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uc),
+        bi AS (
+          SELECT unnest(list_transform(
+              generate_series(1, len(tk) - 1), i -> tk[i])) AS a,
+            unnest(list_transform(
+              generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS b
+          FROM tk),
+        n2t AS (SELECT COUNT(*) AS n2 FROM bi),
+        ab AS (
+          SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2
+          HAVING COUNT(*) >= 20)
+        SELECT ab.a, ab.b, ab.c_ab, ca.c AS c_a, cb.c AS c_b,
+          ab.c_ab * n1 * n1 AS pmi_num,
+          n2 * ca.c * cb.c AS pmi_den,
+          CAST(length(bin(ab.c_ab * n1 * n1))
+            - length(bin(n2 * ca.c * cb.c)) AS BIGINT) AS log2_pmi
+        FROM ab
+        JOIN uc ca ON ab.a = ca.w
+        JOIN uc cb ON ab.b = cb.w
+        CROSS JOIN n1t CROSS JOIN n2t
+        WHERE ab.c_ab * n1 * n1 > n2 * ca.c * cb.c""")),
+
+    // ---- q157: sparse cosine top-k via the inverted index ----
+    // Nearest neighbors by SHARED RARE FEATURES: 3-gram shingle tf
+    // vectors joined on their posting lists (2 <= df <= 50 prunes the
+    // boilerplate shingles, the standard impact-ordered-index trick),
+    // integer dot product, top-3 neighbors per doc by (dot DESC,
+    // doc_b).
+    // The integer dot ranks like cosine when doc lengths are
+    // comparable and keeps the oracle hash-exact; the full cosine
+    // variant (dense embeddings) is q24/q25.
+    //
+    // Scale shape: candidate generation is an equi-join on term with
+    // per-term fan-out bounded by df <= 50 (<= 2450 directed pairs per
+    // term) — never all-pairs; the per-doc window is partitioned. At
+    // 100 TB the df cap is what keeps this linear in corpus size.
+    QueryDef(
+      "q157_sparse_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // features are 3-gram shingles WITH multiplicity (the corpus
+        // vocabulary is tiny, so unigrams are all stopword-like; the
+        // shingle space is where documents are distinctive)
+        val toks = tokens(lower(col("text")))
+        val grams = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(grams).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val rare = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 50)
+        val posting = tf.join(broadcast(rare.select("term")), Seq("term"))
+        val pairs = posting
+          .select(col("term"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+          .join(posting.select(col("term"), col("doc_id").as("doc_b"),
+            col("tf").as("tf_b")), Seq("term"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("tf_a") * col("tf_b")).as("dot"),
+            count(lit(1)).as("n_shared"))
+        val w = Window.partitionBy("doc_a")
+          .orderBy(col("dot").desc, col("doc_b"))
+        pairs
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_a", "rank", "doc_b", "dot", "n_shared")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS term
+          FROM tk),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        rare AS (
+          SELECT term FROM tf GROUP BY term
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+        posting AS (
+          SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN rare USING (term)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot,
+            COUNT(*) AS n_shared
+          FROM posting a JOIN posting b
+            ON a.term = b.term AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_a
+            ORDER BY dot DESC, doc_b) AS rank
+          FROM pairs)
+        SELECT doc_a, rank, doc_b, dot, n_shared
+        FROM ranked WHERE rank <= 3""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.Serving.defs,
     graft.queries.Cleaning.defs,
     graft.queries.Validation.defs,
+    graft.queries.Media.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

@@ -31,6 +31,7 @@ object SparkEntry {
     graft.queries.Cleaning.defs,
     graft.queries.Validation.defs,
     graft.queries.Media.defs,
+    graft.queries.Graph.defs,
   )
 
   private lazy val allDefs: Seq[QueryDef] = packs.flatten

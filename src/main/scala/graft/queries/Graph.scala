@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryPack}
+import graft.core.Tables.t
+import graft.functions.TextFunctions.tokens
+
+/** Graph analytics over the document-similarity graph: the corpus as
+  * a network. Edges are derived the q157 way (df-capped shared-rare-
+  * shingle posting join — never all-pairs), then counted for
+  * triangles and local clustering structure.
+  *
+  * Scale notes: triangle enumeration joins ORIENTED edges (u < v by
+  * id here; by ascending degree in the canonical 100 TB variant,
+  * which bounds each node's out-degree by O(sqrt(m)) and is a
+  * drop-in swap of the orientation predicate) so each wedge is
+  * generated once, and the closing-edge probe is an equi-join on the
+  * (b, c) pair — three skinny int-pair exchanges, no text anywhere.
+  */
+object Graph extends QueryPack {
+
+  /** Undirected similarity edges (u < v): docs sharing >= 2 rare
+    * 3-gram shingles with tf-dot >= 4 — the q157 feature space, one
+    * threshold up, so the graph is sparse but non-trivial at every
+    * SF (36 edges at sf0.01, ~1.2k at sf0.1).
+    */
+  private def simEdges(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+    val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
+    posting
+      .select(col("g"), col("doc_id").as("u"), col("tf").as("tf_u"))
+      .join(posting.select(col("g"), col("doc_id").as("v"),
+        col("tf").as("tf_v")), Seq("g"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(sum(col("tf_u") * col("tf_v")).as("dot"),
+        count(lit(1)).as("ns"))
+      .filter(col("dot") >= 4 && col("ns") >= 2)
+      .select("u", "v")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- q162: triangle counting + local clustering structure ----
+    // Per node: degree, wedge count C(deg,2), and the number of
+    // triangles through it — the exact integer numerator/denominator
+    // of the local clustering coefficient (no float division crosses
+    // the engines). Triangles close densely-duplicated content
+    // families that pairwise similarity alone understates.
+    QueryDef(
+      "q162_doc_triangles",
+      (s, d) => {
+        val edges = simEdges(s, d).persist()
+        try {
+          val deg = edges
+            .select(explode(array(col("u"), col("v"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("degree"))
+          val tri = edges.as("e1")
+            .join(edges.as("e2"),
+              col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+            .select(col("e1.u").as("a"), col("e1.v").as("b"),
+              col("e2.v").as("c"))
+            .join(edges.select(col("u").as("b"), col("v").as("c")),
+              Seq("b", "c"))
+          val triPerNode = tri
+            .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          deg.join(triPerNode, Seq("node"), "left")
+            .filter(col("degree") >= 2)
+            .select(col("node"), col("degree"),
+              expr("degree * (degree - 1) div 2").as("wedges"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        } finally edges.unpersist()
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tk),
+        tf AS (
+          SELECT doc_id, g, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        rare AS (
+          SELECT g FROM tf GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+        posting AS (
+          SELECT tf.doc_id, tf.g, tf.tf FROM tf JOIN rare USING (g)),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM posting a JOIN posting b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING SUM(a.tf * b.tf) >= 4 AND COUNT(*) >= 2),
+        deg AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges)
+          GROUP BY 1),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM edges e1
+          JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tn AS (
+          SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)
+        SELECT d.node, d.degree,
+          d.degree * (d.degree - 1) // 2 AS wedges,
+          COALESCE(t.n_tri, 0) AS n_tri
+        FROM deg d LEFT JOIN tn t USING (node)
+        WHERE d.degree >= 2""")),
+  )
+}

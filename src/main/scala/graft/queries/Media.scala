@@ -23,8 +23,11 @@ import graft.multimodal.Multimodal
   */
 object Media extends QueryPack {
 
-  /** First 48 ASCII codes of a doc's text: the deterministic payload
-    * seed shared by both queries (min text length in testdata is 48).
+  /** First 48 ASCII codes of the doc's text, space-padded: the
+    * deterministic payload seed shared by both queries. Padding
+    * matters — sf0.1 has documents shorter than 48 chars, and DuckDB's
+    * `ord('')` is -1, so an unpadded seed diverges (and under-fills
+    * the 4x4 image) on short docs.
     */
   private val seedLen = 48
 
@@ -39,7 +42,7 @@ object Media extends QueryPack {
       "q158_png_roundtrip",
       (s, d) => {
         val pngStats = udf { text: String =>
-          val bytes = text.take(seedLen).getBytes("US-ASCII")
+          val bytes = (text + " " * seedLen).take(seedLen).getBytes("US-ASCII")
           val png = Multimodal.encodePng(4, 4, bytes)
           Multimodal.decodeImageIO(png) match {
             case Some(("png", 4, 4, rgb)) =>
@@ -59,7 +62,8 @@ object Media extends QueryPack {
           SELECT doc_id,
             list_transform(
               generate_series(1, $seedLen),
-              i -> ord(substring(text, CAST(i AS INT), 1))) AS codes
+              i -> ord(substring(rpad(text, $seedLen, ' '),
+                CAST(i AS INT), 1))) AS codes
           FROM documents)
         SELECT doc_id,
           CAST(list_sum(codes) AS BIGINT) AS pixel_sum,
@@ -74,7 +78,7 @@ object Media extends QueryPack {
       "q159_wav_roundtrip",
       (s, d) => {
         val wavStats = udf { text: String =>
-          val samples = text.take(seedLen).getBytes("US-ASCII")
+          val samples = (text + " " * seedLen).take(seedLen).getBytes("US-ASCII")
             .map(b => ((b & 0xff) * 256 - 16384).toShort)
           val wav = Multimodal.encodeWav(8000, 1, samples)
           Multimodal.decodeWav(wav) match {
@@ -96,7 +100,8 @@ object Media extends QueryPack {
           SELECT doc_id,
             list_transform(
               generate_series(1, $seedLen),
-              i -> ord(substring(text, CAST(i AS INT), 1)) * 256 - 16384)
+              i -> ord(substring(rpad(text, $seedLen, ' '),
+                CAST(i AS INT), 1)) * 256 - 16384)
               AS samples
           FROM documents)
         SELECT doc_id,

@@ -1020,5 +1020,119 @@ object Temporal extends QueryPack {
           FROM v)
         SELECT n, (n * 37) // 100 + 1 AS k, c AS kth_cents
         FROM r WHERE rn = (n * 37) // 100 + 1""")),
+
+    // ---- q160: Markov transition matrix over per-user event
+    //      sequences — the behavioral-model / anomaly-baseline
+    //      operator. lag() over a (user, time)-partitioned window
+    //      yields (from_type, to_type) transitions; row probabilities
+    //      are reported as exact integer ppm (n·10⁶ div n_from), no
+    //      float division crosses the engines. Scale: the only
+    //      exchange is the per-user window (users are the natural
+    //      partition key); the transition matrix is |types|² rows,
+    //      totals broadcast. ----
+    QueryDef(
+      "q160_event_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("ts_us"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val trans = ev
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("event_type").as("to_type"))
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy("from_type")
+          .agg(sum("n").as("n_from"))
+        trans.join(broadcast(totals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("n_from"), expr("n * 1000000 div n_from").as("ppm"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events),
+        tr AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS from_type,
+            event_type AS to_type
+          FROM ev),
+        cnt AS (
+          SELECT from_type, to_type, COUNT(*) AS n FROM tr
+          WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM cnt GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n, t.n_from,
+          c.n * 1000000 // t.n_from AS ppm
+        FROM cnt c JOIN tot t USING (from_type)""")),
+
+    // ---- q161: CUSUM change-point per event_type — where does the
+    //      value level shift? The offset-free statistic
+    //      D_k = n·S_k − k·S_n (S = prefix sum of integer cents) is
+    //      exact int64 end-to-end; the change point is argmax |D_k|
+    //      (ties → smallest k), the classic at-most-one-change
+    //      estimator. Scale: prefix sums ride the per-type window
+    //      (types are few but each partition's sort is
+    //      range-splittable; the q61 two-phase distributed prefix-sum
+    //      pattern applies verbatim if a single type dominates);
+    //      totals broadcast; the argmax is an idxmax window. ----
+    QueryDef(
+      "q161_cusum_changepoint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").as("ts_us"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val pre = ev
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("s_k", sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val tot = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s_n"))
+        val scored = pre.join(broadcast(tot), Seq("event_type"))
+          .withColumn("d_k",
+            col("n") * col("s_k") - col("k") * col("s_n"))
+        val w2 = Window.partitionBy("event_type")
+          .orderBy(abs(col("d_k")).desc, col("k"))
+        scored.withColumn("rn", row_number().over(w2))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n"), col("s_n"),
+            col("k").as("k_star"), col("d_k").as("d_star"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        pre AS (
+          SELECT event_type, cents,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY ts_us, event_id) AS BIGINT) AS k,
+            CAST(SUM(cents) OVER (PARTITION BY event_type
+              ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_k
+          FROM ev),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(cents) AS BIGINT) AS s_n
+          FROM ev GROUP BY 1),
+        scored AS (
+          SELECT p.event_type, t.n, t.s_n, p.k,
+            t.n * p.s_k - p.k * t.s_n AS d_k
+          FROM pre p JOIN tot t USING (event_type)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY ABS(d_k) DESC, k) AS rn
+          FROM scored)
+        SELECT event_type, n, s_n, k AS k_star, d_k AS d_star
+        FROM r WHERE rn = 1""")),
   )
 }

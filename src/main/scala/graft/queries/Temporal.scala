@@ -1134,5 +1134,108 @@ object Temporal extends QueryPack {
           FROM scored)
         SELECT event_type, n, s_n, k AS k_star, d_k AS d_star
         FROM r WHERE rn = 1""")),
+
+    // ---- q163: SCD2 interval construction from a change log — the
+    //      CDC→warehouse operator: per user, consecutive duplicate
+    //      states collapse, each surviving change opens a version
+    //      valid [ts, next-change ts) with Long.MaxValue as the
+    //      open-ended sentinel (NULL-free output keeps the oracle
+    //      dtype int64 on both sides). Scale: two windows on the SAME
+    //      (user_id)-partitioned sort — one exchange total. ----
+    QueryDef(
+      "q163_scd2_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts").as("ts_us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val chg = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        val w2 = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        chg
+          .withColumn("version", row_number().over(w2).cast("long"))
+          .withColumn("valid_from_us", col("ts_us"))
+          .withColumn("valid_to_us",
+            coalesce(lead(col("ts_us"), 1).over(w2), lit(Long.MaxValue)))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state"),
+            col("valid_from_us"), col("valid_to_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+          FROM events),
+        chg AS (
+          SELECT * FROM (
+            SELECT user_id, ts_us, event_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS prev
+            FROM ev)
+          WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id,
+          CAST(row_number() OVER w AS BIGINT) AS version,
+          event_type AS state,
+          ts_us AS valid_from_us,
+          COALESCE(lead(ts_us) OVER w, 9223372036854775807)
+            AS valid_to_us
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""")),
+
+    // ---- q164: sweep-line maximum concurrency — how many intervals
+    //      are live at once, per event_type? Each event is an
+    //      interval [ts, ts + cents·10ms); +1/−1 boundary points,
+    //      ends sorted before starts at ties (touching ≠ concurrent),
+    //      running prefix sum, max. All integers. Scale: the sweep is
+    //      a per-type window over 2·n skinny rows; if one type
+    //      dominates, the q61 two-phase distributed prefix-sum
+    //      pattern (range-striped windows + broadcast stripe offsets)
+    //      swaps in verbatim. ----
+    QueryDef(
+      "q164_max_concurrency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").as("ts_us"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val starts = ev.select(col("event_type"),
+          col("ts_us").as("t"), lit(1L).as("delta"))
+        val ends = ev.select(col("event_type"),
+          (col("ts_us") + col("cents") * 10000L).as("t"),
+          lit(-1L).as("delta"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("delta"))
+        starts.union(ends)
+          .withColumn("live", sum(col("delta"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("event_type")
+          .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+            max(col("live")).as("max_live"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts_us,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        pts AS (
+          SELECT event_type, ts_us AS t, CAST(1 AS BIGINT) AS delta
+          FROM ev
+          UNION ALL
+          SELECT event_type, ts_us + cents * 10000, CAST(-1 AS BIGINT)
+          FROM ev),
+        swept AS (
+          SELECT event_type,
+            CAST(SUM(delta) OVER (PARTITION BY event_type
+              ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS live
+          FROM pts)
+        SELECT event_type,
+          CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+          MAX(live) AS max_live
+        FROM swept GROUP BY event_type""")),
   )
 }

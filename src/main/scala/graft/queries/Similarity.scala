@@ -1078,6 +1078,74 @@ object Similarity extends QueryPack {
           FROM m)
         SELECT a_id, b_id, qcos, margin
         FROM best WHERE rk = 1 AND margin > 1.0""")),
+
+    // ---- q166: embedding covariance sufficient statistics — the
+    //      dimension-correlation audit behind whitening / redundancy
+    //      detection (are dims carrying independent signal?). Every
+    //      element is quantized to an exact integer (round(x·10⁴)),
+    //      then for each dim pair i <= j the EXACT int64 sufficient
+    //      stats (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) and the covariance numerator
+    //      n·Σqᵢqⱼ − Σqᵢ·Σqⱼ ship — the consumer divides by n² at
+    //      whatever precision it wants; nothing float crosses the
+    //      engine boundary.
+    //
+    //      Scale shape: one posexplode pass (n·d rows), a vec_id-keyed
+    //      self-join whose per-key fan-out is exactly d²/2 (d is a
+    //      constant, so the join output is linear in n), map-side-
+    //      combined (i, j) sums — d²/2 output rows total. Magnitudes:
+    //      |q| <= ~10⁴, products <= 10⁸, n·Σ <= ~10¹⁵ at sf0.1 — all
+    //      inside int64 with three orders of headroom. ----
+    QueryDef(
+      "q166_embedding_cov",
+      (s, d) => {
+        val q = emb(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          // cast to double BEFORE the multiply: float×int arithmetic
+          // differs between engines on elements whose scaled value
+          // lands on a half — double×double is bit-identical
+          .select(col("vec_id"), col("i"),
+            round(col("x").cast("double") * 10000).cast("long").as("q"))
+        q.select(col("vec_id"), col("i").as("di"), col("q").as("qi"))
+          .join(q.select(col("vec_id"), col("i").as("dj"),
+            col("q").as("qj")), Seq("vec_id"))
+          .filter(col("di") <= col("dj"))
+          .groupBy("di", "dj")
+          .agg(count(lit(1)).as("n"),
+            sum(col("qi")).as("s_i"),
+            sum(col("qj")).as("s_j"),
+            sum(col("qi") * col("qj")).as("s_ij"))
+          .withColumn("cov_num",
+            col("n") * col("s_ij") - col("s_i") * col("s_j"))
+          .select(col("di").cast("long").as("di"),
+            col("dj").cast("long").as("dj"),
+            col("n"), col("s_i"), col("s_j"), col("s_ij"),
+            col("cov_num"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id,
+            unnest(generate_series(0, len(q) - 1)) AS i,
+            unnest(q) AS qv
+          FROM e),
+        pairs AS (
+          SELECT a.i AS di, b.i AS dj, a.qv AS qi, b.qv AS qj
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i),
+        agg AS (
+          SELECT CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj,
+            COUNT(*) AS n,
+            CAST(SUM(qi) AS BIGINT) AS s_i,
+            CAST(SUM(qj) AS BIGINT) AS s_j,
+            CAST(SUM(qi * qj) AS BIGINT) AS s_ij
+          FROM pairs GROUP BY 1, 2)
+        SELECT di, dj, n, s_i, s_j, s_ij,
+          n * s_ij - s_i * s_j AS cov_num
+        FROM agg""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

@@ -1237,5 +1237,60 @@ object Temporal extends QueryPack {
           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
           MAX(live) AS max_live
         FROM swept GROUP BY event_type""")),
+
+    // ---- q165: equi-depth histogram WITHOUT a global sort — the
+    //      boundaries are the i·n/8-th order statistics for i=1..7,
+    //      each found by [[graft.operators.DistributedSelect]]
+    //      (histogram-narrowing selection; counts move, data never
+    //      shuffles), then one binning aggregate against the 7
+    //      broadcast boundary literals. ntile() would need one
+    //      total-order exchange of every row — the classic scale
+    //      anti-pattern this operator replaces. Value-based bins
+    //      (boundary ties stay in the lower bin), so counts are
+    //      deterministic under duplicates. The ORACLE side sorts;
+    //      hash equality proves selection == sort again at the
+    //      whole-histogram grain. ----
+    QueryDef(
+      "q165_equidepth_hist",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("c"))
+          .filter(col("c").isNotNull)
+          .persist()
+        try {
+          val n = ev.count()
+          val bounds = (1 to 7).map { i =>
+            DistributedSelect.kthSmallest(
+              ev, col("c"), math.max(1L, i.toLong * n / 8))
+          }
+          val bArr = array(bounds.map(lit(_)): _*)
+          ev
+            .withColumn("bin",
+              (size(filter(bArr, b => b < col("c"))) + 1).cast("long"))
+            .groupBy("bin")
+            .agg(count(lit(1)).as("cnt"), min(col("c")).as("lo_c"),
+              max(col("c")).as("hi_c"))
+        } finally ev.unpersist()
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(round("value" * 100) AS BIGINT) AS c
+          FROM events WHERE "value" IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+        b AS (
+          SELECT i.i AS i, r.c AS t
+          FROM generate_series(1, 7) AS i(i)
+          CROSS JOIN nn
+          JOIN r ON r.rn = greatest(1, (i.i * nn.n) // 8)),
+        bl AS (SELECT list(t ORDER BY i) AS ts FROM b),
+        binned AS (
+          SELECT c,
+            CAST(1 + len(list_filter((SELECT ts FROM bl), t -> t < c))
+              AS BIGINT) AS bin
+          FROM v)
+        SELECT bin, COUNT(*) AS cnt,
+          MIN(c) AS lo_c, MAX(c) AS hi_c
+        FROM binned GROUP BY bin""")),
   )
 }

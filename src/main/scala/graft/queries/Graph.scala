@@ -128,5 +128,64 @@ object Graph extends QueryPack {
           COALESCE(t.n_tri, 0) AS n_tri
         FROM deg d LEFT JOIN tn t USING (node)
         WHERE d.degree >= 2""")),
+
+    // ---- q167: hierarchical subtree rollup — the recursive-CTE
+    //      workload done Spark-style. The hierarchy is the binary
+    //      tree parent(id) = id div 2 over ids 1..N (doc_id + 1), a
+    //      stand-in for any org-chart / BOM / category edge list.
+    //      [[graft.operators.TreeClosure]] closes the ancestor
+    //      relation by POINTER DOUBLING (ceil(log2 depth) self-joins,
+    //      localCheckpointed — never a driver-side loop over rows),
+    //      then the rollup is one ancestor-keyed aggregate. The
+    //      oracle is DuckDB's WITH RECURSIVE — hash equality proves
+    //      log-round doubling == linear recursion. ----
+    QueryDef(
+      "q167_tree_rollup",
+      (s, d) => {
+        val nodes = t(s, d, "documents")
+          .select((col("doc_id") + 1).as("id"),
+            col("n_chars").as("w"))
+        val edges = nodes.filter(col("id") >= 2)
+          .select(col("id").as("child"), expr("id div 2").as("parent"))
+        val anc = graft.operators.TreeClosure.ancestors(edges)
+        val withSelf = anc.union(
+          nodes.select(col("id").as("node"), col("id").as("anc")))
+        val depth = anc.groupBy("node").agg(count(lit(1)).as("depth"))
+        val sub = withSelf
+          .join(nodes.select(col("id").as("node"), col("w")), Seq("node"))
+          .groupBy("anc")
+          .agg(count(lit(1)).as("n_subtree"), sum("w").as("w_subtree"))
+        nodes.select(col("id"))
+          .join(sub.select(col("anc").as("id"), col("n_subtree"),
+            col("w_subtree")), Seq("id"))
+          .join(depth.select(col("node").as("id"), col("depth")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("depth"), lit(0L)).as("depth"),
+            col("n_subtree"), col("w_subtree"))
+      },
+      Some("""
+        WITH RECURSIVE anc AS (
+          SELECT id AS node, id // 2 AS anc
+          FROM (SELECT doc_id + 1 AS id FROM documents)
+          WHERE id >= 2
+          UNION ALL
+          SELECT node, anc // 2 FROM anc WHERE anc >= 2),
+        nodes AS (
+          SELECT doc_id + 1 AS id, n_chars AS w FROM documents),
+        withself AS (
+          SELECT node, anc FROM anc
+          UNION ALL SELECT id, id FROM nodes),
+        sub AS (
+          SELECT ws.anc AS id, COUNT(*) AS n_subtree,
+            CAST(SUM(n.w) AS BIGINT) AS w_subtree
+          FROM withself ws JOIN nodes n ON ws.node = n.id
+          GROUP BY 1),
+        dep AS (
+          SELECT node AS id, COUNT(*) AS depth FROM anc GROUP BY 1)
+        SELECT n.id, COALESCE(d.depth, 0) AS depth,
+          s.n_subtree, s.w_subtree
+        FROM nodes n
+        JOIN sub s USING (id)
+        LEFT JOIN dep d USING (id)""")),
   )
 }

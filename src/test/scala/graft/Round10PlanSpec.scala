@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-quality asserts for the round-10 queries (q154–q167): the
+  * shapes the scale story depends on — broadcasts where intended, no
+  * accidental products, pruned scans, map-only codec stages.
+  */
+class Round10PlanSpec extends SparkTestBase {
+
+  private def settled(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // settle AQE so the final adaptive plan is inspected
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q154/q155: totals broadcast, no cartesian degeneration") {
+    for (q <- Seq("q154_distinctive_terms", "q155_pmi_bigrams")) {
+      val p = settled(q)
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+      // the one-row scalar attaches must be broadcast, not shuffled
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q lost its broadcast:\n$p")
+    }
+  }
+
+  test("q157/q162: posting joins stay equi-joins, never products") {
+    for (q <- Seq("q157_sparse_topk", "q162_doc_triangles")) {
+      val p = settled(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must candidate-generate by equi-join only:\n$p")
+    }
+  }
+
+  test("q158/q159 codec stages are map-only: zero exchanges") {
+    for (q <- Seq("q158_png_roundtrip", "q159_wav_roundtrip")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), s"$q decode shuffles:\n$p")
+      assert(!p.contains("Sort"), s"$q decode sorts:\n$p")
+    }
+  }
+
+  test("q160/q161/q163/q164: windows keyed, totals broadcast") {
+    for (q <- Seq("q160_event_transitions", "q161_cusum_changepoint",
+        "q163_scd2_intervals", "q164_max_concurrency")) {
+      val p = settled(q)
+      assert(p.contains("Window"), s"$q lost its window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+    }
+    // the two broadcast-totals queries must actually broadcast
+    for (q <- Seq("q160_event_transitions", "q161_cusum_changepoint"))
+      assert(settled(q).contains("BroadcastExchange"),
+        s"$q totals must broadcast, not shuffle")
+  }
+
+  test("q166: scan prunes to (vec_id, embedding), self-join is keyed") {
+    val p = settled("q166_embedding_cov")
+    assert(p.contains(
+      "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"q166 scan reads unneeded columns:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q166 dim-pair join degenerated:\n$p")
+  }
+
+  test("q165/q167: selection/closure results join back without products") {
+    for (q <- Seq("q165_equidepth_hist", "q167_tree_rollup")) {
+      val p = settled(q)
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+    }
+  }
+}

@@ -495,5 +495,62 @@ object Extended extends QueryPack {
         SELECT event_type, day, n, prev_n, n - prev_n AS delta,
           CASE WHEN prev_n IS NOT NULL
             THEN (n - prev_n) * 1000000 // prev_n END AS growth_ppm
-        FROM l""")))
+        FROM l""")),
+
+    // ---- q168: rank / dense_rank by VALUE LEVEL — the rank-transform
+    //      normalization done the scale-safe way: aggregate to the
+    //      distinct (group, value) domain FIRST (map-side combinable),
+    //      then run the window over value levels, not rows (the q61
+    //      distinct-domain discipline). rank(level) = running count of
+    //      lower rows + 1; dense_rank(level) = row_number over levels;
+    //      exact integer percent-rank numerator (rank − 1) against
+    //      denominator (n_group − 1) — consumers divide at their own
+    //      precision. A 100 TB column with a bounded value domain
+    //      windows over thousands of levels instead of trillions of
+    //      rows. ----
+    QueryDef(
+      "q168_rank_levels",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lvl = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+          .groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+        val tot = lvl.groupBy("event_type").agg(sum("cnt").as("n_group"))
+        lvl
+          .withColumn("cum", sum(col("cnt"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rk", col("cum") - col("cnt") + 1)
+          .withColumn("drk", row_number().over(w).cast("long"))
+          .join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("cents"), col("cnt"),
+            col("rk"), col("drk"),
+            (col("rk") - 1).as("pct_num"),
+            (col("n_group") - 1).as("pct_den"))
+      },
+      Some("""
+        WITH lvl AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents,
+            COUNT(*) AS cnt
+          FROM events WHERE "value" IS NOT NULL
+          GROUP BY 1, 2),
+        wn AS (
+          SELECT event_type, cents, cnt,
+            CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY cents) AS BIGINT) AS drk
+          FROM lvl),
+        tot AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_group
+          FROM lvl GROUP BY 1)
+        SELECT w.event_type, w.cents, w.cnt,
+          w.cum - w.cnt + 1 AS rk, w.drk,
+          w.cum - w.cnt AS pct_num,
+          t.n_group - 1 AS pct_den
+        FROM wn w JOIN tot t USING (event_type)""")))
 }

@@ -778,5 +778,60 @@ object Validation extends QueryPack {
           CAST(MIN(cnt) - p.exact_n AS BIGINT) AS overestimate
         FROM probe p JOIN counters USING (r, c)
         GROUP BY p.user_id, p.exact_n""")),
+
+    // ---- q169: incremental aggregate maintenance WITH RETRACTIONS —
+    //      the materialized-view algebra a CDC-fed warehouse needs:
+    //      a standing (event_type, day) aggregate is maintained by
+    //      folding an op-signed delta batch (+1 inserts, −1 deletes)
+    //      into it; groups whose maintained count reaches zero drop
+    //      out. Partition: base = event_id % 5 != 0; inserts = the
+    //      rest; retractions = base rows with event_id % 10 == 1 — so
+    //      the maintained view covers (all − retracted). The oracle
+    //      is deliberately ASYMMETRIC (the q149 discipline): Spark
+    //      does base + delta maintenance, DuckDB RECOMPUTES from the
+    //      post-change row set — hash equality proves the maintenance
+    //      algebra equals a rebuild, retractions included. Scale: the
+    //      delta pass touches only changed rows; the merge is one
+    //      keyed outer join of two aggregate tables. ----
+    QueryDef(
+      "q169_agg_maintenance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("ts div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val base = ev.filter(col("event_id") % 5 =!= 0)
+        val baseAgg = base.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n0"), sum(col("cents")).as("s0"))
+        // op-signed delta: inserts (+1) and retractions (−1)
+        val delta = ev.filter(col("event_id") % 5 === 0)
+          .withColumn("op", lit(1L))
+          .unionByName(base.filter(col("event_id") % 10 === 1)
+            .withColumn("op", lit(-1L)))
+        val deltaAgg = delta.groupBy("event_type", "day")
+          .agg(sum(col("op")).as("dn"),
+            sum(col("op") * col("cents")).as("ds"))
+        baseAgg.join(deltaAgg, Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+              .as("s_cents"))
+          .filter(col("n") > 0)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        -- the REBUILD side: the post-change row set directly
+        kept AS (
+          SELECT * FROM ev
+          WHERE NOT (event_id % 5 <> 0 AND event_id % 10 = 1))
+        SELECT event_type, day, COUNT(*) AS n,
+          CAST(SUM(cents) AS BIGINT) AS s_cents
+        FROM kept GROUP BY 1, 2""")),
   )
 }

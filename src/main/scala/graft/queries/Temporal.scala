@@ -1259,10 +1259,8 @@ object Temporal extends QueryPack {
           .persist()
         try {
           val n = ev.count()
-          val bounds = (1 to 7).map { i =>
-            DistributedSelect.kthSmallest(
-              ev, col("c"), math.max(1L, i.toLong * n / 8))
-          }
+          val bounds = DistributedSelect.kthSmallestMulti(
+            ev, col("c"), (1 to 7).map(i => math.max(1L, i.toLong * n / 8)))
           val bArr = array(bounds.map(lit(_)): _*)
           ev
             .withColumn("bin",

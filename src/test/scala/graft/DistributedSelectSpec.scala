@@ -44,6 +44,18 @@ class DistributedSelectSpec extends SparkTestBase {
     }
   }
 
+  test("multi-k shares passes and equals per-k answers") {
+    var x = 77L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val vals = Seq.fill(400)(next() % 100000)
+    val sorted = vals.sorted
+    val df = vals.toDF("v").repartition(4)
+    val ks = Seq(1L, 50L, 50L, 123L, 200L, 399L, 400L) // dup k allowed
+    val got = DistributedSelect.kthSmallestMulti(df, col("v"), ks)
+    assert(got === ks.map(k => sorted((k - 1).toInt)),
+      s"multi-k must equal the sorted answers: $got")
+  }
+
   test("bounds are enforced") {
     val df = Seq(1L, 2L).toDF("v")
     intercept[IllegalArgumentException] {

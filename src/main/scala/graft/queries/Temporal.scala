@@ -1290,5 +1290,174 @@ object Temporal extends QueryPack {
         SELECT bin, COUNT(*) AS cnt,
           MIN(c) AS lo_c, MAX(c) AS hi_c
         FROM binned GROUP BY bin""")),
+
+    // ---- q170: forward fill (last-observation-carried-forward) —
+    //      the sensor-gap / sparse-CDC repair operator. Every 7th
+    //      event's reading is masked to NULL, then repaired with
+    //      last(_, ignoreNulls) over the running per-user frame;
+    //      users whose FIRST readings are masked stay at the -1
+    //      sentinel (nothing to carry), keeping the output NULL-free
+    //      int64. Scale: one per-user window, values never leave
+    //      their partition. ----
+    QueryDef(
+      "q170_forward_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev
+          .withColumn("masked",
+            when(col("event_id") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("cents")))
+          .withColumn("filled",
+            coalesce(last(col("masked"), ignoreNulls = true).over(w),
+              lit(-1L)))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            (col("event_id") % 7 === 0).cast("long").as("was_masked"),
+            col("filled"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, ts_us, event_id,
+          CAST(event_id % 7 = 0 AS BIGINT) AS was_masked,
+          COALESCE(
+            last_value(CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE cents END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING),
+            -1) AS filled
+        FROM ev""")),
+
+    // ---- q171: trimmed mean per group — the robust-statistics
+    //      aggregate: drop the lowest and highest 5% of rows by
+    //      (value, event_id) rank (fully tie-broken, so the trim is
+    //      row-deterministic in both engines), then exact integer
+    //      sum/count and ONE identical double division for the mean
+    //      (the q49 single-IEEE-op discipline). ----
+    QueryDef(
+      "q171_trimmed_mean",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(tot), Seq("event_type"))
+          .withColumn("cut", expr("n * 5 div 100"))
+          .filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_total"),
+            count(lit(1)).as("n_kept"),
+            sum(col("cents")).as("s_kept"))
+          .withColumn("trimmed_mean_cents",
+            col("s_kept").cast("double") / col("n_kept").cast("double"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        ranked AS (
+          SELECT event_type, cents,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY cents, event_id) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev),
+        kept AS (
+          SELECT * FROM ranked
+          WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+        SELECT event_type,
+          CAST(MAX(n) AS BIGINT) AS n_total,
+          COUNT(*) AS n_kept,
+          CAST(SUM(cents) AS BIGINT) AS s_kept,
+          CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean_cents
+        FROM kept GROUP BY event_type""")),
+
+    // ---- q172: lag-1 autocorrelation sufficient statistics — is the
+    //      series mean-reverting or trending? Consecutive (x_t,
+    //      x_{t-1}) pairs per type in (ts, event_id) order; all five
+    //      moments summed exactly in int64, the final r in ONE
+    //      identical double expression with the q49/q79 NULL-on-zero-
+    //      variance discipline. ----
+    QueryDef(
+      "q172_autocorr_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").as("ts_us"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val pairs = ev
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val nD = col("n").cast("double")
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sx"),
+            sum(col("prev")).as("sy"),
+            sum(col("cents") * col("cents")).as("sxx"),
+            sum(col("prev") * col("prev")).as("syy"),
+            sum(col("cents") * col("prev")).as("sxy"))
+          .withColumn("r_qd",
+            when(
+              sqrt(nD * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(nD * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))
+                =!= 0.0,
+              (nD * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (sqrt(nD * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) *
+                  sqrt(nD * col("syy").cast("double") -
+                    col("sy").cast("double") * col("sy").cast("double")))))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        pairs AS (
+          SELECT event_type, cents,
+            lag(cents) OVER (PARTITION BY event_type
+              ORDER BY ts_us, event_id) AS prev
+          FROM ev),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(cents) AS BIGINT) AS sx,
+            CAST(SUM(prev) AS BIGINT) AS sy,
+            CAST(SUM(cents * cents) AS BIGINT) AS sxx,
+            CAST(SUM(prev * prev) AS BIGINT) AS syy,
+            CAST(SUM(cents * prev) AS BIGINT) AS sxy
+          FROM pairs WHERE prev IS NOT NULL GROUP BY 1)
+        SELECT event_type, n, sx, sy, sxx, syy, sxy,
+          CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0.0
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          END AS r_qd
+        FROM agg""")),
   )
 }

@@ -552,5 +552,68 @@ object Extended extends QueryPack {
           w.cum - w.cnt + 1 AS rk, w.drk,
           w.cum - w.cnt AS pct_num,
           t.n_group - 1 AS pct_den
-        FROM wn w JOIN tot t USING (event_type)""")))
+        FROM wn w JOIN tot t USING (event_type)""")),
+
+    // ---- q173: date-spine densification — gap filling for time
+    //      series: generate the full [min_day, max_day] day spine per
+    //      type (sequence explode — |types|·|days| rows, never a
+    //      cartesian against the fact table), left-join the daily
+    //      counts, zero-fill, and flag the gaps. The op every
+    //      dashboard and forecasting pipeline needs before windowed
+    //      math. ----
+    QueryDef(
+      "q173_date_spine",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr("ts div 86400000000").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"))
+        val span = daily.groupBy("event_type")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val spine = span.select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        spine.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            col("n").isNull.cast("long").as("is_gap"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY 1),
+        spine AS (
+          SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          FROM span)
+        SELECT s.event_type, s.day, COALESCE(dl.n, 0) AS n,
+          CAST(dl.n IS NULL AS BIGINT) AS is_gap
+        FROM spine s LEFT JOIN daily dl USING (event_type, day)""")),
+
+    // ---- q174: pivot → unpivot round trip — `stack()` melts the
+    //      q58-style wide table back to long form, and the oracle
+    //      computes the long form DIRECTLY (plain GROUP BY): hash
+    //      equality proves pivot∘unpivot = identity on the
+    //      aggregate, including the NULL-drop of absent cells. ----
+    QueryDef(
+      "q174_unpivot",
+      (s, d) => {
+        val piv = t(s, d, "lineitem")
+          .select(col("l_linestatus"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("qc"))
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("qc")))
+        piv.selectExpr("l_linestatus",
+            "stack(3, 'A', A, 'N', N, 'R', R) as (flag, s_qty_cents)")
+          .filter(col("s_qty_cents").isNotNull)
+      },
+      Some("""
+        SELECT l_linestatus, l_returnflag AS flag,
+          CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+            AS s_qty_cents
+        FROM lineitem
+        GROUP BY 1, 2""")))
 }

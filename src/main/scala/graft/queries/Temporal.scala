@@ -1459,5 +1459,77 @@ object Temporal extends QueryPack {
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           END AS r_qd
         FROM agg""")),
+
+    // ---- q176: nearest-in-time join (either direction) — q153's
+    //      attribution asks "latest prior"; incident correlation asks
+    //      "NEAREST, before or after". Composition of the J5 as-of
+    //      operator with itself: one backward pass, one forward pass
+    //      (the same operator on negated time — no new machinery),
+    //      then a per-row pick by |Δt| with earlier-wins ties. Still
+    //      two union-window passes, no join explosion. The oracle
+    //      does the quadratic per-user candidate join + rank — hash
+    //      equality proves the two-pass composition == brute force.
+    //      ----
+    QueryDef(
+      "q176_nearest_event",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("ts_us"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
+          .agg(min(col("event_id")).as("t_id"))
+          .withColumn("t_ts", col("ts_us"))
+        val prior = AsOfJoin.priorJoin(conv, touches,
+          "user_id", "ts_us", Seq("t_id", "t_ts"))
+          .withColumnRenamed("t_id", "p_id")
+          .withColumnRenamed("t_ts", "p_ts")
+        val negC = conv.withColumn("ts_us", -col("ts_us"))
+        val negT = touches.withColumn("ts_us", -col("ts_us"))
+        val next = AsOfJoin.priorJoin(negC, negT,
+          "user_id", "ts_us", Seq("t_id", "t_ts"))
+          .select(col("conv_id"), col("t_id").as("n_id"),
+            col("t_ts").as("n_ts"))
+        prior.join(next, Seq("conv_id"))
+          .filter(col("p_id").isNotNull || col("n_id").isNotNull)
+          .withColumn("dp",
+            when(col("p_id").isNotNull, col("ts_us") - col("p_ts")))
+          .withColumn("dn",
+            when(col("n_id").isNotNull, col("n_ts") - col("ts_us")))
+          .withColumn("use_prior",
+            col("dn").isNull || (col("dp").isNotNull && col("dp") <= col("dn")))
+          .select(col("conv_id"), col("user_id"),
+            when(col("use_prior"), col("p_id")).otherwise(col("n_id"))
+              .as("nearest_id"),
+            when(col("use_prior"), col("p_ts")).otherwise(col("n_ts"))
+              .as("nearest_ts"),
+            when(col("use_prior"), col("dp")).otherwise(col("dn"))
+              .as("delta_us"),
+            when(col("use_prior"), lit(-1L)).otherwise(lit(1L))
+              .as("direction"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT user_id, epoch_us(ts) AS t_ts,
+            MIN(event_id) AS t_id
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY user_id, epoch_us(ts)),
+        cand AS (
+          SELECT c.conv_id, c.user_id, c.ts_us, t.t_id, t.t_ts,
+            abs(c.ts_us - t.t_ts) AS ad
+          FROM conv c JOIN touches t USING (user_id)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id
+            ORDER BY ad, t_ts) AS rn
+          FROM cand)
+        SELECT conv_id, user_id, t_id AS nearest_id, t_ts AS nearest_ts,
+          ad AS delta_us,
+          CASE WHEN t_ts <= ts_us THEN CAST(-1 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS direction
+        FROM r WHERE rn = 1""")),
   )
 }

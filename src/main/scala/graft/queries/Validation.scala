@@ -833,5 +833,116 @@ object Validation extends QueryPack {
         SELECT event_type, day, COUNT(*) AS n,
           CAST(SUM(cents) AS BIGINT) AS s_cents
         FROM kept GROUP BY 1, 2""")),
+
+    // ---- q175: distribution drift between two corpus snapshots —
+    //      has the value distribution moved between batch A (even
+    //      event_id) and batch B (odd)? Per (type, dollar-bucket) the
+    //      cross-normalized integer drift term |n_a·N_b − n_b·N_a|
+    //      (the total-variation numerator under cross-multiplication
+    //      — no division crosses the engines); bounded by N_a·N_b,
+    //      well inside int64. Scale: two map-side-combined counts and
+    //      one broadcast of per-type totals. ----
+    QueryDef(
+      "q175_dist_drift",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+          .withColumn("bucket", expr("cents div 100"))
+          .withColumn("snap",
+            when(col("event_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+        val cnt = ev.groupBy("event_type", "bucket")
+          .agg(
+            sum(when(col("snap") === "a", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("snap") === "b", 1L).otherwise(0L)).as("n_b"))
+        val tot = cnt.groupBy("event_type")
+          .agg(sum("n_a").as("na_tot"), sum("n_b").as("nb_tot"))
+        cnt.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("bucket"), col("n_a"),
+            col("n_b"),
+            abs(col("n_a") * col("nb_tot") - col("n_b") * col("na_tot"))
+              .as("drift_term"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        cnt AS (
+          SELECT event_type, cents // 100 AS bucket,
+            CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+          FROM ev GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type,
+            CAST(SUM(n_a) AS BIGINT) AS na_tot,
+            CAST(SUM(n_b) AS BIGINT) AS nb_tot
+          FROM cnt GROUP BY 1)
+        SELECT c.event_type, c.bucket, c.n_a, c.n_b,
+          abs(c.n_a * t.nb_tot - c.n_b * t.na_tot) AS drift_term
+        FROM cnt c JOIN tot t USING (event_type)""")),
+
+    // ---- q177: Benford leading-digit audit — the fraud / synthetic-
+    //      data smell test: observed leading-digit frequencies of the
+    //      cents column vs Benford's log10(1 + 1/d), per type. The
+    //      expected ppm values are PRECOMPUTED integer literals
+    //      (identical constants in both engines — no runtime log);
+    //      the leading digit comes from the decimal string, exact in
+    //      any engine. ----
+    QueryDef(
+      "q177_benford_audit",
+      (s, d) => {
+        val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+          8 -> 51153L, 9 -> 45757L)
+        val expCol = expPpm.foldLeft(lit(null).cast("long")) {
+          case (acc, (dgt, ppm)) =>
+            when(col("d") === dgt, lit(ppm)).otherwise(acc)
+        }
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull && col("cents") > 0)
+          .withColumn("d",
+            substring(col("cents").cast("string"), 1, 1).cast("long"))
+        val cnt = ev.groupBy("event_type", "d")
+          .agg(count(lit(1)).as("n_d"))
+        val tot = cnt.groupBy("event_type").agg(sum("n_d").as("n_tot"))
+        cnt.join(broadcast(tot), Seq("event_type"))
+          .withColumn("obs_ppm", expr("n_d * 1000000 div n_tot"))
+          .withColumn("exp_ppm", expCol)
+          .select(col("event_type"), col("d"), col("n_d"), col("n_tot"),
+            col("obs_ppm"), col("exp_ppm"),
+            (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events
+          WHERE "value" IS NOT NULL AND round("value" * 100) > 0),
+        dg AS (
+          SELECT event_type,
+            CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d
+          FROM ev),
+        cnt AS (
+          SELECT event_type, d, COUNT(*) AS n_d FROM dg GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n_tot
+          FROM cnt GROUP BY 1),
+        expe AS (
+          SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+            (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+            (8, 51153), (9, 45757)) e(d, exp_ppm))
+        SELECT c.event_type, c.d, c.n_d, t.n_tot,
+          c.n_d * 1000000 // t.n_tot AS obs_ppm,
+          CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+          c.n_d * 1000000 // t.n_tot - e.exp_ppm AS dev_ppm
+        FROM cnt c
+        JOIN tot t USING (event_type)
+        JOIN expe e ON e.d = c.d""")),
   )
 }

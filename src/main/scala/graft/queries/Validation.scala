@@ -944,5 +944,164 @@ object Validation extends QueryPack {
         FROM cnt c
         JOIN tot t USING (event_type)
         JOIN expe e ON e.d = c.d""")),
+
+    // ---- q178: audience overlap by activity bitmask — which
+    //      combinations of event types does each user exhibit, and
+    //      how big is every segment? BIT_OR folds each user's types
+    //      into one int (map-side combinable, 5 bits here), then one
+    //      count per mask — the Venn-diagram / cohort-overlap audit
+    //      without 2^k set intersections. popcount ships as the
+    //      bit-string trick (length minus zeros of the binary form,
+    //      identical in both engines). ----
+    QueryDef(
+      "q178_type_overlap",
+      (s, d) => {
+        val bit = when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "error", 2L)
+          .when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "signup", 8L)
+          .otherwise(16L) // view
+        val masks = t(s, d, "events")
+          .select(col("user_id"), bit.as("b"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(b)").as("mask"))
+        masks.groupBy("mask")
+          .agg(count(lit(1)).as("n_users"))
+          .withColumn("n_types",
+            (length(bin(col("mask"))) -
+              length(regexp_replace(bin(col("mask")), "1", "")))
+              .cast("long"))
+          .select("mask", "n_types", "n_users")
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id,
+            CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+              ELSE 16 END AS b
+          FROM events),
+        masks AS (
+          SELECT user_id, CAST(bit_or(CAST(b AS BIGINT)) AS BIGINT)
+            AS mask
+          FROM b GROUP BY user_id)
+        SELECT mask,
+          CAST(length(bin(mask))
+            - length(replace(bin(mask), '1', '')) AS BIGINT) AS n_types,
+          COUNT(*) AS n_users
+        FROM masks GROUP BY mask""")),
+
+    // ---- q179: weighted median by value level — the weighted
+    //      quantile without a sort of the rows: aggregate weights to
+    //      the distinct (type, cents) domain (q168 discipline), one
+    //      partitioned prefix sum over levels, pick the first level
+    //      whose doubled cumulative weight reaches the total. Exact
+    //      integers end to end. ----
+    QueryDef(
+      "q179_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lvl = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 10 + 1).as("wt"))
+          .filter(col("cents").isNotNull)
+          .groupBy("event_type", "cents")
+          .agg(sum(col("wt")).as("w"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+        val tot = lvl.groupBy("event_type").agg(sum("w").as("w_tot"))
+        val cum = lvl
+          .withColumn("cw", sum(col("w"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cw") * 2 >= col("w_tot"))
+        val pick = Window.partitionBy("event_type").orderBy("cents")
+        cum.withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("w_tot"),
+            col("cents").as("weighted_median_cents"),
+            col("cw").as("cum_weight_at_median"))
+      },
+      Some("""
+        WITH lvl AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents,
+            CAST(SUM(event_id % 10 + 1) AS BIGINT) AS w
+          FROM events WHERE "value" IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(w) AS BIGINT) AS w_tot
+          FROM lvl GROUP BY 1),
+        cum AS (
+          SELECT l.event_type, l.cents, t.w_tot,
+            CAST(SUM(l.w) OVER (PARTITION BY l.event_type
+              ORDER BY l.cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cw
+          FROM lvl l JOIN tot t USING (event_type)),
+        hit AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY cents) AS rn
+          FROM cum WHERE cw * 2 >= w_tot)
+        SELECT event_type, w_tot,
+          cents AS weighted_median_cents,
+          cw AS cum_weight_at_median
+        FROM hit WHERE rn = 1""")),
+
+    // ---- q180: order↔lineitem monetary reconciliation — does the
+    //      order header total equal the recomputed line-level charge
+    //      Σ ext·(1−disc)·(1+tax)? All money moves as exact integers:
+    //      cents × (100−d) × (100+t) in 10⁻⁶-dollar units vs the
+    //      header total scaled to the same units. The per-order diff
+    //      distribution (matched / off-by / max drift) is the
+    //      warehouse conformance gate; on TPC-H-ish synthetic data
+    //      the diffs are real and the AUDIT must still agree
+    //      engine-to-engine. ----
+    QueryDef(
+      "q180_order_reconcile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("ec"),
+            round(col("l_discount") * 100).cast("long").as("dc"),
+            round(col("l_tax") * 100).cast("long").as("tc"))
+          .withColumn("charge_e6",
+            col("ec") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
+          .groupBy("o_orderkey")
+          .agg(sum(col("charge_e6")).as("computed_e6"),
+            count(lit(1)).as("n_lines"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            (round(col("o_totalprice") * 100).cast("long") * 10000L)
+              .as("stored_e6"))
+          .join(li, Seq("o_orderkey"), "inner")
+          .withColumn("diff_e6", col("computed_e6") - col("stored_e6"))
+          .groupBy(lit(1).as("grp"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("diff_e6") === 0, 1L).otherwise(0L))
+              .as("n_exact"),
+            max(abs(col("diff_e6"))).as("max_abs_diff_e6"),
+            sum(abs(col("diff_e6"))).as("sum_abs_diff_e6"))
+          .drop("grp")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey AS o_orderkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+              AS BIGINT) AS computed_e6,
+            COUNT(*) AS n_lines
+          FROM lineitem GROUP BY 1),
+        j AS (
+          SELECT o.o_orderkey,
+            li.computed_e6
+              - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+              AS diff_e6
+          FROM orders o JOIN li USING (o_orderkey))
+        SELECT COUNT(*) AS n_orders,
+          CAST(SUM(CASE WHEN diff_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact,
+          CAST(MAX(abs(diff_e6)) AS BIGINT) AS max_abs_diff_e6,
+          CAST(SUM(abs(diff_e6)) AS BIGINT) AS sum_abs_diff_e6
+        FROM j""")),
   )
 }

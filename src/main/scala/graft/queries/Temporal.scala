@@ -1531,5 +1531,145 @@ object Temporal extends QueryPack {
           CASE WHEN t_ts <= ts_us THEN CAST(-1 AS BIGINT)
             ELSE CAST(1 AS BIGINT) END AS direction
         FROM r WHERE rn = 1""")),
+
+    // ---- q181: group-wise linear regression (value vs time) as
+    //      EXACT integer sufficient statistics: slope = num/den with
+    //      num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)², both shipped
+    //      as int64 (consumers divide at their precision; the one
+    //      optional double is the same single expression in both
+    //      engines). x is RECENTERED to hours since each group's
+    //      minimum — without recentring, n·Σxy on epoch-hour x
+    //      overflows int64 three orders earlier. ----
+    QueryDef(
+      "q181_group_regression",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("ts div 3600000000").as("hour"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val mins = ev.groupBy("event_type").agg(min("hour").as("h0"))
+        val xy = ev.join(broadcast(mins), Seq("event_type"))
+          .select(col("event_type"),
+            (col("hour") - col("h0")).as("x"), col("cents").as("y"))
+        xy.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_num",
+            col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("slope_den",
+            col("n") * col("sxx") - col("sx") * col("sx"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        mins AS (
+          SELECT event_type, MIN(hour) AS h0 FROM ev GROUP BY 1),
+        xy AS (
+          SELECT e.event_type, e.hour - m.h0 AS x, e.cents AS y
+          FROM ev e JOIN mins m USING (event_type)),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM xy GROUP BY 1)
+        SELECT event_type, n, sx, sy, sxx, sxy,
+          n * sxy - sx * sy AS slope_num,
+          n * sxx - sx * sx AS slope_den
+        FROM agg""")),
+
+    // ---- q182: ordered sequence-pattern matching (CEP) — count
+    //      contiguous (view|click) → * → purchase triples completing
+    //      within 24 hours per user: two lags over the per-user time
+    //      order, a type-pattern gate, and the window constraint. The
+    //      complex-event-processing shape (q126's funnel counts
+    //      STAGES; this matches CONTIGUOUS ordered triples — ~500
+    //      matches at sf0.01, ~5k at sf0.1, so the oracle row is
+    //      load-bearing, not vacuously empty). ----
+    QueryDef(
+      "q182_pattern_match",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts").as("ts_us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val hits = ev
+          .withColumn("t2", lag(col("event_type"), 2).over(w))
+          .withColumn("ts2", lag(col("ts_us"), 2).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("t2").isin("view", "click") &&
+            col("ts_us") - col("ts2") <= 86400000000L)
+        hits.groupBy("user_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("ts_us")).as("first_match_ts"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+          FROM events),
+        lagged AS (
+          SELECT user_id, ts_us, event_type,
+            lag(event_type, 2) OVER w AS t2,
+            lag(ts_us, 2) OVER w AS ts2
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        SELECT user_id, COUNT(*) AS n_matches,
+          MIN(ts_us) AS first_match_ts
+        FROM lagged
+        WHERE event_type = 'purchase' AND t2 IN ('view', 'click')
+          AND ts_us - ts2 <= 86400000000
+        GROUP BY user_id""")),
+
+    // ---- q183: inter-arrival spectrum — the traffic-model /
+    //      burstiness audit: per-type gaps between consecutive
+    //      events, bucketed by bit length (log2 bands — exact
+    //      integers via the binary-string trick, no float log), with
+    //      per-band counts and extremes. ----
+    QueryDef(
+      "q183_interarrival",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").as("ts_us"),
+            col("event_id"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val gaps = ev
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .filter(col("gap").isNotNull && col("gap") >= 0)
+        gaps
+          .withColumn("band",
+            when(col("gap") === 0, 0L)
+              .otherwise(length(bin(col("gap"))).cast("long")))
+          .groupBy("event_type", "band")
+          .agg(count(lit(1)).as("n"),
+            min(col("gap")).as("min_gap_us"),
+            max(col("gap")).as("max_gap_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events),
+        gaps AS (
+          SELECT event_type,
+            ts_us - lag(ts_us, 1) OVER (PARTITION BY event_type
+              ORDER BY ts_us, event_id) AS gap
+          FROM ev)
+        SELECT event_type,
+          CASE WHEN gap = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(length(bin(gap)) AS BIGINT) END AS band,
+          COUNT(*) AS n,
+          CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+          CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        FROM gaps WHERE gap IS NOT NULL AND gap >= 0
+        GROUP BY 1, 2""")),
   )
 }

@@ -312,6 +312,60 @@ object Relational extends QueryPack {
           COUNT(*) AS n
         FROM events
         WHERE event_type IN ('click','purchase','view','signup')
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- q185: market-basket pair mining — which parts are bought
+    //      together? Distinct (order, part) first, then the within-
+    //      order pair join (fan-out bounded by order SIZE, ~C(7,2)
+    //      per order — never a parts×parts product), support >= 2,
+    //      and the association LIFT as exact integer numerator
+    //      (support·n_orders) / denominator (sup_a·sup_b). The
+    //      frequent-itemset / recommender seed at any scale: pair
+    //      volume is linear in order count. ----
+    QueryDef(
+      "q185_market_basket",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .distinct()
+        val nOrders = op.select(col("l_orderkey")).distinct().count()
+        val partSup = op.groupBy("l_partkey")
+          .agg(count(lit(1)).as("sup"))
+        val pairs = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            Seq("l_orderkey"))
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        pairs
+          .join(partSup.select(col("l_partkey").as("p1"),
+            col("sup").as("sup_a")), Seq("p1"))
+          .join(partSup.select(col("l_partkey").as("p2"),
+            col("sup").as("sup_b")), Seq("p2"))
+          .select(col("p1"), col("p2"), col("support"),
+            col("sup_a"), col("sup_b"),
+            (col("support") * lit(nOrders)).as("lift_num"),
+            (col("sup_a") * col("sup_b")).as("lift_den"))
+      },
+      Some("""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+        sup AS (
+          SELECT l_partkey, COUNT(*) AS sup FROM op GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+            COUNT(*) AS support
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT p.p1, p.p2, p.support, sa.sup AS sup_a, sb.sup AS sup_b,
+          p.support * n.n_orders AS lift_num,
+          sa.sup * sb.sup AS lift_den
+        FROM pairs p
+        JOIN sup sa ON sa.l_partkey = p.p1
+        JOIN sup sb ON sb.l_partkey = p.p2
+        CROSS JOIN n"""))
   )
 }

@@ -1671,5 +1671,55 @@ object Temporal extends QueryPack {
           CAST(MAX(gap) AS BIGINT) AS max_gap_us
         FROM gaps WHERE gap IS NOT NULL AND gap >= 0
         GROUP BY 1, 2""")),
+
+    // ---- q184: session bounce / depth profile — reuses the J-family
+    //      Sessionize operator (2h gap): per session its event count,
+    //      then per user the session total, bounce count (single-
+    //      event sessions) and exact integer bounce ppm — the
+    //      engagement-quality metric every funnel report leads with.
+    //      ----
+    QueryDef(
+      "q184_bounce_rate",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts").as("ts_us"), col("event_id"))
+        val sess = Sessionize.withSessionId(
+          ev, "user_id", col("ts_us"), col("event_id"), SessionGapUs)
+        val perSession = sess.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+        perSession.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounces"),
+            max(col("n_events")).as("deepest_session"))
+          .withColumn("bounce_ppm",
+            expr("n_bounces * 1000000 div n_sessions"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        flagged AS (
+          SELECT user_id, ts_us, event_id,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM sess GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_sessions,
+          CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounces,
+          CAST(MAX(n_events) AS BIGINT) AS deepest_session,
+          CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS bounce_ppm
+        FROM per_session GROUP BY user_id""")),
   )
 }

@@ -187,5 +187,145 @@ object Graph extends QueryPack {
         FROM nodes n
         JOIN sub s USING (id)
         LEFT JOIN dep d USING (id)""")),
+
+    // ---- q186: walk-mass centrality — two EXACT power-iteration
+    //      steps of eigenvector centrality with integer weights:
+    //      x₁(v) = deg(v), x₂(v) = Σ_{u∈N(v)} deg(u), x₃(v) =
+    //      Σ_{u∈N(v)} x₂(u) (2- and 3-step walk counts from v). No
+    //      damping float ever crosses the engines; the ORDER of
+    //      centrality scores — what consumers rank by — is already
+    //      fixed by these integer iterates. Scale: each step is one
+    //      edge-keyed join + aggregate over the symmetrized edge
+    //      list. ----
+    QueryDef(
+      "q186_walk_centrality",
+      (s, d) => {
+        val e = simEdges(s, d)
+        val sym = e.select(col("u").as("a"), col("v").as("b"))
+          .union(e.select(col("v").as("a"), col("u").as("b")))
+          .persist()
+        try {
+          val deg = sym.groupBy("a").agg(count(lit(1)).as("x1"))
+          val x2 = sym
+            .join(deg.select(col("a").as("b"), col("x1")), Seq("b"))
+            .groupBy("a").agg(sum(col("x1")).as("x2"))
+          val x3 = sym
+            .join(x2.select(col("a").as("b"), col("x2")), Seq("b"))
+            .groupBy("a").agg(sum(col("x2")).as("x3"))
+          deg.join(x2, Seq("a")).join(x3, Seq("a"))
+            .select(col("a").as("node"), col("x1").as("degree"),
+              col("x2").as("walk2"), col("x3").as("walk3"))
+            .filter(col("degree") >= 2)
+        } finally sym.unpersist()
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tk),
+        tf AS (
+          SELECT doc_id, g, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        rare AS (
+          SELECT g FROM tf GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+        posting AS (
+          SELECT tf.doc_id, tf.g, tf.tf FROM tf JOIN rare USING (g)),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM posting a JOIN posting b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING SUM(a.tf * b.tf) >= 4 AND COUNT(*) >= 2),
+        sym AS (
+          SELECT u AS a, v AS b FROM edges
+          UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT a, COUNT(*) AS x1 FROM sym GROUP BY 1),
+        x2 AS (
+          SELECT s.a, CAST(SUM(d.x1) AS BIGINT) AS x2
+          FROM sym s JOIN deg d ON d.a = s.b GROUP BY 1),
+        x3 AS (
+          SELECT s.a, CAST(SUM(x.x2) AS BIGINT) AS x3
+          FROM sym s JOIN x2 x ON x.a = s.b GROUP BY 1)
+        SELECT d.a AS node, d.x1 AS degree, x2.x2 AS walk2, x3.x3 AS walk3
+        FROM deg d JOIN x2 USING (a) JOIN x3 USING (a)
+        WHERE d.x1 >= 2""")),
+
+    // ---- q187: mutual nearest neighbors — reciprocal best matches
+    //      on the similarity graph: A's top-1 neighbor is B AND B's
+    //      top-1 is A (ties broken by id). The high-precision dedup-
+    //      candidate filter: reciprocity removes the hub artifacts
+    //      that one-directional top-1 lists are full of. ----
+    QueryDef(
+      "q187_mutual_nn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(lower(col("text")))
+        val grams = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(grams).as("g"))
+          .groupBy("doc_id", "g")
+          .agg(count(lit(1)).as("tf"))
+        val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 50)
+        val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
+        val pairs = posting
+          .select(col("g"), col("doc_id").as("da"), col("tf").as("ta"))
+          .join(posting.select(col("g"), col("doc_id").as("db"),
+            col("tf").as("tb")), Seq("g"))
+          .filter(col("da") =!= col("db"))
+          .groupBy("da", "db")
+          .agg(sum(col("ta") * col("tb")).as("dot"))
+        val w = Window.partitionBy("da")
+          .orderBy(col("dot").desc, col("db"))
+        val best = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("da"), col("db"), col("dot"))
+        best.as("f")
+          .join(best.as("g"),
+            col("f.da") === col("g.db") && col("f.db") === col("g.da"))
+          .filter(col("f.da") < col("f.db"))
+          .select(col("f.da").as("doc_a"), col("f.db").as("doc_b"),
+            col("f.dot").as("dot"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tk),
+        tf AS (
+          SELECT doc_id, g, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        rare AS (
+          SELECT g FROM tf GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+        posting AS (
+          SELECT tf.doc_id, tf.g, tf.tf FROM tf JOIN rare USING (g)),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+            CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM posting a JOIN posting b
+            ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        best AS (
+          SELECT da, db, dot FROM (
+            SELECT *, row_number() OVER (PARTITION BY da
+              ORDER BY dot DESC, db) AS rn
+            FROM pairs)
+          WHERE rn = 1)
+        SELECT f.da AS doc_a, f.db AS doc_b, f.dot AS dot
+        FROM best f JOIN best g ON f.da = g.db AND f.db = g.da
+        WHERE f.da < f.db""")),
   )
 }

@@ -83,5 +83,79 @@ object Layout extends QueryPack {
         FROM orders o
         WHERE NOT EXISTS (
           SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)""")),
+
+    // ---- q190: revenue concentration (Gini) as EXACT integers —
+    //      how skewed is per-part revenue? The Gini numerator
+    //      Σ (2·rank − n − 1)·v over revenue-ranked parts and the
+    //      denominator n·Σv ship as int64 (consumer divides; ranks
+    //      fully tie-broken by part id so the weighting is
+    //      deterministic). The skew audit that decides salting /
+    //      hot-key handling before a 100 TB shuffle. Window is over
+    //      the PART domain (bounded), not line items. ----
+    QueryDef(
+      "q190_revenue_gini",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("ec"))
+          .groupBy("l_partkey")
+          .agg(sum(col("ec")).as("v"))
+        val n = rev.count()
+        // global rank WITHOUT an unpartitioned window (the repo lint
+        // forbids those for cause): the q61 two-phase shape — rank
+        // within P deterministic equal-width value stripes, plus the
+        // broadcast count of rows in all lower stripes
+        val P = 32
+        val vr = rev.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val striped = rev.crossJoin(broadcast(vr))
+          .withColumn("pid",
+            when(col("hi") > col("lo"),
+              least(floor((col("v") - col("lo")) /
+                (col("hi") - col("lo")) * P), lit(P - 1)))
+              .otherwise(lit(0)).cast("int"))
+          .drop("lo", "hi")
+        val wLocal = Window.partitionBy("pid")
+          .orderBy(col("v"), col("l_partkey"))
+        val localRn = striped
+          .withColumn("lrn", row_number().over(wLocal).cast("long"))
+        val offsets = striped.groupBy("pid")
+          .agg(count(lit(1)).as("cnt"))
+          .collect().sortBy(_.getInt(0))
+          .scanLeft((0, 0L)) { case ((_, acc), r) =>
+            (r.getInt(0), acc + r.getLong(1)) }
+        val offBefore: Seq[(Int, Long)] = offsets.sliding(2).map {
+          case Array((_, prev), (pid, _)) => (pid, prev)
+        }.toSeq
+        val spark0 = localRn.sparkSession
+        import spark0.implicits._
+        val offDf = broadcast(offBefore.toDF("pid", "off"))
+        localRn.join(offDf, Seq("pid"))
+          .withColumn("rn", col("lrn") + col("off"))
+          .groupBy(lit(1).as("grp"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("v")).as("total_cents"),
+            sum((col("rn") * 2 - lit(n) - 1) * col("v"))
+              .as("gini_num"))
+          .withColumn("gini_den", col("n_parts") * col("total_cents"))
+          .drop("grp")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS v
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT v,
+            CAST(row_number() OVER (ORDER BY v, l_partkey) AS BIGINT)
+              AS rn,
+            COUNT(*) OVER () AS n
+          FROM rev)
+        SELECT COUNT(*) AS n_parts,
+          CAST(SUM(v) AS BIGINT) AS total_cents,
+          CAST(SUM((rn * 2 - n - 1) * v) AS BIGINT) AS gini_num,
+          COUNT(*) * CAST(SUM(v) AS BIGINT) AS gini_den
+        FROM ranked""")),
   )
 }

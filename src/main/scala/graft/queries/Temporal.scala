@@ -1721,5 +1721,93 @@ object Temporal extends QueryPack {
           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
             * 1000000 // COUNT(*) AS bounce_ppm
         FROM per_session GROUP BY user_id""")),
+
+    // ---- q188: mix-shift decomposition — "did the average move
+    //      because groups changed, or because the MIX of groups
+    //      changed?" Between snapshot A (even event_id) and B (odd),
+    //      per type: counts and exact cent sums for both, plus the
+    //      within-group effect numerator s_b·n_a − s_a·n_b (zero iff
+    //      the group's own mean is unchanged; cross-multiplied so no
+    //      division crosses the engines). The analytics-engineering
+    //      staple behind every "why did the KPI move" drill-down. ----
+    QueryDef(
+      "q188_mix_shift",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        ev.groupBy("event_type")
+          .agg(
+            sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L))
+              .as("n_a"),
+            sum(when(col("event_id") % 2 === 0, col("cents"))
+              .otherwise(0L)).as("s_a"),
+            sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L))
+              .as("n_b"),
+            sum(when(col("event_id") % 2 === 1, col("cents"))
+              .otherwise(0L)).as("s_b"))
+          .withColumn("within_num",
+            col("s_b") * col("n_a") - col("s_a") * col("n_b"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL)
+        SELECT event_type,
+          CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS s_a,
+          CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS s_b,
+          CAST(SUM(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)
+              AS BIGINT)
+            * CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+          - CAST(SUM(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)
+              AS BIGINT)
+            * CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS within_num
+        FROM ev GROUP BY event_type""")),
+
+    // ---- q189: new-vs-returning decomposition per day — each event
+    //      classified by whether its user was first seen that day
+    //      (min-day broadcast join; the first-touch attribution of
+    //      audience growth). Daily counts of new/returning users and
+    //      events — the DAU decomposition every growth report leads
+    //      with. ----
+    QueryDef(
+      "q189_new_returning",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        val firstDay = ev.groupBy("user_id").agg(min("day").as("d0"))
+        ev.join(firstDay, Seq("user_id"))
+          .withColumn("is_new", (col("day") === col("d0")).cast("long"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("is_new")).as("n_new_user_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("is_new") === 1L, col("user_id")))
+              .as("n_new_users"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        fd AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY 1)
+        SELECT ev.day,
+          COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN ev.day = fd.d0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_user_events,
+          COUNT(DISTINCT ev.user_id) AS n_users,
+          COUNT(DISTINCT CASE WHEN ev.day = fd.d0 THEN ev.user_id END)
+            AS n_new_users
+        FROM ev JOIN fd USING (user_id)
+        GROUP BY ev.day""")),
   )
 }

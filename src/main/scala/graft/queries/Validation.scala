@@ -1103,5 +1103,116 @@ object Validation extends QueryPack {
           CAST(MAX(abs(diff_e6)) AS BIGINT) AS max_abs_diff_e6,
           CAST(SUM(abs(diff_e6)) AS BIGINT) AS sum_abs_diff_e6
         FROM j""")),
+
+    // ---- q191: Mann-Whitney rank-sum statistic, EXACT with ties —
+    //      the nonparametric A/B test behind "did the distribution
+    //      shift?". Snapshot A (even event_id) vs B (odd), per type:
+    //      doubled rank sums stay integral under midrank tie handling
+    //      (2·R_A = Σ_levels n_a·(2·cum_before + cnt + 1)), so
+    //      2U_A = 2R_A − n_a(n_a+1) ships as int64 — no .5 ever
+    //      materializes. Computed over the distinct VALUE DOMAIN
+    //      (q168 discipline), never a per-row sort. ----
+    QueryDef(
+      "q191_rank_sum_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lvl = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+          .groupBy("event_type", "cents")
+          .agg(
+            sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L))
+              .as("na_lvl"),
+            sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L))
+              .as("nb_lvl"))
+          .withColumn("cnt", col("na_lvl") + col("nb_lvl"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+        lvl
+          .withColumn("cum", sum(col("cnt"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cum_before", col("cum") - col("cnt"))
+          .groupBy("event_type")
+          .agg(sum(col("na_lvl")).as("n_a"),
+            sum(col("nb_lvl")).as("n_b"),
+            sum(col("na_lvl") * (col("cum_before") * 2 + col("cnt") + 1))
+              .as("two_r_a"))
+          .withColumn("two_u_a",
+            col("two_r_a") - col("n_a") * (col("n_a") + 1))
+          .withColumn("two_u_mean", col("n_a") * col("n_b"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        lvl AS (
+          SELECT event_type, cents,
+            CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS na_lvl,
+            CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb_lvl
+          FROM ev GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, na_lvl, nb_lvl,
+            na_lvl + nb_lvl AS cnt,
+            CAST(SUM(na_lvl + nb_lvl) OVER (PARTITION BY event_type
+              ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - (na_lvl + nb_lvl) AS cum_before
+          FROM lvl),
+        agg AS (
+          SELECT event_type,
+            CAST(SUM(na_lvl) AS BIGINT) AS n_a,
+            CAST(SUM(nb_lvl) AS BIGINT) AS n_b,
+            CAST(SUM(na_lvl * (cum_before * 2 + cnt + 1)) AS BIGINT)
+              AS two_r_a
+          FROM cum GROUP BY 1)
+        SELECT event_type, n_a, n_b, two_r_a,
+          two_r_a - n_a * (n_a + 1) AS two_u_a,
+          n_a * n_b AS two_u_mean
+        FROM agg""")),
+
+    // ---- q192: decile profile — row-deterministic value deciles per
+    //      type ((rn−1)·10 div n over the fully tie-broken rank),
+    //      with per-decile counts, exact cent sums and extremes: the
+    //      lift-table / score-calibration report shape. ----
+    QueryDef(
+      "q192_decile_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        ev
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("decile", expr("(rn - 1) * 10 div n") + 1)
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("s_cents"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        ranked AS (
+          SELECT event_type, cents,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY cents, event_id) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev)
+        SELECT event_type, (rn - 1) * 10 // n + 1 AS decile,
+          COUNT(*) AS n_rows,
+          CAST(SUM(cents) AS BIGINT) AS s_cents,
+          CAST(MIN(cents) AS BIGINT) AS lo_cents,
+          CAST(MAX(cents) AS BIGINT) AS hi_cents
+        FROM ranked GROUP BY 1, 2""")),
   )
 }

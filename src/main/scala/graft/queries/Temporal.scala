@@ -1809,5 +1809,124 @@ object Temporal extends QueryPack {
             AS n_new_users
         FROM ev JOIN fd USING (user_id)
         GROUP BY ev.day""")),
+
+    // ---- q193: U-shaped multi-touch attribution — q153 credits the
+    //      LAST touch; the position-weighted model gives 40% to the
+    //      first touch, 40% to the last, and splits 20% across the
+    //      middle. Weights are integer ppm with the SAME integer
+    //      division on both sides (200000 div (n−2) — deterministic
+    //      cross-engine even where inexact), single-touch paths get
+    //      the full 1e6. Touch sets are the prior-24h window per
+    //      conversion; per touch type the total attributed ppm and
+    //      path counts. ----
+    QueryDef(
+      "q193_position_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        val touch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts").as("t_ts"),
+            col("event_id").as("t_id"), col("event_type").as("t_type"))
+        val paths = conv.join(touch, Seq("user_id"))
+          .filter(col("t_ts") <= col("c_ts") &&
+            col("c_ts") - col("t_ts") <= 86400000000L)
+        val w = Window.partitionBy("conv_id")
+          .orderBy(col("t_ts"), col("t_id"))
+        val sized = paths
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy("conv_id")))
+        val weighted = sized.withColumn("w_ppm",
+          when(col("n") === 1, 1000000L)
+            .when(col("pos") === 1, 400000L)
+            .when(col("pos") === col("n"), 400000L)
+            .otherwise(expr("200000 div (n - 2)")))
+        weighted.groupBy("t_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("w_ppm")).as("attributed_ppm"),
+            countDistinct(col("conv_id")).as("n_paths"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS c_ts
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, epoch_us(ts) AS t_ts, event_id AS t_id,
+            event_type AS t_type
+          FROM events WHERE event_type <> 'purchase'),
+        paths AS (
+          SELECT c.conv_id, t.t_ts, t.t_id, t.t_type
+          FROM conv c JOIN touch t USING (user_id)
+          WHERE t.t_ts <= c.c_ts AND c.c_ts - t.t_ts <= 86400000000),
+        sized AS (
+          SELECT conv_id, t_type,
+            CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY t_ts, t_id) AS BIGINT) AS pos,
+            COUNT(*) OVER (PARTITION BY conv_id) AS n
+          FROM paths),
+        weighted AS (
+          SELECT conv_id, t_type,
+            CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+              WHEN pos = 1 THEN 400000
+              WHEN pos = n THEN 400000
+              ELSE 200000 // (n - 2) END AS w_ppm
+          FROM sized)
+        SELECT t_type, COUNT(*) AS n_touches,
+          CAST(SUM(w_ppm) AS BIGINT) AS attributed_ppm,
+          COUNT(DISTINCT conv_id) AS n_paths
+        FROM weighted GROUP BY t_type""")),
+
+    // ---- q194: OHLC candles per (type, hour) — the market-data
+    //      aggregate: open/close by fully tie-broken first/last row,
+    //      high/low/volume exact. first_value/last_value over the
+    //      (ts, event_id) order inside each candle; all integers. ----
+    QueryDef(
+      "q194_ohlc_candles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("ts div 3600000000").as("hour"),
+            col("ts").as("ts_us"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
+        val w = Window.partitionBy("event_type", "hour")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev
+          .withColumn("open_c", first(col("cents")).over(w))
+          .withColumn("close_c", last(col("cents")).over(w))
+          .groupBy("event_type", "hour")
+          .agg(count(lit(1)).as("n"),
+            max(col("open_c")).as("open_cents"),
+            max(col("cents")).as("high_cents"),
+            min(col("cents")).as("low_cents"),
+            max(col("close_c")).as("close_cents"),
+            sum(col("cents")).as("volume_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+            epoch_us(ts) AS ts_us, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        win AS (
+          SELECT event_type, hour, cents,
+            first_value(cents) OVER w AS open_c,
+            last_value(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS close_c
+          FROM ev
+          WINDOW w AS (PARTITION BY event_type, hour
+            ORDER BY ts_us, event_id))
+        SELECT event_type, hour, COUNT(*) AS n,
+          CAST(MAX(open_c) AS BIGINT) AS open_cents,
+          CAST(MAX(cents) AS BIGINT) AS high_cents,
+          CAST(MIN(cents) AS BIGINT) AS low_cents,
+          CAST(MAX(close_c) AS BIGINT) AS close_cents,
+          CAST(SUM(cents) AS BIGINT) AS volume_cents
+        FROM win GROUP BY 1, 2""")),
   )
 }

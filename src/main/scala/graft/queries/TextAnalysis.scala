@@ -532,7 +532,98 @@ object TextAnalysis extends QueryPack {
             ORDER BY dot DESC, doc_b) AS rank
           FROM pairs)
         SELECT doc_a, rank, doc_b, dot, n_shared
-        FROM ranked WHERE rank <= 3""")))
+        FROM ranked WHERE rank <= 3""")),
+
+    // ---- q195: source vocabulary overlap matrix — how much 3-gram
+    //      shingle vocabulary do source pairs share? Distinct
+    //      shingles per source, pair join keyed on the shingle
+    //      (bounded by per-shingle source fan-out <= |sources|, never
+    //      a sources×sources product of vocabularies), with the
+    //      overlap coefficient as exact integer |A∩B| / min(|A|,|B|)
+    //      numerator/denominator. The corpus-mixing diagnostic:
+    //      near-identical vocabularies mean redundant sources. ----
+    QueryDef(
+      "q195_source_overlap",
+      (s, d) => {
+        val toks = tokens(lower(col("text")))
+        val grams = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+        val sv = t(s, d, "documents")
+          .select(col("source"), explode(grams).as("g"))
+          .distinct()
+        val vocab = sv.groupBy("source").agg(count(lit(1)).as("v"))
+        val inter = sv.select(col("g"), col("source").as("sa"))
+          .join(sv.select(col("g"), col("source").as("sb")), Seq("g"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(vocab.select(col("source").as("sa"),
+            col("v").as("v_a"))), Seq("sa"))
+          .join(broadcast(vocab.select(col("source").as("sb"),
+            col("v").as("v_b"))), Seq("sb"))
+          .select(col("sa"), col("sb"), col("n_shared"), col("v_a"),
+            col("v_b"), least(col("v_a"), col("v_b")).as("min_v"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT source,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        sv AS (
+          SELECT DISTINCT source, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tk),
+        vocab AS (SELECT source, COUNT(*) AS v FROM sv GROUP BY 1),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+          FROM sv a JOIN sv b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT i.sa, i.sb, i.n_shared, va.v AS v_a, vb.v AS v_b,
+          least(va.v, vb.v) AS min_v
+        FROM inter i
+        JOIN vocab va ON va.source = i.sa
+        JOIN vocab vb ON vb.source = i.sb""")),
+
+    // ---- q196: length-distribution skewness sufficient statistics —
+    //      per (source, lang): exact integer raw moments of the
+    //      RECENTERED doc length (x − 300; without recentring
+    //      n²·Σx³ overflows int64 three orders earlier), from which
+    //      the skewness numerator n²Σx′³ − 3nΣx′Σx′² + 2(Σx′)³
+    //      ships as int64. The long-tail shape audit behind length-
+    //      bucketed batch packing. ----
+    QueryDef(
+      "q196_skewness_stats",
+      (s, d) => {
+        val x = (col("n_chars") - 300).as("x")
+        t(s, d, "documents")
+          .select(col("source"), col("lang"), x)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"))
+          .withColumn("skew_num",
+            col("n") * col("n") * col("s3")
+              - lit(3L) * col("n") * col("s1") * col("s2")
+              + lit(2L) * col("s1") * col("s1") * col("s1"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT source, lang, n_chars - 300 AS x FROM documents)
+        SELECT source, lang, COUNT(*) AS n,
+          CAST(SUM(x) AS BIGINT) AS s1,
+          CAST(SUM(x * x) AS BIGINT) AS s2,
+          CAST(SUM(x * x * x) AS BIGINT) AS s3,
+          COUNT(*) * COUNT(*) * CAST(SUM(x * x * x) AS BIGINT)
+            - 3 * COUNT(*) * CAST(SUM(x) AS BIGINT)
+              * CAST(SUM(x * x) AS BIGINT)
+            + 2 * CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)
+              * CAST(SUM(x) AS BIGINT) AS skew_num
+        FROM ev GROUP BY 1, 2""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.{sumDec, t}
-import graft.operators.{Bucketing, Upsert}
+import graft.operators.{BloomJoin, Bucketing, Upsert}
 
 /** Physical-layout operators (SURVEY §2 Y-rows): bucketed table layout
   * and the shuffle-free co-located join it buys.
@@ -157,5 +157,39 @@ object Layout extends QueryPack {
           CAST(SUM((rn * 2 - n - 1) * v) AS BIGINT) AS gini_num,
           COUNT(*) * CAST(SUM(v) AS BIGINT) AS gini_den
         FROM ranked""")),
+
+    // ---- q197: bloom runtime-filter join — a selective order filter
+    //      (1-URGENT keeps ~20% of orders) builds a Bloom bitmap whose
+    //      probe prunes lineitem AT THE SCAN, before the join
+    //      exchange; the exact join then removes the (rare) false
+    //      positives, so the RESULT is the plain join — which is what
+    //      the oracle checks — while the VALUE is the probe-side
+    //      shuffle shrinking by the filter's selectivity (BloomSpec
+    //      asserts the predicate sits below the probe exchange). At
+    //      100 TB: shuffle f·|lineitem| instead of |lineitem|. ----
+    QueryDef(
+      "q197_bloom_join",
+      (s, d) => {
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val pruned = BloomJoin.prefilter(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_returnflag"),
+              col("l_extendedprice")),
+          col("l_orderkey"), urgent, col("o_orderkey"))
+        pruned
+          .join(urgent, pruned("l_orderkey") === urgent("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sumDec(col("l_extendedprice")).as("revenue"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag""")),
   )
 }

@@ -593,5 +593,76 @@ object Corpus extends QueryPack {
           cand_id, r_lex, r_vec, rrf_ppm
         FROM fused
         QUALIFY rank <= 10""")),
+
+    // ---- q200: purged walk-forward split — time-series CV where each
+    //      fold k tests on time-bucket k and trains on strictly earlier
+    //      buckets MINUS an embargo window before the fold boundary
+    //      (López de Prado's purged K-fold: rows whose influence leaks
+    //      across the boundary are dropped, not trained on). All-integer
+    //      µs arithmetic off a one-row min/max broadcast; the 4-row fold
+    //      table cross-joins broadcast (bounded ×K fan-out, documented),
+    //      then one combinable (fold, class) aggregate. The split audit
+    //      a leakage-free temporal-model pipeline runs before training.
+    //      ----
+    QueryDef(
+      "q200_purged_split",
+      (s, d) => {
+        val EmbargoUs = 86400000000L // 1 day
+        val K = 5
+        val ev = t(s, d, "events").select(col("event_id"), col("ts"))
+        val rng = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val folds = s.range(1, K).select(col("id").as("k"))
+        ev.crossJoin(broadcast(rng))
+          .withColumn("fold",
+            least(expr(s"(ts - lo) * $K div (hi - lo)"), lit(K - 1)))
+          .crossJoin(broadcast(folds))
+          .withColumn("fold_start",
+            expr(s"lo + (hi - lo) * k div $K"))
+          .withColumn("cls",
+            when(col("fold") === col("k"), "test")
+              .when(col("fold") < col("k") &&
+                col("ts") < col("fold_start") - EmbargoUs, "train")
+              .when(col("fold") < col("k"), "embargo"))
+          .filter(col("cls").isNotNull)
+          .groupBy("k")
+          .agg(
+            sum(when(col("cls") === "train", 1L).otherwise(0L))
+              .as("n_train"),
+            sum(when(col("cls") === "embargo", 1L).otherwise(0L))
+              .as("n_embargo"),
+            sum(when(col("cls") === "test", 1L).otherwise(0L))
+              .as("n_test"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS ts FROM events),
+        rng AS (
+          SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM ev),
+        f AS (
+          SELECT ev.event_id, ev.ts,
+            least((ev.ts - rng.lo) * 5 // (rng.hi - rng.lo), 4) AS fold,
+            rng.lo, rng.hi
+          FROM ev, rng),
+        x AS (
+          SELECT f.*, k.k,
+            f.lo + (f.hi - f.lo) * k.k // 5 AS fold_start
+          FROM f, (SELECT unnest(range(1, 5)) AS k) k),
+        c AS (
+          SELECT k,
+            CASE
+              WHEN fold = k THEN 'test'
+              WHEN fold < k AND ts < fold_start - 86400000000
+                THEN 'train'
+              WHEN fold < k THEN 'embargo'
+            END AS cls
+          FROM x)
+        SELECT k,
+          CAST(SUM(CASE WHEN cls = 'train' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+          CAST(SUM(CASE WHEN cls = 'embargo' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_embargo,
+          CAST(SUM(CASE WHEN cls = 'test' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test
+        FROM c WHERE cls IS NOT NULL GROUP BY k""")),
   )
 }

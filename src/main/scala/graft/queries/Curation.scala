@@ -1913,5 +1913,47 @@ object Curation extends QueryPack {
           CAST(sum_tokens AS DOUBLE)
             / CAST(sum_tokens + padded_bucketed AS DOUBLE) AS eff_bucketed
         FROM bs JOIN fs USING (source)""")),
+
+    // ---- q199: group-median imputation — the standard ML-preprocessing
+    //      fill: rows with a (deterministically synthesized) missing
+    //      metric take their group's median of the OBSERVED values.
+    //      percentile_disc picks an element, so the fill is integral and
+    //      `.cast("long")` keeps both engines int64 (the q153 lesson —
+    //      Spark types the aggregate DOUBLE even over integer input).
+    //      One combinable per-type aggregate (5 rows) broadcasts back
+    //      over the fact scan: zero fact-side shuffles at any scale. ----
+    QueryDef(
+      "q199_impute_median",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("missing", col("event_id") % 7 === 0)
+        val med = ev.filter(!col("missing"))
+          .groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("med_cents"))
+        ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            when(col("missing"), col("med_cents")).otherwise(col("cents"))
+              .as("filled_cents"),
+            col("missing").cast("int").cast("long").as("was_imputed"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents,
+            event_id % 7 = 0 AS missing
+          FROM events),
+        med AS (
+          SELECT event_type,
+            quantile_disc(cents, 0.5) AS med_cents
+          FROM ev WHERE NOT missing GROUP BY 1)
+        SELECT event_id, ev.event_type,
+          CASE WHEN missing THEN med_cents ELSE cents END
+            AS filled_cents,
+          CAST(CASE WHEN missing THEN 1 ELSE 0 END AS BIGINT)
+            AS was_imputed
+        FROM ev JOIN med ON ev.event_type = med.event_type""")),
   )
 }

@@ -828,5 +828,51 @@ object Dedup extends QueryPack {
           FROM dv JOIN kv USING (variant))
         SELECT dirty_id, dirty_name, name AS matched_name,
           CAST(levenshtein(dirty_name, name) AS BIGINT) AS lev
-        FROM cand WHERE levenshtein(dirty_name, name) <= 1""")))
+        FROM cand WHERE levenshtein(dirty_name, name) <= 1""")),
+
+    // ---- q201: token-sort dedup — word-ORDER-invariant duplicate
+    //      detection (fuzzywuzzy's token_sort idea): fingerprint =
+    //      md5 of the alphabetically sorted token list, so "red small
+    //      widget" and "widget small red" collide while shingle-based
+    //      dedup (q21/q22) misses them (no shared word n-grams).
+    //      Reordered copies are synthesized deterministically (token
+    //      reversal, id offset above the doc domain) so both engines
+    //      dedup the identical corpus. Same budget as exact dedup:
+    //      one fp-keyed shuffle of (id, 16-byte fp); byte-order token
+    //      sort is identical in both engines (binary collation). ----
+    QueryDef(
+      "q201_token_sort_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val synth = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            array_join(reverse(tokens(col("text"))), " ").as("text"))
+        docs.unionByName(synth)
+          .select(col("doc_id"), col("text"),
+            md5(array_join(sort_array(tokens(col("text"))), " ")).as("fp"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_texts"),
+            min(col("doc_id")).as("keep_id"),
+            max(col("doc_id")).as("max_id"))
+          .filter(col("n_docs") > 1)
+      },
+      Some("""
+        WITH synth AS (
+          SELECT doc_id + 10000000 AS doc_id,
+            array_to_string(list_reverse(
+              regexp_split_to_array(trim(text), '\s+')), ' ') AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        a AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM synth),
+        k AS (
+          SELECT doc_id, text,
+            md5(array_to_string(list_sort(
+              regexp_split_to_array(trim(text), '\s+')), ' ')) AS fp
+          FROM a)
+        SELECT fp, COUNT(*) AS n_docs,
+          CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+          MIN(doc_id) AS keep_id, MAX(doc_id) AS max_id
+        FROM k GROUP BY fp HAVING COUNT(*) > 1""")))
 }

@@ -1928,5 +1928,66 @@ object Temporal extends QueryPack {
           CAST(MAX(close_c) AS BIGINT) AS close_cents,
           CAST(SUM(cents) AS BIGINT) AS volume_cents
         FROM win GROUP BY 1, 2""")),
+
+    // ---- q203: monotone runs (gaps-and-islands over a comparison) —
+    //      longest strictly-increasing streak of the metric per user in
+    //      event order: lag-compare marks run breaks, the running sum
+    //      of breaks labels islands, islands aggregate to lengths, and
+    //      per-user max/count close it out. The streak/momentum shape
+    //      (login streaks, rising-price runs) that needs three stacked
+    //      windows — all partitioned by user, so ONE keyed exchange
+    //      serves every stage at any scale (windows 2 and 3 reuse the
+    //      partitioning of window 1). ----
+    QueryDef(
+      "q203_monotone_runs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ev
+          .withColumn("brk",
+            when(lag(col("cents"), 1).over(w).isNull ||
+              col("cents") <= lag(col("cents"), 1).over(w), 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("user_id")
+          .agg(max(col("run_len")).as("longest_run"),
+            count(lit(1)).as("n_runs"),
+            sum(when(col("run_len") >= 3, 1L).otherwise(0L))
+              .as("n_runs_ge3"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        b AS (
+          SELECT user_id, ts, event_id, cents,
+            CASE WHEN lag(cents) OVER w IS NULL
+                   OR cents <= lag(cents) OVER w
+              THEN 1 ELSE 0 END AS brk
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        isl AS (
+          SELECT user_id,
+            CAST(SUM(brk) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS island
+          FROM b),
+        runs AS (
+          SELECT user_id, island, COUNT(*) AS run_len
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_run,
+          COUNT(*) AS n_runs,
+          CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_runs_ge3
+        FROM runs GROUP BY user_id""")),
   )
 }

@@ -1214,5 +1214,125 @@ object Validation extends QueryPack {
           CAST(MIN(cents) AS BIGINT) AS lo_cents,
           CAST(MAX(cents) AS BIGINT) AS hi_cents
         FROM ranked GROUP BY 1, 2""")),
+
+    // ---- q198: largest-remainder proration — allocate each order's
+    //      total (in cents) across its line items proportional to
+    //      quantity so the per-order allocations sum EXACTLY to the
+    //      total: base_i = floor(T·q_i/Q), then the r = T − Σbase
+    //      largest fractional remainders (tie-broken by line number)
+    //      get +1 cent (Hamilton's method). All-integer arithmetic;
+    //      the financial-allocation op where "roughly proportional"
+    //      is a reconciliation break. One order-keyed shuffle; the
+    //      window is per order (bounded fan-out ≤ 7 lines). ----
+    QueryDef(
+      "q198_prorate_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("q"))
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("tot"))
+        val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .withColumn("qsum",
+            sum(col("q")).over(Window.partitionBy("l_orderkey")))
+          .withColumn("base", expr("tot * q div qsum"))
+          .withColumn("frac", expr("(tot * q) % qsum"))
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("frac").desc, col("l_linenumber"))
+        base
+          .withColumn("short",
+            col("tot") - sum(col("base"))
+              .over(Window.partitionBy("l_orderkey")))
+          .withColumn("rk", row_number().over(w))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("base") +
+              when(col("rk") <= col("short"), 1L).otherwise(0L))
+              .as("alloc_cents"))
+      },
+      Some("""
+        WITH j AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS BIGINT) AS q,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS tot
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        b AS (
+          SELECT *,
+            CAST(SUM(q) OVER (PARTITION BY l_orderkey) AS BIGINT)
+              AS qsum
+          FROM j),
+        c AS (
+          SELECT l_orderkey, l_linenumber, tot,
+            tot * q // qsum AS base, (tot * q) % qsum AS frac
+          FROM b),
+        r AS (
+          SELECT *,
+            tot - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
+              AS BIGINT) AS short,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY frac DESC, l_linenumber) AS rk
+          FROM c)
+        SELECT l_orderkey, l_linenumber,
+          base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+            AS alloc_cents
+        FROM r""")),
+
+    // ---- q202: Tukey IQR fences via percentile_cont — quartiles at
+    //      DYADIC p (0.25/0.75) over integer cents interpolate as
+    //      a + f·(b−a) with f ∈ {0, .25, .5, .75}: every intermediate
+    //      is exactly representable in fp64, so Spark and DuckDB (both
+    //      R-7 linear interpolation) emit bit-identical doubles — the
+    //      CONT counterpart of the q50/q153 disc discipline. Fences at
+    //      ±1.5·IQR (again dyadic) count outliers per type. One
+    //      combinable aggregate + one broadcast join back. ----
+    QueryDef(
+      "q202_quartile_fences",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val qs = ev.groupBy("event_type")
+          .agg(
+            expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)")
+              .as("q1"),
+            expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)")
+              .as("q3"))
+          .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+        ev.join(broadcast(qs), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            first(col("q1")).as("q1"),
+            first(col("q3")).as("q3"),
+            first(col("lo_fence")).as("lo_fence"),
+            first(col("hi_fence")).as("hi_fence"),
+            sum(when(col("cents") < col("lo_fence"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("cents") > col("hi_fence"), 1L).otherwise(0L))
+              .as("n_high"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        qs AS (
+          SELECT event_type,
+            quantile_cont(cents, 0.25) AS q1,
+            quantile_cont(cents, 0.75) AS q3
+          FROM ev GROUP BY 1),
+        f AS (
+          SELECT event_type, q1, q3,
+            q1 - (q3 - q1) * 1.5 AS lo_fence,
+            q3 + (q3 - q1) * 1.5 AS hi_fence
+          FROM qs)
+        SELECT ev.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence,
+          CAST(SUM(CASE WHEN cents < lo_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+          CAST(SUM(CASE WHEN cents > hi_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+        FROM ev JOIN f ON ev.event_type = f.event_type
+        GROUP BY 1, 2, 3, 4, 5""")),
   )
 }

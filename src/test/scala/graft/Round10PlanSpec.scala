@@ -69,4 +69,47 @@ class Round10PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
     }
   }
+
+  test("q199/q202: tiny stat tables broadcast back over the fact scan") {
+    for (q <- Seq("q199_impute_median", "q202_quartile_fences")) {
+      val p = settled(q)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+    }
+  }
+
+  test("q200: bounded fold fan-out rides broadcasts, never a shuffle product") {
+    val p = settled("q200_purged_split")
+    // the one-row range and the 4-row fold table attach via broadcast
+    // nested-loop (bounded ×K); a shuffled CartesianProduct would mean
+    // the fact side got replicated through an exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), s"q200:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q200 product:\n$p")
+  }
+
+  /** Adaptive plans print Final and Initial sections — count operators
+    * in the FINAL (executed) section only. */
+  private def finalSection(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  test("q203: one user-keyed exchange serves all three window stages") {
+    val p = finalSection(settled("q203_monotone_runs"))
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q203 expected ONE keyed exchange (windows + aggregates all " +
+        s"cluster by user_id), got $exchanges:\n$p")
+  }
+
+  test("q198: per-order windows reuse one order-keyed exchange") {
+    val p = finalSection(settled("q198_prorate_allocation"))
+    assert(!p.contains("CartesianProduct"), s"q198 product:\n$p")
+    // windows and the remainder rank all partition by l_orderkey: after
+    // the join's exchange, no additional repartitioning may appear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // one per join side at most
+      s"q198 window stages must reuse the join partitioning, " +
+        s"got $exchanges exchanges:\n$p")
+  }
 }

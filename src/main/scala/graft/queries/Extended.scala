@@ -615,5 +615,52 @@ object Extended extends QueryPack {
           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
             AS s_qty_cents
         FROM lineitem
-        GROUP BY 1, 2""")))
+        GROUP BY 1, 2""")),
+
+    // ---- q206: per-brand Pareto frontier (2-D skyline, minimize
+    //      price and size) in ONE keyed sort instead of a dominance
+    //      self-join: a part is dominated iff a strictly-cheaper part
+    //      has size ≤ its own (RANGE-frame running min over price) or
+    //      a same-price part is strictly smaller (per-price min).
+    //      O(n log n) per brand vs the O(n²) pair join a naive skyline
+    //      pays — the product/offer-curve op. Windows all key by
+    //      brand, so one exchange serves both. ----
+    QueryDef(
+      "q206_pareto_frontier",
+      (s, d) => {
+        val parts = t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            round(col("p_retailprice") * 100).cast("long").as("price_c"))
+        val wStrict = Window.partitionBy("p_brand")
+          .orderBy(col("price_c"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSamePrice = Window.partitionBy("p_brand", "price_c")
+        parts
+          .withColumn("min_cheaper", min(col("p_size")).over(wStrict))
+          .withColumn("min_same", min(col("p_size")).over(wSamePrice))
+          .filter(
+            (col("min_cheaper").isNull ||
+              col("min_cheaper") > col("p_size")) &&
+              col("min_same") === col("p_size"))
+          .select(col("p_brand"), col("p_partkey"),
+            col("price_c"), col("p_size").cast("long").as("size"))
+      },
+      Some("""
+        WITH parts AS (
+          SELECT p_partkey, p_brand, p_size,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+          FROM part),
+        w AS (
+          SELECT *,
+            MIN(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS min_cheaper,
+            MIN(p_size) OVER (PARTITION BY p_brand, price_c)
+              AS min_same
+          FROM parts)
+        SELECT p_brand, p_partkey, price_c,
+          CAST(p_size AS BIGINT) AS size
+        FROM w
+        WHERE (min_cheaper IS NULL OR min_cheaper > p_size)
+          AND min_same = p_size""")))
 }

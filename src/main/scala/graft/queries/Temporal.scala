@@ -1989,5 +1989,98 @@ object Temporal extends QueryPack {
           CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_runs_ge3
         FROM runs GROUP BY user_id""")),
+
+    // ---- q204: rolling median (robust smoothing) — the lower-median
+    //      element over a BOUNDED 15-row trailing frame per type. Both
+    //      sides pick the identical element by the identical formula —
+    //      sorted_frame[(n+1) div 2] — instead of trusting two engines'
+    //      windowed-quantile conventions to agree. Frame is ROWS-bounded,
+    //      so per-row cost is O(15 log 15) at any scale and the window
+    //      stays keyed by type. The despiking pass a metrics pipeline
+    //      runs before thresholding. ----
+    QueryDef(
+      "q204_rolling_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-14, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("frame", sort_array(collect_list(col("cents")).over(w)))
+          .select(col("event_type"), col("event_id"), col("cents"),
+            element_at(col("frame"), ((size(col("frame")) + 1) / 2)
+              .cast("int")).as("med15_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        f AS (
+          SELECT event_type, event_id, cents,
+            list_sort(list(cents) OVER (PARTITION BY event_type
+              ORDER BY ts, event_id
+              ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS frame
+          FROM ev)
+        SELECT event_type, event_id, cents,
+          frame[(len(frame) + 1) // 2] AS med15_cents
+        FROM f""")),
+
+    // ---- q205: interval-overlap join — per-user daily activity spans
+    //      against a derived promo-window calendar (3 fixed windows per
+    //      UTC day-index): exposure µs = Σ max(0, min(ends) − max
+    //      (starts)). The span table is one keyed aggregate; the promo
+    //      calendar is distinct-days × 3 (bounded, broadcast); overlap
+    //      itself is pure row arithmetic. The campaign-exposure /
+    //      maintenance-window attribution shape — never an inequality
+    //      join: intervals meet on the DAY equi-key. ----
+    QueryDef(
+      "q205_interval_overlap",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val HourUs = 3600000000L
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"),
+            expr(s"ts div $DayUs").as("day"))
+        val spans = ev.groupBy("user_id", "day")
+          .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        val promos = ev.select(col("day")).distinct()
+          .crossJoin(broadcast(
+            ev.sparkSession.range(3).select(col("id").as("w"))))
+          .select(col("day"),
+            (col("day") * DayUs + (col("w") * 8 + 2) * HourUs).as("ps"),
+            (col("day") * DayUs + (col("w") * 8 + 4) * HourUs).as("pe"))
+        spans.join(broadcast(promos), Seq("day"))
+          .withColumn("ov",
+            greatest(lit(0L),
+              least(col("e"), col("pe")) - greatest(col("s"), col("ps"))))
+          .groupBy("user_id")
+          .agg(sum(col("ov")).as("exposed_us"),
+            sum(when(col("ov") > 0, 1L).otherwise(0L)).as("n_windows_hit"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts,
+            epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        spans AS (
+          SELECT user_id, day, MIN(ts) AS s, MAX(ts) AS e
+          FROM ev GROUP BY 1, 2),
+        promos AS (
+          SELECT day,
+            day * 86400000000 + (w * 8 + 2) * 3600000000 AS ps,
+            day * 86400000000 + (w * 8 + 4) * 3600000000 AS pe
+          FROM (SELECT DISTINCT day FROM ev),
+            (SELECT unnest(range(0, 3)) AS w)),
+        j AS (
+          SELECT user_id,
+            greatest(0, least(e, pe) - greatest(s, ps)) AS ov
+          FROM spans JOIN promos USING (day))
+        SELECT user_id, CAST(SUM(ov) AS BIGINT) AS exposed_us,
+          CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_windows_hit
+        FROM j GROUP BY user_id""")),
   )
 }

@@ -102,6 +102,24 @@ class Round10PlanSpec extends SparkTestBase {
         s"cluster by user_id), got $exchanges:\n$p")
   }
 
+  test("q204/q206: stacked windows share one keyed exchange") {
+    // q204's bounded-frame window keys by type; q206's two windows key
+    // by brand and (brand, price) — hash(brand) satisfies both, so a
+    // second exchange would be a planner regression
+    for (q <- Seq("q204_rolling_median", "q206_pareto_frontier")) {
+      val p = finalSection(settled(q))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q expected one keyed exchange, " +
+        s"got $exchanges:\n$p")
+    }
+  }
+
+  test("q205: promo calendar broadcasts; no shuffled product") {
+    val p = finalSection(settled("q205_interval_overlap"))
+    assert(p.contains("BroadcastExchange"), s"q205 lost broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q205 product:\n$p")
+  }
+
   test("q198: per-order windows reuse one order-keyed exchange") {
     val p = finalSection(settled("q198_prorate_allocation"))
     assert(!p.contains("CartesianProduct"), s"q198 product:\n$p")

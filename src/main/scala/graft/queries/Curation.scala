@@ -1955,5 +1955,60 @@ object Curation extends QueryPack {
           CAST(CASE WHEN missing THEN 1 ELSE 0 END AS BIGINT)
             AS was_imputed
         FROM ev JOIN med ON ev.event_type = med.event_type""")),
+
+    // ---- q208: golden-record survivorship — the MDM merge: one
+    //      profile row per entity where each attribute independently
+    //      takes its LATEST NON-NULL observation (deterministically
+    //      synthesized nulls; ties fully broken by event_id), alongside
+    //      lifetime aggregates. `first(_, ignoreNulls) over the
+    //      DESC-ordered full-partition frame` picks per-column
+    //      survivors in the same pass as the aggregates — one
+    //      entity-keyed exchange total, vs the per-column idxmax joins
+    //      a naive survivorship pays. ----
+    QueryDef(
+      "q208_golden_record",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_id") % 5 =!= 0,
+              round(col("value") * 100).cast("long")).as("cents"),
+            when(col("event_id") % 3 =!= 0, col("props")).as("props"))
+          .withColumn("last_cents",
+            first(col("cents"), ignoreNulls = true).over(w))
+          .withColumn("last_props",
+            first(col("props"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"),
+            max(col("last_cents")).as("last_cents"),
+            max(col("last_props")).as("last_props"),
+            sum(col("cents").isNull.cast("long")).as("n_missing_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts, event_id,
+            CASE WHEN event_id % 5 <> 0
+              THEN CAST(round("value" * 100) AS BIGINT) END AS cents,
+            CASE WHEN event_id % 3 <> 0 THEN props END AS props
+          FROM events),
+        surv AS (
+          SELECT user_id, ts, event_id, cents, props,
+            first_value(cents IGNORE NULLS) OVER w AS last_cents,
+            first_value(props IGNORE NULLS) OVER w AS last_props
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, COUNT(*) AS n_events,
+          MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+          MAX(last_cents) AS last_cents, MAX(last_props) AS last_props,
+          CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_missing_cents
+        FROM surv GROUP BY user_id""")),
   )
 }

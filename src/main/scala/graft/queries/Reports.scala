@@ -573,5 +573,75 @@ object Reports extends QueryPack {
         SELECT event_id, user_id, al_score, dist_center, 'highprob'
         FROM (SELECT * FROM f WHERE al_score > 0.5
               ORDER BY al_score DESC, event_id ASC LIMIT 30)""")),
+
+    // ---- q207: RFM segmentation — recency/frequency/monetary quintile
+    //      scores per customer WITHOUT a global rank: each dimension's
+    //      4 quintile cut points come from one percentile_disc aggregate
+    //      row that broadcasts back, and the score is `1 + #cuts below`
+    //      (pure per-row integer comparisons). An ntile would need an
+    //      unpartitioned window — the single-task trap the repo lint
+    //      forbids; threshold binning is the shape that survives a
+    //      customer table at any scale. Output is the bounded 125-cell
+    //      segment matrix. ----
+    QueryDef(
+      "q207_rfm_segments",
+      (s, d) => {
+        val cust = t(s, d, "orders")
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 10000 +
+              month(col("o_orderdate")) * 100 +
+              dayofmonth(col("o_orderdate"))).cast("long").as("datekey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey")
+          .agg(max(col("datekey")).as("r"),
+            count(lit(1)).as("f"),
+            sum(col("cents")).as("m"))
+        def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).map(p =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+            .cast("long").as(s"${c}_${(p * 100).toInt}"))
+        val cut = cust.agg(cuts("r").head,
+          (cuts("r").tail ++ cuts("f") ++ cuts("m")): _*)
+        def score(c: String) =
+          (lit(1) + (col(c) > col(s"${c}_20")).cast("int") +
+            (col(c) > col(s"${c}_40")).cast("int") +
+            (col(c) > col(s"${c}_60")).cast("int") +
+            (col(c) > col(s"${c}_80")).cast("int")).cast("long")
+        cust.crossJoin(broadcast(cut))
+          .select(col("o_custkey"), col("m"),
+            score("r").as("rs"), score("f").as("fs"), score("m").as("ms"))
+          .groupBy("rs", "fs", "ms")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("m")).as("seg_cents"))
+      },
+      Some("""
+        WITH cust AS (
+          SELECT o_custkey,
+            MAX(CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+              + day(o_orderdate) AS BIGINT)) AS r,
+            COUNT(*) AS f,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS m
+          FROM orders GROUP BY 1),
+        cut AS (
+          SELECT
+            quantile_disc(r, 0.2) AS r_20, quantile_disc(r, 0.4) AS r_40,
+            quantile_disc(r, 0.6) AS r_60, quantile_disc(r, 0.8) AS r_80,
+            quantile_disc(f, 0.2) AS f_20, quantile_disc(f, 0.4) AS f_40,
+            quantile_disc(f, 0.6) AS f_60, quantile_disc(f, 0.8) AS f_80,
+            quantile_disc(m, 0.2) AS m_20, quantile_disc(m, 0.4) AS m_40,
+            quantile_disc(m, 0.6) AS m_60, quantile_disc(m, 0.8) AS m_80
+          FROM cust),
+        scored AS (
+          SELECT o_custkey, m,
+            CAST(1 + (r > r_20)::INT + (r > r_40)::INT + (r > r_60)::INT
+              + (r > r_80)::INT AS BIGINT) AS rs,
+            CAST(1 + (f > f_20)::INT + (f > f_40)::INT + (f > f_60)::INT
+              + (f > f_80)::INT AS BIGINT) AS fs,
+            CAST(1 + (m > m_20)::INT + (m > m_40)::INT + (m > m_60)::INT
+              + (m > m_80)::INT AS BIGINT) AS ms
+          FROM cust, cut)
+        SELECT rs, fs, ms, COUNT(*) AS n_customers,
+          CAST(SUM(m) AS BIGINT) AS seg_cents
+        FROM scored GROUP BY 1, 2, 3""")),
   )
 }

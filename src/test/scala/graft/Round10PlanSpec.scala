@@ -120,6 +120,19 @@ class Round10PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"q205 product:\n$p")
   }
 
+  test("q207: quintile cuts broadcast; q208: one entity-keyed exchange") {
+    val p207 = finalSection(settled("q207_rfm_segments"))
+    assert(p207.contains("BroadcastExchange") ||
+      p207.contains("BroadcastNestedLoopJoin"),
+      s"q207 cut row must broadcast:\n$p207")
+    assert(!p207.contains("CartesianProduct"), s"q207 product:\n$p207")
+    val p208 = finalSection(settled("q208_golden_record"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p208).size
+    assert(exchanges == 1,
+      s"q208 survivorship windows + aggregate must share one " +
+        s"user-keyed exchange, got $exchanges:\n$p208")
+  }
+
   test("q198: per-order windows reuse one order-keyed exchange") {
     val p = finalSection(settled("q198_prorate_allocation"))
     assert(!p.contains("CartesianProduct"), s"q198 product:\n$p")

@@ -874,5 +874,125 @@ object Dedup extends QueryPack {
         SELECT fp, COUNT(*) AS n_docs,
           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
           MIN(doc_id) AS keep_id, MAX(doc_id) AS max_id
-        FROM k GROUP BY fp HAVING COUNT(*) > 1""")))
+        FROM k GROUP BY fp HAVING COUNT(*) > 1""")),
+
+    // ---- q211: waterfall entity resolution — the MDM match cascade:
+    //      rule 1 exact normalized equality, rule 2 edit-distance ≤ 1
+    //      (q140's deletion-neighborhood blocking), rule 3 word-order-
+    //      invariant token-sort key (q201's fingerprint); the LOWEST
+    //      rule that fires wins per record and survivors tie-break
+    //      lexicographically. Three dirty classes are planted (case
+    //      mangling / char deletion / token reversal) so every rule
+    //      fires and the precedence window is exercised. Every rule is
+    //      an EQUI-join on a derived key — the cascade adds rules
+    //      without ever adding a pair scan. ----
+    QueryDef(
+      "q211_entity_resolution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val del1 = (cn: Column) => array_union(
+          array(cn),
+          transform(sequence(lit(1), length(cn)), i =>
+            concat(cn.substr(lit(1), i - lit(1)),
+              cn.substr(i + lit(1), length(cn)))))
+        val tsk = (cn: Column) =>
+          array_join(sort_array(split(lower(trim(cn)), "\\s+")), " ")
+        val dict = t(s, d, "part").select(col("p_name").as("name")).distinct()
+        val pos = pmod(col("p_partkey"), length(col("p_name")))
+        val dirty = t(s, d, "part")
+          .filter(col("p_partkey") % 6 === 0)
+          .select(col("p_partkey").as("dirty_id"),
+            when(col("p_partkey") % 3 === 0, upper(col("p_name")))
+              .when(col("p_partkey") % 3 === 1,
+                concat(col("p_name").substr(lit(1), pos),
+                  col("p_name").substr(pos + lit(2),
+                    length(col("p_name")))))
+              .otherwise(array_join(
+                reverse(split(col("p_name"), "\\s+")), " "))
+              .as("dirty_name"))
+        val r1 = dirty.join(dict,
+            lower(trim(col("dirty_name"))) === lower(trim(col("name"))))
+          .select(col("dirty_id"), col("dirty_name"), col("name"),
+            lit(1L).as("rule"))
+        val r2 = dirty
+          .select(col("dirty_id"), col("dirty_name"),
+            explode(del1(lower(col("dirty_name")))).as("variant"))
+          .join(dict.select(col("name"),
+            explode(del1(lower(col("name")))).as("variant")),
+            Seq("variant"))
+          .select("dirty_id", "dirty_name", "name").distinct()
+          .filter(
+            levenshtein(lower(col("dirty_name")), lower(col("name"))) <= 1)
+          .select(col("dirty_id"), col("dirty_name"), col("name"),
+            lit(2L).as("rule"))
+        val r3 = dirty.withColumn("k", tsk(col("dirty_name")))
+          .join(dict.withColumn("k", tsk(col("name"))), Seq("k"))
+          .select(col("dirty_id"), col("dirty_name"), col("name"),
+            lit(3L).as("rule"))
+        val cands = r1.unionByName(r2).unionByName(r3)
+        val w = Window.partitionBy("dirty_id")
+        cands
+          .withColumn("best", min(col("rule")).over(w))
+          .filter(col("rule") === col("best"))
+          .groupBy("dirty_id", "dirty_name", "rule")
+          .agg(min(col("name")).as("matched_name"))
+      },
+      Some("""
+        WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+        dirty AS (
+          SELECT p_partkey AS dirty_id,
+            CASE
+              WHEN p_partkey % 3 = 0 THEN upper(p_name)
+              WHEN p_partkey % 3 = 1 THEN
+                substr(p_name, 1,
+                  CAST(p_partkey % length(p_name) AS INT))
+                || substr(p_name,
+                     CAST(p_partkey % length(p_name) AS INT) + 2)
+              ELSE array_to_string(list_reverse(
+                regexp_split_to_array(p_name, '\s+')), ' ')
+            END AS dirty_name
+          FROM part WHERE p_partkey % 6 = 0),
+        r1 AS (
+          SELECT dirty_id, dirty_name, name, 1 AS rule
+          FROM dirty JOIN dict
+            ON lower(trim(dirty_name)) = lower(trim(name))),
+        dv AS (
+          SELECT dirty_id, dirty_name, unnest(list_distinct(list_append(
+            list_transform(range(1, length(lower(dirty_name)) + 1), i ->
+              substr(lower(dirty_name), 1, CAST(i AS INT) - 1)
+                || substr(lower(dirty_name), CAST(i AS INT) + 1)),
+            lower(dirty_name)))) AS variant
+          FROM dirty),
+        kv AS (
+          SELECT name, unnest(list_distinct(list_append(
+            list_transform(range(1, length(lower(name)) + 1), i ->
+              substr(lower(name), 1, CAST(i AS INT) - 1)
+                || substr(lower(name), CAST(i AS INT) + 1)),
+            lower(name)))) AS variant
+          FROM dict),
+        r2 AS (
+          SELECT dirty_id, dirty_name, name, 2 AS rule FROM (
+            SELECT DISTINCT dirty_id, dirty_name, name
+            FROM dv JOIN kv USING (variant))
+          WHERE levenshtein(lower(dirty_name), lower(name)) <= 1),
+        r3 AS (
+          SELECT dirty_id, dirty_name, name, 3 AS rule
+          FROM (SELECT dirty_id, dirty_name,
+                  array_to_string(list_sort(regexp_split_to_array(
+                    lower(trim(dirty_name)), '\s+')), ' ') AS k
+                FROM dirty) a
+          JOIN (SELECT name,
+                  array_to_string(list_sort(regexp_split_to_array(
+                    lower(trim(name)), '\s+')), ' ') AS k
+                FROM dict) b USING (k)),
+        cands AS (
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3),
+        best AS (
+          SELECT *, MIN(rule) OVER (PARTITION BY dirty_id) AS b
+          FROM cands)
+        SELECT dirty_id, dirty_name, CAST(rule AS BIGINT) AS rule,
+          MIN(name) AS matched_name
+        FROM best WHERE rule = b
+        GROUP BY 1, 2, 3""")))
 }

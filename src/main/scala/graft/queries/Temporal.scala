@@ -2082,5 +2082,92 @@ object Temporal extends QueryPack {
           CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_windows_hit
         FROM j GROUP BY user_id""")),
+
+    // ---- q210: seasonal-naive backtest — forecast(t) = actual(t−24h)
+    //      on the hourly per-type revenue series, scored by integer
+    //      absolute error. The self-join is an EQUI-join on the lagged
+    //      hour index (never an inequality join); the series is already
+    //      the (type, hour) aggregate, so the join input is bounded by
+    //      the bucket domain, not the event count. The baseline every
+    //      forecasting pipeline must beat — and the op that needs only
+    //      integer arithmetic to cross-check. ----
+    QueryDef(
+      "q210_seasonal_backtest",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val series = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $HourUs").as("hb"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "hb")
+          .agg(sum(col("cents")).as("s"))
+        val prev = series.select(col("event_type"),
+          (col("hb") + 24).as("hb"), col("s").as("s_prev"))
+        series.join(prev, Seq("event_type", "hb"))
+          .withColumn("abs_err", abs(col("s") - col("s_prev")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("abs_err")).as("total_abs_err"),
+            max(col("abs_err")).as("max_abs_err"),
+            sum(col("s")).as("total_actual"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              AS s
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT c.event_type, abs(c.s - p.s) AS abs_err, c.s
+          FROM series c JOIN series p
+            ON c.event_type = p.event_type AND c.hb = p.hb + 24)
+        SELECT event_type, COUNT(*) AS n_buckets,
+          CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+          CAST(MAX(abs_err) AS BIGINT) AS max_abs_err,
+          CAST(SUM(s) AS BIGINT) AS total_actual
+        FROM j GROUP BY event_type""")),
+
+    // ---- q212: bounded geometric adstock — marketing-mix carryover
+    //      Σ_{k=0..8} spend(t−k)·2^(8−k) over the observed bucket
+    //      sequence, as a SCALED INTEGER (decay 1/2 per step, ×256):
+    //      dyadic weights make the decayed sum exact in any engine.
+    //      Nine lags in ONE type-keyed window (Spark collapses them
+    //      into a single Window operator over one sort) — the bounded-
+    //      memory form of an "iterative" decay recursion. ----
+    QueryDef(
+      "q212_adstock_decay",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val HourUs = 3600000000L
+        val w = Window.partitionBy("event_type").orderBy(col("hb"))
+        val series = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $HourUs").as("hb"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "hb")
+          .agg(sum(col("cents")).as("s"))
+        val adstock = (0 to 8).map { k =>
+          coalesce(lag(col("s"), k).over(w), lit(0L)) *
+            lit(1L << (8 - k))
+        }.reduce(_ + _)
+        series.withColumn("adstock_x256", adstock)
+          .select("event_type", "hb", "s", "adstock_x256")
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              AS s
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, hb, s,
+          COALESCE(lag(s, 0) OVER w, 0) * 256
+          + COALESCE(lag(s, 1) OVER w, 0) * 128
+          + COALESCE(lag(s, 2) OVER w, 0) * 64
+          + COALESCE(lag(s, 3) OVER w, 0) * 32
+          + COALESCE(lag(s, 4) OVER w, 0) * 16
+          + COALESCE(lag(s, 5) OVER w, 0) * 8
+          + COALESCE(lag(s, 6) OVER w, 0) * 4
+          + COALESCE(lag(s, 7) OVER w, 0) * 2
+          + COALESCE(lag(s, 8) OVER w, 0) AS adstock_x256
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY hb)""")),
   )
 }

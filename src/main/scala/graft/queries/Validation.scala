@@ -1334,5 +1334,89 @@ object Validation extends QueryPack {
             AS BIGINT) AS n_high
         FROM ev JOIN f ON ev.event_type = f.event_type
         GROUP BY 1, 2, 3, 4, 5""")),
+
+    // ---- q209: CUPED variance reduction — the A/B-testing adjustment
+    //      Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) from PRE-period
+    //      covariates (Deng et al. 2013). Per-user period sums are
+    //      exact integers; the pooled moment row uses the q49 decimal-
+    //      sum discipline (exact sums → double, then one identical
+    //      IEEE expression in both engines). Two keyed aggregates
+    //      (user, then arm) + two broadcast scalar rows — the whole
+    //      experiment readout costs one fact pass at any scale. ----
+    QueryDef(
+      "q209_cuped_adjustment",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val rng = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val per = ev.crossJoin(broadcast(rng))
+          .withColumn("pre", col("ts") < expr("(lo + hi) div 2"))
+          .groupBy("user_id")
+          .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+          .withColumn("arm", col("user_id") % 2)
+        val xd = col("x").cast("decimal(19,0)")
+        val yd = col("y").cast("decimal(19,0)")
+        val stats = per.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(xd).cast("double").as("sx"),
+          sum(yd).cast("double").as("sy"),
+          sum(xd * xd).cast("double").as("sxx"),
+          sum(xd * yd).cast("double").as("sxy"))
+          .withColumn("theta",
+            when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx"))))
+          .withColumn("xbar", col("sx") / col("n"))
+          .select("theta", "xbar")
+        per.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum(xd).cast("double").as("ax"),
+            sum(yd).cast("double").as("ay"))
+          .crossJoin(broadcast(stats))
+          .select(col("arm"), col("n_users"), col("theta"),
+            (col("ay") / col("n_users").cast("double")).as("mean_y"),
+            (col("ay") / col("n_users").cast("double") -
+              col("theta") *
+                (col("ax") / col("n_users").cast("double") - col("xbar")))
+              .as("mean_y_adj"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        rng AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM ev),
+        per AS (
+          SELECT user_id, user_id % 2 AS arm,
+            CAST(SUM(CASE WHEN ts < (lo + hi) // 2 THEN cents
+              ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN ts >= (lo + hi) // 2 THEN cents
+              ELSE 0 END) AS BIGINT) AS y
+          FROM ev, rng GROUP BY 1, 2),
+        st AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy
+          FROM per),
+        th AS (
+          SELECT
+            CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+            sx / n AS xbar
+          FROM st)
+        SELECT arm, COUNT(*) AS n_users, theta,
+          CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+          CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)
+            - theta * (CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) - xbar) AS mean_y_adj
+        FROM per, th GROUP BY arm, theta, xbar""")),
   )
 }

@@ -327,5 +327,81 @@ object Graph extends QueryPack {
         SELECT f.da AS doc_a, f.db AS doc_b, f.dot AS dot
         FROM best f JOIN best g ON f.da = g.db AND f.db = g.da
         WHERE f.da < f.db""")),
+
+    // ---- q214: degree assortativity — do similar documents cluster
+    //      with similarly-connected documents? Pearson correlation of
+    //      endpoint degrees over the SYMMETRIZED edge list (Newman
+    //      2002). All moment sums are exact integers (degrees are
+    //      ints), shipped alongside the one IEEE-identical r — the
+    //      q49 discipline applied to graph structure. Cost: the edge
+    //      derivation plus two degree joins and a one-row reduce. ----
+    QueryDef(
+      "q214_degree_assortativity",
+      (s, d) => {
+        val e = simEdges(s, d)
+        val sym = e.select(col("u").as("a"), col("v").as("b"))
+          .union(e.select(col("v").as("a"), col("u").as("b")))
+        val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        val m = sym
+          .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
+          .join(deg.select(col("a").as("b"), col("deg").as("dy")),
+            Seq("b"))
+          .agg(count(lit(1)).as("n_dir_edges"),
+            sum(col("dx")).as("sx"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dx") * col("dy")).as("sxy"))
+        val nD = col("n_dir_edges").cast("double")
+        m.withColumn("r_assort",
+          when(nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") =!= 0.0,
+            (nD * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (nD * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double"))))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tk),
+        tf AS (
+          SELECT doc_id, g, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        rare AS (
+          SELECT g FROM tf GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+        posting AS (
+          SELECT tf.doc_id, tf.g, tf.tf FROM tf JOIN rare USING (g)),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM posting a JOIN posting b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING SUM(a.tf * b.tf) >= 4 AND COUNT(*) >= 2),
+        sym AS (
+          SELECT u AS a, v AS b FROM edges
+          UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n_dir_edges,
+            CAST(SUM(dx.deg) AS BIGINT) AS sx,
+            CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+            CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+          FROM sym s
+          JOIN deg dx ON dx.a = s.a
+          JOIN deg dy ON dy.a = s.b)
+        SELECT n_dir_edges, sx, sxx, sxy,
+          CASE WHEN CAST(n_dir_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(n_dir_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n_dir_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          END AS r_assort
+        FROM m""")),
   )
 }

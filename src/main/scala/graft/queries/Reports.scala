@@ -643,5 +643,62 @@ object Reports extends QueryPack {
         SELECT rs, fs, ms, COUNT(*) AS n_customers,
           CAST(SUM(m) AS BIGINT) AS seg_cents
         FROM scored GROUP BY 1, 2, 3""")),
+
+    // ---- q215: cohort LTV curve — cumulative revenue per acquisition
+    //      cohort by age: users cohort on their FIRST 30-day bucket,
+    //      revenue rolls up per (cohort, age), the cumsum window keys
+    //      by cohort, and LTV-per-user ships as exact integer micro-
+    //      cents-per-user (cum·1e6 div cohort_size). The payback-curve
+    //      readout behind every acquisition-spend decision; q127's
+    //      retention counts say who stays, this says what they're
+    //      worth. Two keyed exchanges (user, then cohort). ----
+    QueryDef(
+      "q215_cohort_ltv",
+      (s, d) => {
+        val BucketUs = 2592000000000L // 30 days
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr(s"ts div $BucketUs").as("mb"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(col("mb")).as("cohort"))
+        val sizes = cohort.groupBy("cohort")
+          .agg(count(lit(1)).as("n_users"))
+        val byAge = ev.join(cohort, Seq("user_id"))
+          .withColumn("age", col("mb") - col("cohort"))
+          .groupBy("cohort", "age")
+          .agg(sum(col("cents")).as("rev_cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort").orderBy("age")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        byAge
+          .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+          .join(broadcast(sizes), Seq("cohort"))
+          .select(col("cohort"), col("age"), col("n_users"),
+            col("rev_cents"), col("cum_cents"),
+            expr("cum_cents * 1000000 div n_users").as("ltv_ucents_pu"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 2592000000000 AS mb,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(mb) AS cohort FROM ev GROUP BY 1),
+        sizes AS (
+          SELECT cohort, COUNT(*) AS n_users FROM cohort GROUP BY 1),
+        byage AS (
+          SELECT c.cohort, e.mb - c.cohort AS age,
+            CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+          FROM ev e JOIN cohort c USING (user_id)
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort, age, rev_cents,
+            CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+          FROM byage)
+        SELECT cohort, age, n_users, rev_cents, cum_cents,
+          cum_cents * 1000000 // n_users AS ltv_ucents_pu
+        FROM cum JOIN sizes USING (cohort)""")),
   )
 }

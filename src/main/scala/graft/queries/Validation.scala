@@ -1418,5 +1418,67 @@ object Validation extends QueryPack {
             - theta * (CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE) - xbar) AS mean_y_adj
         FROM per, th GROUP BY arm, theta, xbar""")),
+
+    // ---- q213: ID-gap ranges — the sequence-integrity audit ("which
+    //      ids are missing?") WITHOUT a global-order window. Three
+    //      levels: ids lag within 256-id BLOCKS (keyed window), block
+    //      min/max summaries lag within 65536-block SUPER-blocks
+    //      (keyed window, 256× smaller input), and the super-block
+    //      summaries — domain/2^24 rows — fold on the driver (the
+    //      q190 bounded-collect shape; add a fourth level before this
+    //      outgrows one collect). The oracle is the plain global-lag
+    //      query: hash equality proves hierarchical stitch ≡ one
+    //      global scan. Synthetic deletions (id % 97 = 0) plant gaps
+    //      deterministically. ----
+    QueryDef(
+      "q213_id_gap_ranges",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 256
+        val ids = t(s, d, "events")
+          .select(col("event_id").as("id"))
+          .filter(col("id") % 97 =!= 0)
+          .distinct()
+          .withColumn("blk", expr(s"id div $B"))
+        val wLocal = Window.partitionBy("blk").orderBy("id")
+        val local = ids
+          .withColumn("prev", lag(col("id"), 1).over(wLocal))
+          .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+          .select((col("prev") + 1).as("gap_start"),
+            (col("id") - 1).as("gap_end"))
+        val summaries = ids.groupBy("blk")
+          .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+          .withColumn("sblk", expr("blk div 65536"))
+        val wSuper = Window.partitionBy("sblk").orderBy("blk")
+        val stitch = summaries
+          .withColumn("prev_mx", lag(col("mx"), 1).over(wSuper))
+          .filter(col("prev_mx").isNotNull &&
+            col("mn") - col("prev_mx") > 1)
+          .select((col("prev_mx") + 1).as("gap_start"),
+            (col("mn") - 1).as("gap_end"))
+        // level 3: cross-super-block seams — domain/2^24 rows, driver
+        val seams = summaries.groupBy("sblk")
+          .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          .collect().sortBy(_.getAs[Long]("sblk"))
+          .sliding(2).collect {
+            case Array(a, b)
+                if b.getAs[Long]("mn") - a.getAs[Long]("mx") > 1 =>
+              (a.getAs[Long]("mx") + 1, b.getAs[Long]("mn") - 1)
+          }.toSeq
+        val spark0 = ids.sparkSession
+        import spark0.implicits._
+        local.unionByName(stitch)
+          .unionByName(seams.toDF("gap_start", "gap_end"))
+          .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+      },
+      Some("""
+        WITH ids AS (
+          SELECT DISTINCT event_id AS id FROM events
+          WHERE event_id % 97 <> 0),
+        l AS (
+          SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+        SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+          id - prev - 1 AS gap_len
+        FROM l WHERE prev IS NOT NULL AND id - prev > 1""")),
   )
 }

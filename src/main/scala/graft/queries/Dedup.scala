@@ -994,5 +994,138 @@ object Dedup extends QueryPack {
         SELECT dirty_id, dirty_name, CAST(rule AS BIGINT) AS rule,
           MIN(name) AS matched_name
         FROM best WHERE rule = b
-        GROUP BY 1, 2, 3""")))
+        GROUP BY 1, 2, 3""")),
+
+    // ---- q216: MinHash calibration audit — how well does the sketch
+    //      estimate track exact Jaccard on THIS corpus? A fully
+    //      PORTABLE 8-lane minhash (md5 shingle digests pushed through
+    //      k universal-hash lanes (a_i·h + b_i) mod 2^31−1 — pure
+    //      int64 arithmetic any engine reproduces) generates
+    //      candidates by 4 two-lane band joins, then each candidate
+    //      pair reports estimated vs exact Jaccard ppm and their
+    //      error. The audit a team runs BEFORE trusting LSH recall at
+    //      a new corpus; a deterministic 25% doc sample bounds cost
+    //      (calibration needs a sample, not the corpus). All joins
+    //      are band-key equi-joins; sets ride the pair join only for
+    //      surviving candidates. ----
+    QueryDef(
+      "q216_minhash_calibration",
+      (s, d) => {
+        val M = 2147483647L
+        val docs = t(s, d, "documents")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"),
+            array_distinct(wordShingles(col("text"), 2)).as("sh"))
+          .filter(size(col("sh")) >= 1)
+        // one md5 per shingle → 32-bit int (the q57 hex idiom), then
+        // 8 universal-hash lanes over the digest
+        val hs = transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+        val lanes = transform(sequence(lit(0), lit(7)), i => {
+          val a = (lit(2654435761L) * (i + 1)) % M
+          val b = (lit(1013904223L) * (i + 1)) % M
+          array_min(transform(col("hs0"), h => (a * h + b) % M))
+        })
+        val sigs = docs.withColumn("hs0", hs)
+          .select(col("doc_id"), col("sh"), lanes.as("sig"))
+          .persist()
+        try {
+          val bandStructs = array((0 to 3).map(b =>
+            struct(lit(b).as("band"),
+              element_at(col("sig"), b * 2 + 1).as("l0"),
+              element_at(col("sig"), b * 2 + 2).as("l1"))): _*)
+          val bands = sigs.select(col("doc_id"), col("sig"),
+            explode(bandStructs).as("bk"))
+            .select(col("doc_id"), col("sig"), col("bk.*"))
+          val cands = bands.as("x")
+            .join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.l0") === col("y.l0") &&
+                col("x.l1") === col("y.l1") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"),
+              col("y.doc_id").as("doc_b"))
+            .distinct()
+          val withSets = cands
+            .join(sigs.select(col("doc_id").as("doc_a"),
+              col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("doc_a"))
+            .join(sigs.select(col("doc_id").as("doc_b"),
+              col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          withSets
+            .withColumn("n_eq",
+              size(filter(zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => x === y), b => b)))
+            .withColumn("est_ppm", expr("n_eq * 1000000 div 8"))
+            .withColumn("inter",
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+            .withColumn("uni",
+              (size(col("sh_a")) + size(col("sh_b"))).cast("long") -
+                col("inter"))
+            .withColumn("exact_ppm", expr("inter * 1000000 div uni"))
+            .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+              col("exact_ppm"),
+              abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
+        } finally sigs.unpersist()
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+              i -> array_to_string(list_slice(
+                regexp_split_to_array(trim(text), '\s+'), i, i + 1),
+                ' '))) AS sh
+          FROM documents
+          WHERE doc_id % 4 = 0
+            AND len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        hs AS (
+          SELECT doc_id, sh,
+            list_transform(sh, tk ->
+                (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1)
+                  * 268435456
+              + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)
+                  * 16777216
+              + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1)
+                  * 1048576
+              + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+                  * 65536
+              + (strpos('0123456789abcdef', substr(md5(tk), 5, 1)) - 1)
+                  * 4096
+              + (strpos('0123456789abcdef', substr(md5(tk), 6, 1)) - 1)
+                  * 256
+              + (strpos('0123456789abcdef', substr(md5(tk), 7, 1)) - 1)
+                  * 16
+              + (strpos('0123456789abcdef', substr(md5(tk), 8, 1)) - 1))
+              AS h
+          FROM docs),
+        sigs AS (
+          SELECT doc_id, sh,
+            list_transform(range(0, 8), i ->
+              list_min(list_transform(h, x ->
+                (((2654435761 * (i + 1)) % 2147483647) * x
+                  + (1013904223 * (i + 1)) % 2147483647)
+                  % 2147483647))) AS sig
+          FROM hs),
+        bands AS (
+          SELECT doc_id, sh, sig, b AS band,
+            sig[b * 2 + 1] AS l0, sig[b * 2 + 2] AS l1
+          FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.l0 = y.l0 AND x.l1 = y.l1
+              AND x.doc_id < y.doc_id),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+            len(list_filter(range(1, 9),
+              i -> a.sig[i] = b.sig[i])) * 1000000 // 8 AS est_ppm,
+            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+              // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              AS exact_ppm
+          FROM cands c
+          JOIN sigs a ON a.doc_id = c.doc_a
+          JOIN sigs b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, est_ppm, exact_ppm,
+          abs(est_ppm - exact_ppm) AS err_ppm
+        FROM scored""")))
 }

@@ -2169,5 +2169,59 @@ object Temporal extends QueryPack {
           + COALESCE(lag(s, 8) OVER w, 0) AS adstock_x256
         FROM series
         WINDOW w AS (PARTITION BY event_type ORDER BY hb)""")),
+
+    // ---- q218: late-arrival audit — the measurement that SIZES a
+    //      streaming watermark: lateness(e) = (running max event-time
+    //      seen at e's arrival) − e's own event-time. The driver's
+    //      events arrive exactly in event-time order, so arrival order
+    //      is simulated with a deterministic jitter permutation
+    //      (arrival = id + (id mod 7)·3, the shape a sharded producer
+    //      injects). Per source: late fraction, worst lateness, and
+    //      disc percentiles of the late tail (cast long, the q153
+    //      discipline) = the delay budget that bounds state retention.
+    //      One source-keyed window + one combinable aggregate. ----
+    QueryDef(
+      "q218_late_arrival_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy("arrival", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("ts"))
+          .withColumn("arrival",
+            col("event_id") + (col("event_id") % 7) * 3)
+          .withColumn("late_us", max(col("ts")).over(w) - col("ts"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("late_us") > 0).cast("long")).as("n_late"),
+            max(col("late_us")).as("max_late_us"),
+            expr("percentile_disc(0.5) WITHIN GROUP " +
+              "(ORDER BY CASE WHEN late_us > 0 THEN late_us END)")
+              .cast("long").as("p50_late_us"),
+            expr("percentile_disc(0.95) WITHIN GROUP " +
+              "(ORDER BY CASE WHEN late_us > 0 THEN late_us END)")
+              .cast("long").as("p95_late_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id, epoch_us(ts) AS ts,
+            event_id + (event_id % 7) * 3 AS arrival
+          FROM events),
+        l AS (
+          SELECT event_type,
+            MAX(ts) OVER (PARTITION BY event_type
+              ORDER BY arrival, event_id
+              ROWS UNBOUNDED PRECEDING) - ts AS late_us
+          FROM ev)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late,
+          CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+          quantile_disc(CASE WHEN late_us > 0 THEN late_us END, 0.5)
+            AS p50_late_us,
+          quantile_disc(CASE WHEN late_us > 0 THEN late_us END, 0.95)
+            AS p95_late_us
+        FROM l GROUP BY event_type""")),
   )
 }

@@ -623,7 +623,53 @@ object TextAnalysis extends QueryPack {
               * CAST(SUM(x * x) AS BIGINT)
             + 2 * CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)
               * CAST(SUM(x) AS BIGINT) AS skew_num
-        FROM ev GROUP BY 1, 2""")))
+        FROM ev GROUP BY 1, 2""")),
+
+    // ---- q217: n-gram novelty — per-document memorization-risk audit:
+    //      what fraction of a doc's distinct word 3-grams appear in NO
+    //      other document? High-novelty docs carry unique content (PII,
+    //      rare knowledge — the rows a dedup pass can't defend); low
+    //      novelty means the doc restates the corpus. One tf pass,
+    //      one combinable df aggregate over the gram domain, one
+    //      gram-keyed join back — the q72 shuffle budget with a df=1
+    //      twist, never a pair join. ----
+    QueryDef(
+      "q217_ngram_novelty",
+      (s, d) => {
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(wordShingles(col("text"), 3)))
+              .as("g"))
+        val df = grams.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        grams.join(df, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty_ppm",
+            expr("n_unique * 1000000 div n_grams"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+            AS g
+          FROM tk WHERE len(toks) >= 3),
+        df AS (
+          SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM g GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unique,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS novelty_ppm
+        FROM g JOIN df USING (g)
+        GROUP BY doc_id""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

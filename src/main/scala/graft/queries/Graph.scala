@@ -28,11 +28,13 @@ object Graph extends QueryPack {
     */
   private def simEdges(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    // compiled one-pass POSITIONAL shingle kernel (same strings as the
+    // HOF form: consecutive lowercased tokens joined by ' ', duplicates
+    // kept — tf needs them; wordShingles would dedupe). The gram pass
+    // is paid by five graph queries per bench sweep, so the codegen'd
+    // form matters.
+    val grams = graft.functions.HashFunctions
+      .ngramJoin(tokens(lower(col("text"))), 3)
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g")
@@ -264,11 +266,11 @@ object Graph extends QueryPack {
       "q187_mutual_nn",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = tokens(lower(col("text")))
-        val grams = when(size(toks) >= 3,
-          transform(sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", slice(toks, i, lit(3)))))
-          .otherwise(array().cast("array<string>"))
+        // compiled positional 3-gram kernel — string-identical to the
+        // HOF form (consecutive lowercased tokens joined by ' '),
+        // duplicates kept for tf, one codegen'd pass per row
+        val grams = graft.functions.HashFunctions
+          .ngramJoin(tokens(lower(col("text"))), 3)
         val tf = t(s, d, "documents")
           .select(col("doc_id"), explode(grams).as("g"))
           .groupBy("doc_id", "g")

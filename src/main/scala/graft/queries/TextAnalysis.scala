@@ -476,11 +476,11 @@ object TextAnalysis extends QueryPack {
         // features are 3-gram shingles WITH multiplicity (the corpus
         // vocabulary is tiny, so unigrams are all stopword-like; the
         // shingle space is where documents are distinctive)
-        val toks = tokens(lower(col("text")))
-        val grams = when(size(toks) >= 3,
-          transform(sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", slice(toks, i, lit(3)))))
-          .otherwise(array().cast("array<string>"))
+        // compiled positional 3-gram kernel — string-identical to the
+        // HOF form (consecutive lowercased tokens joined by ' '),
+        // duplicates kept for tf, one codegen'd pass per row
+        val grams = graft.functions.HashFunctions
+          .ngramJoin(tokens(lower(col("text"))), 3)
         val tf = t(s, d, "documents")
           .select(col("doc_id"), explode(grams).as("term"))
           .groupBy("doc_id", "term")
@@ -545,11 +545,11 @@ object TextAnalysis extends QueryPack {
     QueryDef(
       "q195_source_overlap",
       (s, d) => {
-        val toks = tokens(lower(col("text")))
-        val grams = when(size(toks) >= 3,
-          transform(sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", slice(toks, i, lit(3)))))
-          .otherwise(array().cast("array<string>"))
+        // compiled positional 3-gram kernel — string-identical to the
+        // HOF form (consecutive lowercased tokens joined by ' '),
+        // duplicates kept for tf, one codegen'd pass per row
+        val grams = graft.functions.HashFunctions
+          .ngramJoin(tokens(lower(col("text"))), 3)
         val sv = t(s, d, "documents")
           .select(col("source"), explode(grams).as("g"))
           .distinct()

@@ -191,5 +191,66 @@ object Layout extends QueryPack {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY l_returnflag""")),
+
+    // ---- q222: bucket-balance audit — BEFORE committing a bucketed
+    //      layout (q51) or salted key scheme (Y4), measure how evenly
+    //      a proposed hash spreads the keys: bucket by a PORTABLE
+    //      md5-derived hash (the q57 hex idiom, so the oracle sees the
+    //      identical assignment), then per-bucket counts plus the
+    //      max/mean skew ratio every balance decision reads. One
+    //      combinable aggregate over the key domain; the one-row total
+    //      broadcasts back. ----
+    QueryDef(
+      "q222_bucket_balance",
+      (s, d) => {
+        val B = 32
+        val h = conv(substring(md5(col("o_orderkey").cast("string")),
+          1, 8), 16, 10).cast("long")
+        val bkt = t(s, d, "orders")
+          .select(pmod(h, lit(B)).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+        val tot = bkt.agg(sum(col("n")).as("total"),
+          max(col("n")).as("mx"))
+        bkt.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n"),
+            expr(s"n * $B * 1000000 div total").as("load_ppm_of_even"),
+            expr(s"mx * $B * 1000000 div total").as("worst_ppm_of_even"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT (
+              (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+                * 268435456
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+                * 16777216
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1)
+                * 1048576
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)
+                * 65536
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 1)) - 1)
+                * 4096
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 6, 1)) - 1)
+                * 256
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 1)) - 1)
+                * 16
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 8, 1)) - 1))
+            % 32 AS bucket
+          FROM orders),
+        c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+          CAST(MAX(n) AS BIGINT) AS mx FROM c)
+        SELECT bucket, n,
+          n * 32 * 1000000 // total AS load_ppm_of_even,
+          mx * 32 * 1000000 // total AS worst_ppm_of_even
+        FROM c, t""")),
   )
 }

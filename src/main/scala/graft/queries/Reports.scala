@@ -700,5 +700,75 @@ object Reports extends QueryPack {
         SELECT cohort, age, n_users, rev_cents, cum_cents,
           cum_cents * 1000000 // n_users AS ltv_ucents_pu
         FROM cum JOIN sizes USING (cohort)""")),
+
+    // ---- q225: scorecard construction — the credit-scoring shape:
+    //      per-user behavioral features (non-purchase activity only —
+    //      the outcome event never leaks into its own features), each
+    //      binned into terciles by broadcast disc cuts (the q207
+    //      threshold discipline, no global rank), points summed into a
+    //      0–6 score, and the score bands read out with their actual
+    //      conversion rates — the calibration table that decides
+    //      whether the points mean anything. All integer; two keyed
+    //      aggregates + broadcast cuts. ----
+    QueryDef(
+      "q225_scorecard",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val feat = ev.filter(col("event_type") =!= "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("f"),
+            sum(round(col("value") * 100).cast("long")).as("m"),
+            countDistinct(expr("ts div 86400000000")).as("r"))
+        val buyers = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+          .withColumn("bought", lit(1L))
+        def cuts(c: String) = Seq(1.0 / 3, 2.0 / 3).map(p =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+            .cast("long").as(s"${c}_${if (p < 0.5) 1 else 2}"))
+        val cut = feat.agg(cuts("f").head,
+          (cuts("f").tail ++ cuts("m") ++ cuts("r")): _*)
+        def pts(c: String) =
+          ((col(c) > col(s"${c}_1")).cast("long") +
+            (col(c) > col(s"${c}_2")).cast("long"))
+        feat.crossJoin(broadcast(cut))
+          .join(buyers, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (pts("f") + pts("m") + pts("r")).as("score"),
+            coalesce(col("bought"), lit(0L)).as("bought"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("bought")).as("n_buyers"))
+          .withColumn("conv_ppm",
+            expr("n_buyers * 1000000 div n_users"))
+      },
+      Some("""
+        WITH feat AS (
+          SELECT user_id, COUNT(*) AS f,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              AS m,
+            CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+              AS r
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY 1),
+        buyers AS (
+          SELECT DISTINCT user_id, 1 AS bought FROM events
+          WHERE event_type = 'purchase'),
+        cut AS (
+          SELECT
+            quantile_disc(f, 1.0/3) AS f_1, quantile_disc(f, 2.0/3) AS f_2,
+            quantile_disc(m, 1.0/3) AS m_1, quantile_disc(m, 2.0/3) AS m_2,
+            quantile_disc(r, 1.0/3) AS r_1, quantile_disc(r, 2.0/3) AS r_2
+          FROM feat),
+        scored AS (
+          SELECT user_id,
+            CAST((f > f_1)::INT + (f > f_2)::INT + (m > m_1)::INT
+              + (m > m_2)::INT + (r > r_1)::INT + (r > r_2)::INT
+              AS BIGINT) AS score,
+            CAST(COALESCE(bought, 0) AS BIGINT) AS bought
+          FROM feat CROSS JOIN cut LEFT JOIN buyers USING (user_id))
+        SELECT score, COUNT(*) AS n_users,
+          CAST(SUM(bought) AS BIGINT) AS n_buyers,
+          CAST(SUM(bought) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
+        FROM scored GROUP BY score""")),
   )
 }

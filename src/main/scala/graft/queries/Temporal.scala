@@ -2223,5 +2223,107 @@ object Temporal extends QueryPack {
           quantile_disc(CASE WHEN late_us > 0 THEN late_us END, 0.95)
             AS p95_late_us
         FROM l GROUP BY event_type""")),
+
+    // ---- q220: conversion survival table — of users who signed up,
+    //      how many purchased within k days (k = 0..13)? Per-user
+    //      first-signup / first-subsequent-purchase reduce to one row
+    //      per user; the 14-row horizon table rides a broadcast and
+    //      the curve is one combinable aggregate per k. The
+    //      time-to-event readout (activation, payback, SLA breach)
+    //      with censoring made explicit — n_pending is the
+    //      still-unconverted tail, never silently dropped. ----
+    QueryDef(
+      "q220_conversion_survival",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val delta = su.join(pu, Seq("user_id"), "left")
+          .groupBy("user_id", "s_ts")
+          .agg(min(when(col("p_ts") >= col("s_ts"), col("p_ts")))
+            .as("first_p"))
+          .withColumn("delta_day",
+            expr(s"(first_p - s_ts) div $DayUs"))
+        val ks = ev.sparkSession.range(0, 14).select(col("id").as("k"))
+        delta.crossJoin(broadcast(ks))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_signups"),
+            sum((col("delta_day").isNotNull &&
+              col("delta_day") <= col("k")).cast("long"))
+              .as("n_converted_by_k"))
+          .withColumn("n_pending",
+            col("n_signups") - col("n_converted_by_k"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        su AS (
+          SELECT user_id, MIN(ts) AS s_ts FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT user_id, ts AS p_ts FROM ev
+          WHERE event_type = 'purchase'),
+        delta AS (
+          SELECT su.user_id, su.s_ts,
+            (MIN(CASE WHEN pu.p_ts >= su.s_ts THEN pu.p_ts END)
+              - su.s_ts) // 86400000000 AS delta_day
+          FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+          GROUP BY 1, 2),
+        ks AS (SELECT unnest(range(0, 14)) AS k)
+        SELECT k, COUNT(*) AS n_signups,
+          CAST(SUM(CASE WHEN delta_day IS NOT NULL AND delta_day <= k
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_by_k,
+          COUNT(*) - CAST(SUM(CASE WHEN delta_day IS NOT NULL
+            AND delta_day <= k THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pending
+        FROM delta, ks GROUP BY k""")),
+
+    // ---- q226: DAU/MAU stickiness — the growth metric, computed
+    //      WITHOUT a sliding distinct: each (user, active-day) row
+    //      fans out to the 30 trailing windows it counts toward
+    //      (bounded ×30 on the ALREADY-DEDUPED user-day table, not on
+    //      events), so MAU is an ordinary combinable distinct count
+    //      per window day. Window days clip to the observed range via
+    //      a one-row broadcast. stickiness = DAU·1e6 div MAU, exact
+    //      integers. ----
+    QueryDef(
+      "q226_stickiness",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+          .distinct()
+        val rng = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val mau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 29)).as("wday"))
+          .distinct()
+          .crossJoin(broadcast(rng))
+          .filter(col("wday") <= col("hi"))
+          .groupBy("wday")
+          .agg(count(lit(1)).as("mau"))
+        dau.join(mau, dau("day") === mau("wday"))
+          .select(col("day"), col("dau"), col("mau"),
+            expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        rng AS (SELECT MAX(day) AS hi FROM ud),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        mem AS (
+          SELECT DISTINCT user_id, day + w AS wday
+          FROM ud, (SELECT unnest(range(0, 30)) AS w)),
+        mau AS (
+          SELECT wday, COUNT(*) AS mau
+          FROM mem, rng WHERE wday <= hi GROUP BY 1)
+        SELECT day, dau, mau, dau * 1000000 // mau AS stickiness_ppm
+        FROM dau JOIN mau ON dau.day = mau.wday""")),
   )
 }

@@ -1480,5 +1480,101 @@ object Validation extends QueryPack {
         SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
           id - prev - 1 AS gap_len
         FROM l WHERE prev IS NOT NULL AND id - prev > 1""")),
+
+    // ---- q219: two-sample Q-Q table — click vs view revenue deciles
+    //      side by side (the distribution-comparison readout behind
+    //      every Q-Q plot). Each side reduces to ONE row carrying a
+    //      9-element disc-percentile array (element-picking, cast
+    //      long), posexploded into the decile table — a bounded
+    //      two-row broadcast join, zero fact-side shuffles beyond the
+    //      two aggregates. Complements q61's KS statistic (a single
+    //      worst-gap number) with the per-decile shape. ----
+    QueryDef(
+      "q219_qq_table",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def side(tpe: String, out: String) = ev
+          .filter(col("event_type") === tpe)
+          .agg(array((1 to 9).map(k =>
+            expr(s"percentile_disc(0.${k}) WITHIN GROUP " +
+              "(ORDER BY cents)").cast("long")): _*).as(out))
+        side("click", "qa").crossJoin(side("view", "qb"))
+          .select(posexplode(arrays_zip(col("qa"), col("qb"))))
+          .select((col("pos") + 1).as("decile"),
+            col("col.qa").as("q_click"), col("col.qb").as("q_view"),
+            (col("col.qa") - col("col.qb")).as("diff_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        qa AS (
+          SELECT quantile_disc(cents,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS l
+          FROM ev WHERE event_type = 'click'),
+        qb AS (
+          SELECT quantile_disc(cents,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS l
+          FROM ev WHERE event_type = 'view'),
+        ks AS (SELECT unnest(range(1, 10)) AS decile)
+        SELECT decile, qa.l[decile] AS q_click, qb.l[decile] AS q_view,
+          qa.l[decile] - qb.l[decile] AS diff_cents
+        FROM ks, qa, qb""")),
+
+    // ---- q221: histogram-intersection similarity between event types
+    //      — Σ min(count_a(bin), count_b(bin)) over value bins, the
+    //      integer distribution-similarity kernel (Swain & Ballard's
+    //      histogram intersection). Bins aggregate map-side; the pair
+    //      join is an equi-join on BIN (never on rows) over the
+    //      bounded (type, bin) domain; non-shared bins contribute 0,
+    //      so an inner join suffices. The cheap "which metrics moved
+    //      together" matrix across sources/segments. ----
+    QueryDef(
+      "q221_hist_intersection",
+      (s, d) => {
+        val h = t(s, d, "events")
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT) div 1000")
+              .as("bin"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("c"))
+        val tot = h.groupBy("event_type").agg(sum(col("c")).as("tot"))
+        h.select(col("event_type").as("ta"), col("bin"), col("c").as("ca"))
+          .join(h.select(col("event_type").as("tb"), col("bin"),
+            col("c").as("cb")), Seq("bin"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(sum(least(col("ca"), col("cb"))).as("inter"))
+          .join(broadcast(tot.select(col("event_type").as("ta"),
+            col("tot").as("tot_a"))), Seq("ta"))
+          .join(broadcast(tot.select(col("event_type").as("tb"),
+            col("tot").as("tot_b"))), Seq("tb"))
+          .select(col("ta"), col("tb"), col("inter"), col("tot_a"),
+            col("tot_b"),
+            expr("inter * 2000000 div (tot_a + tot_b)").as("sim_ppm"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) // 1000 AS bin,
+            COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot
+          FROM h GROUP BY 1),
+        p AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+            CAST(SUM(least(a.c, b.c)) AS BIGINT) AS inter
+          FROM h a JOIN h b ON a.bin = b.bin
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT ta, tb, inter, x.tot AS tot_a, y.tot AS tot_b,
+          inter * 2000000 // (x.tot + y.tot) AS sim_ppm
+        FROM p
+        JOIN tot x ON x.event_type = p.ta
+        JOIN tot y ON y.event_type = p.tb""")),
   )
 }

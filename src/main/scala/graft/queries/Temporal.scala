@@ -2325,5 +2325,77 @@ object Temporal extends QueryPack {
           FROM mem, rng WHERE wday <= hi GROUP BY 1)
         SELECT day, dau, mau, dau * 1000000 // mau AS stickiness_ppm
         FROM dau JOIN mau ON dau.day = mau.wday""")),
+
+    // ---- q223: last-non-direct-click attribution — the GA-classic
+    //      rule (q148/q193 cover linear and U-shaped): each purchase
+    //      credits the most recent NON-direct touch within a 7-day
+    //      lookback; direct-only journeys fall back to 'direct'. The
+    //      non-direct restriction happens by FILTERING the touch side
+    //      BEFORE the as-of join — rule changes never change the join
+    //      shape (one user-keyed as-of pass, q45 machinery). Channels
+    //      derive deterministically from event ids so both engines
+    //      attribute the identical journey set. ----
+    QueryDef(
+      "q223_last_nondirect",
+      (s, d) => {
+        val LookbackUs = 604800000000L // 7 days
+        val channel = expr(
+          """CASE event_id % 5 WHEN 0 THEN 'direct' WHEN 1 THEN 'email'
+             WHEN 2 THEN 'social' WHEN 3 THEN 'search'
+             ELSE 'ads' END""")
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("ts_us"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("channel", channel)
+          .filter(col("channel") =!= "direct")
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
+          .agg(min(col("event_id")).as("touch_id"))
+          .withColumn("touch_ts", col("ts_us"))
+        AsOfJoin.priorJoin(conv, touches, "user_id", "ts_us",
+          Seq("touch_id", "touch_ts"))
+          .withColumn("credited",
+            col("touch_id").isNotNull &&
+              col("ts_us") - col("touch_ts") <= LookbackUs)
+          .join(ev.select(col("event_id").as("touch_id"),
+            channel.as("tch")), Seq("touch_id"), "left")
+          .withColumn("channel",
+            when(col("credited"), col("tch")).otherwise(lit("direct")))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_conversions"),
+            sum(col("cents")).as("credited_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts,
+            CAST(round("value" * 100) AS BIGINT) AS cents,
+            CASE event_id % 5 WHEN 0 THEN 'direct' WHEN 1 THEN 'email'
+              WHEN 2 THEN 'social' WHEN 3 THEN 'search'
+              ELSE 'ads' END AS channel
+          FROM events),
+        conv AS (
+          SELECT event_id AS conv_id, user_id, ts AS ts_us, cents
+          FROM ev WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT user_id, ts AS ts_us, MIN(event_id) AS touch_id,
+            ts AS touch_ts
+          FROM ev
+          WHERE event_type <> 'purchase' AND channel <> 'direct'
+          GROUP BY user_id, ts),
+        j AS (
+          SELECT c.conv_id, c.cents, c.ts_us, t.touch_id, t.touch_ts
+          FROM conv c ASOF LEFT JOIN touches t
+            ON c.user_id = t.user_id AND c.ts_us >= t.ts_us),
+        credited AS (
+          SELECT j.*,
+            CASE WHEN j.touch_id IS NOT NULL
+                   AND j.ts_us - j.touch_ts <= 604800000000
+              THEN e.channel ELSE 'direct' END AS channel
+          FROM j LEFT JOIN ev e ON j.touch_id = e.event_id)
+        SELECT channel, COUNT(*) AS n_conversions,
+          CAST(SUM(cents) AS BIGINT) AS credited_cents
+        FROM credited GROUP BY channel""")),
   )
 }

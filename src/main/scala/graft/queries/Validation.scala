@@ -1576,5 +1576,47 @@ object Validation extends QueryPack {
         FROM p
         JOIN tot x ON x.event_type = p.ta
         JOIN tot y ON y.event_type = p.tb""")),
+
+    // ---- q224: dead-letter routing — the ETL quarantine shape q132's
+    //      independent rule counts don't cover: every row gets exactly
+    //      ONE route, the FIRST failing rule in precedence order
+    //      (schema > range > freshness > ok), so route counts
+    //      partition the input and the quarantine topic fan-out is
+    //      deterministic. Pure per-row when-chain + one combinable
+    //      aggregate; min/max example ids ride along for triage.
+    //      (Rules here are deterministic demo predicates — the
+    //      operator is the precedence router, not the rule set.) ----
+    QueryDef(
+      "q224_dead_letter_routing",
+      (s, d) => {
+        val route = when(col("event_id") % 11 === 0, "bad_schema")
+          .when(round(col("value") * 100) > 40000L, "out_of_range")
+          .when(col("event_id") % 13 === 0, "stale")
+          .otherwise("ok")
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("route", route)
+          .groupBy("route")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_id")).as("first_example"),
+            max(col("event_id")).as("last_example"))
+          .withColumn("is_quarantine",
+            (col("route") =!= "ok").cast("long"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_id,
+            CASE
+              WHEN event_id % 11 = 0 THEN 'bad_schema'
+              WHEN round("value" * 100) > 40000 THEN 'out_of_range'
+              WHEN event_id % 13 = 0 THEN 'stale'
+              ELSE 'ok' END AS route
+          FROM events)
+        SELECT route, COUNT(*) AS n_rows,
+          MIN(event_id) AS first_example,
+          MAX(event_id) AS last_example,
+          CAST(CASE WHEN route <> 'ok' THEN 1 ELSE 0 END AS BIGINT)
+            AS is_quarantine
+        FROM r GROUP BY route""")),
   )
 }

@@ -2397,5 +2397,80 @@ object Temporal extends QueryPack {
         SELECT channel, COUNT(*) AS n_conversions,
           CAST(SUM(cents) AS BIGINT) AS credited_cents
         FROM credited GROUP BY channel""")),
+
+    // ---- q227: interval-overlap join — which user sessions overlap
+    //      platform incident windows (≥3 errors in a 30-min bucket),
+    //      and for how long? [[graft.operators.IntervalOverlap]] bins
+    //      both interval sets to 1-hour keys and equi-joins — the
+    //      inequality predicate never reaches the planner, so there is
+    //      no nested-loop/cartesian anywhere (plan-asserted in
+    //      IntervalOverlapSpec). The session id packs (user, seq) into
+    //      one long (seq < 1e6 per user — a session per µs would be
+    //      needed to break it). The incident-impact readout an SRE
+    //      postmortem joins against. ----
+    QueryDef(
+      "q227_session_incidents",
+      (s, d) => {
+        val IncidentW = 1800000000L // 30-min incident buckets
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val sess = graft.operators.Sessionize
+          .withSessionId(ev, "user_id", col("ts"), col("event_id"),
+            SessionGapUs)
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("a_s"),
+            (max(col("ts")) + 1).as("a_e"))
+          .select((col("user_id") * 1000000 + col("session_id"))
+            .as("a_id"), col("a_s"), col("a_e"))
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(expr(s"ts div $IncidentW").as("bk"))
+          .groupBy("bk").agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 3)
+          .select(col("bk").as("b_id"),
+            (col("bk") * IncidentW).as("b_s"),
+            ((col("bk") + 1) * IncidentW).as("b_e"))
+        graft.operators.IntervalOverlap
+          .pairs(sess, incidents, binUs = 3600000000L)
+          .groupBy("a_id")
+          .agg(count(lit(1)).as("n_incidents"),
+            sum(col("overlap_us")).as("overlap_us"))
+          .select(expr("a_id div 1000000").as("user_id"),
+            (col("a_id") % 1000000).as("session_id"),
+            col("n_incidents"), col("overlap_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
+          FROM events),
+        o AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sx AS (
+          SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
+          FROM o),
+        sess AS (
+          SELECT user_id, session_id, MIN(ts) AS a_s, MAX(ts) + 1 AS a_e
+          FROM sx GROUP BY 1, 2),
+        inc AS (
+          SELECT ts // 1800000000 AS bk FROM ev
+          WHERE event_type = 'error'
+          GROUP BY 1 HAVING COUNT(*) >= 3),
+        iv AS (
+          SELECT bk * 1800000000 AS b_s, (bk + 1) * 1800000000 AS b_e
+          FROM inc)
+        SELECT user_id, session_id, COUNT(*) AS n_incidents,
+          CAST(SUM(least(a_e, b_e) - greatest(a_s, b_s)) AS BIGINT)
+            AS overlap_us
+        FROM sess JOIN iv
+          ON greatest(a_s, b_s) < least(a_e, b_e)
+        GROUP BY 1, 2""")),
   )
 }

@@ -770,5 +770,78 @@ object Reports extends QueryPack {
           CAST(SUM(bought) AS BIGINT) AS n_buyers,
           CAST(SUM(bought) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
         FROM scored GROUP BY score""")),
+
+    // ---- q229: cumulative gains curve — ranking users by activity
+    //      score, what share of all buyers does each descending score
+    //      decile capture? Deciles come from broadcast percentile cuts
+    //      (never a global rank window); the 10-row decile table folds
+    //      to cumulative on the DRIVER (the q190/q213 bounded-collect
+    //      precedent — 10 rows by construction). The model-targeting
+    //      readout: random targeting is the 45° line, gains above it
+    //      is what the score buys. ----
+    QueryDef(
+      "q229_gains_curve",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val feat = ev.filter(col("event_type") =!= "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("f"))
+        val buyers = ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct().withColumn("bought", lit(1L))
+        val cut = feat.agg(array((1 to 9).map(k =>
+          expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY f)")
+            .cast("long")): _*).as("cuts"))
+        val perDecile = feat.crossJoin(broadcast(cut))
+          .withColumn("decile", // 10 = most active
+            lit(1) + size(filter(col("cuts"), c => col("f") > c)))
+          .join(buyers, Seq("user_id"), "left")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("bought"), lit(0L))).as("n_buyers"))
+          .collect().sortBy(-_.getAs[Int]("decile"))
+        val totB = perDecile.map(_.getAs[Long]("n_buyers")).sum
+        val rows = perDecile.scanLeft((0, 0L, 0L, 0L)) {
+          case ((_, _, _, cum), r) =>
+            (r.getAs[Int]("decile"), r.getAs[Long]("n_users"),
+              r.getAs[Long]("n_buyers"),
+              cum + r.getAs[Long]("n_buyers"))
+        }.tail.map { case (dec, nu, nb, cum) =>
+          (dec.toLong, nu, nb, cum,
+            if (totB == 0) 0L else cum * 1000000L / totB)
+        }
+        val spark0 = ev.sparkSession
+        import spark0.implicits._
+        rows.toSeq.toDF("decile", "n_users", "n_buyers", "cum_buyers",
+          "gains_ppm")
+      },
+      Some("""
+        WITH feat AS (
+          SELECT user_id, COUNT(*) AS f FROM events
+          WHERE event_type <> 'purchase' GROUP BY 1),
+        buyers AS (
+          SELECT DISTINCT user_id, 1 AS bought FROM events
+          WHERE event_type = 'purchase'),
+        cut AS (
+          SELECT quantile_disc(f,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+          FROM feat),
+        sc AS (
+          SELECT user_id, f,
+            1 + len(list_filter(cuts, c -> f > c)) AS decile,
+            COALESCE(bought, 0) AS bought
+          FROM feat CROSS JOIN cut LEFT JOIN buyers USING (user_id)),
+        pd AS (
+          SELECT decile, COUNT(*) AS n_users,
+            CAST(SUM(bought) AS BIGINT) AS n_buyers
+          FROM sc GROUP BY 1),
+        cumed AS (
+          SELECT CAST(decile AS BIGINT) AS decile, n_users, n_buyers,
+            CAST(SUM(n_buyers) OVER (ORDER BY decile DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_buyers,
+            CAST(SUM(n_buyers) OVER () AS BIGINT) AS tot
+          FROM pd)
+        SELECT decile, n_users, n_buyers, cum_buyers,
+          CASE WHEN tot = 0 THEN 0
+            ELSE cum_buyers * 1000000 // tot END AS gains_ppm
+        FROM cumed""")),
   )
 }

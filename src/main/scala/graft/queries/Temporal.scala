@@ -2472,5 +2472,50 @@ object Temporal extends QueryPack {
         FROM sess JOIN iv
           ON greatest(a_s, b_s) < least(a_e, b_e)
         GROUP BY 1, 2""")),
+
+    // ---- q230: top onboarding paths — the first three event types of
+    //      each user's journey, as a ranked path-frequency table (the
+    //      product-analytics "paths" report; q160's transition matrix
+    //      is its 1-step marginal). Per-user ordered prefix collapses
+    //      via a keyed window + sorted-struct fold; the global top-10
+    //      is an in-engine TakeOrdered with a total (count, path) tie
+    //      order. ----
+    QueryDef(
+      "q230_top_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val paths = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(
+              sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+        paths.groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(10)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
+          FROM events),
+        r AS (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM ev),
+        p AS (
+          SELECT user_id,
+            string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 10""")),
   )
 }

@@ -669,7 +669,62 @@ object TextAnalysis extends QueryPack {
           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
             * 1000000 // COUNT(*) AS novelty_ppm
         FROM g JOIN df USING (g)
-        GROUP BY doc_id""")))
+        GROUP BY doc_id""")),
+
+    // ---- q228: hashing-trick collision audit — before committing to
+    //      a 1024-bucket feature-hashed vectorizer, measure what the
+    //      collisions actually cost per document: distinct tokens vs
+    //      distinct md5-derived buckets (the q57 portable hex idiom,
+    //      so both engines hash identically). Pure per-row HOF over
+    //      the token set + one aggregate — no shuffle beyond the scan.
+    //      The birthday-bound check every hashing-trick pipeline
+    //      should run and almost none do. ----
+    QueryDef(
+      "q228_feature_hashing",
+      (s, d) => {
+        val buckets = transform(
+          array_distinct(tokens(lower(col("text")))),
+          tk => pmod(conv(substring(md5(tk), 1, 8), 16, 10).cast("long"),
+            lit(1024L)))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(array_distinct(tokens(lower(col("text")))))
+              .cast("long").as("n_tokens"),
+            size(array_distinct(buckets)).cast("long").as("n_buckets"))
+          .withColumn("n_collided", col("n_tokens") - col("n_buckets"))
+          .withColumn("collision_ppm",
+            expr("n_collided * 1000000 div n_tokens"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_distinct(regexp_split_to_array(trim(lower(text)),
+              '\s+')) AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+            len(list_distinct(list_transform(toks, tk ->
+              ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1)
+                  * 268435456
+                + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)
+                  * 16777216
+                + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1)
+                  * 1048576
+                + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+                  * 65536
+                + (strpos('0123456789abcdef', substr(md5(tk), 5, 1)) - 1)
+                  * 4096
+                + (strpos('0123456789abcdef', substr(md5(tk), 6, 1)) - 1)
+                  * 256
+                + (strpos('0123456789abcdef', substr(md5(tk), 7, 1)) - 1)
+                  * 16
+                + (strpos('0123456789abcdef', substr(md5(tk), 8, 1)) - 1))
+                % 1024))) AS n_buckets
+          FROM d)
+        SELECT doc_id, n_tokens, n_buckets,
+          n_tokens - n_buckets AS n_collided,
+          (n_tokens - n_buckets) * 1000000 // n_tokens AS collision_ppm
+        FROM b""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -2399,7 +2399,7 @@ object Temporal extends QueryPack {
         FROM credited GROUP BY channel""")),
 
     // ---- q227: interval-overlap join — which user sessions overlap
-    //      platform incident windows (≥3 errors in a 30-min bucket),
+    //      platform incident windows (≥2 errors in a 30-min bucket),
     //      and for how long? [[graft.operators.IntervalOverlap]] bins
     //      both interval sets to 1-hour keys and equi-joins — the
     //      inequality predicate never reaches the planner, so there is
@@ -2426,7 +2426,7 @@ object Temporal extends QueryPack {
         val incidents = ev.filter(col("event_type") === "error")
           .select(expr(s"ts div $IncidentW").as("bk"))
           .groupBy("bk").agg(count(lit(1)).as("n_err"))
-          .filter(col("n_err") >= 3)
+          .filter(col("n_err") >= 2)
           .select(col("bk").as("b_id"),
             (col("bk") * IncidentW).as("b_s"),
             ((col("bk") + 1) * IncidentW).as("b_e"))
@@ -2462,7 +2462,7 @@ object Temporal extends QueryPack {
         inc AS (
           SELECT ts // 1800000000 AS bk FROM ev
           WHERE event_type = 'error'
-          GROUP BY 1 HAVING COUNT(*) >= 3),
+          GROUP BY 1 HAVING COUNT(*) >= 2),
         iv AS (
           SELECT bk * 1800000000 AS b_s, (bk + 1) * 1800000000 AS b_e
           FROM inc)

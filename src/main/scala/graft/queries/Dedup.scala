@@ -1127,5 +1127,130 @@ object Dedup extends QueryPack {
           JOIN sigs b ON b.doc_id = c.doc_b)
         SELECT doc_a, doc_b, est_ppm, exact_ppm,
           abs(est_ppm - exact_ppm) AS err_ppm
-        FROM scored""")))
+        FROM scored""")),
+
+    // ---- q232: dedup-method coverage matrix — which detector catches
+    //      which duplicate TYPE? Three dup kinds are planted (exact
+    //      copy, token reorder, char drop) and each planted pair is
+    //      tested against three fingerprints: exact md5 (q19),
+    //      token-sort md5 (q201), and portable 32-bit simhash within
+    //      Hamming 3 (q57). The ensemble-design audit: exact-fp misses
+    //      reorders, token-sort misses typos, simhash spans both at an
+    //      FP cost — this query MEASURES that on the corpus instead of
+    //      assuming it. Pairs are known by construction (id offset), so
+    //      the audit is one equi-join of fingerprint rows — no
+    //      candidate generation. ----
+    QueryDef(
+      "q232_dedup_coverage",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pos = pmod(col("doc_id"), length(col("text")))
+        val synth = base.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"),
+            lit("exact_copy").as("kind"))
+          .unionByName(base.filter(col("doc_id") % 4 === 2)
+            .select((col("doc_id") + 30000000L).as("doc_id"),
+              array_join(reverse(tokens(col("text"))), " ").as("text"),
+              lit("reorder").as("kind")))
+          .unionByName(base.filter(col("doc_id") % 4 === 3)
+            .select((col("doc_id") + 40000000L).as("doc_id"),
+              concat(col("text").substr(lit(1), pos),
+                col("text").substr(pos + lit(2), length(col("text"))))
+                .as("text"),
+              lit("char_drop").as("kind")))
+        val all = base.withColumn("kind", lit("orig")).unionByName(synth)
+        val fps = all.select(col("doc_id"), col("kind"),
+          md5(normText(col("text"))).as("fp_exact"),
+          md5(array_join(sort_array(tokens(col("text"))), " "))
+            .as("fp_tsort"),
+          graft.functions.HashFunctions
+            .simhashMd5(array_distinct(tokens(normText(col("text")))))
+            .as("sh"))
+        val origs = fps.filter(col("kind") === "orig")
+          .select(col("doc_id").as("oid"), col("fp_exact").as("fe"),
+            col("fp_tsort").as("ft"), col("sh").as("so"))
+        fps.filter(col("kind") =!= "orig")
+          .withColumn("oid", col("doc_id") % 10000000L)
+          .join(origs, Seq("oid"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("fp_exact") === col("fe")).cast("long"))
+              .as("caught_exact"),
+            sum((col("fp_tsort") === col("ft")).cast("long"))
+              .as("caught_tsort"),
+            sum((expr("bit_count(sh ^ so)") <= 3).cast("long"))
+              .as("caught_simhash3"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        synth AS (
+          SELECT doc_id + 20000000 AS doc_id, text,
+            'exact_copy' AS kind
+          FROM base WHERE doc_id % 4 = 1
+          UNION ALL
+          SELECT doc_id + 30000000,
+            array_to_string(list_reverse(
+              regexp_split_to_array(trim(text), '\s+')), ' '),
+            'reorder'
+          FROM base WHERE doc_id % 4 = 2
+          UNION ALL
+          SELECT doc_id + 40000000,
+            substr(text, 1, CAST(doc_id % length(text) AS INT))
+              || substr(text, CAST(doc_id % length(text) AS INT) + 2),
+            'char_drop'
+          FROM base WHERE doc_id % 4 = 3),
+        a AS (
+          SELECT doc_id, text, 'orig' AS kind FROM base
+          UNION ALL SELECT doc_id, text, kind FROM synth),
+        hs AS (
+          SELECT doc_id, kind,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              AS fp_exact,
+            md5(array_to_string(list_sort(
+              regexp_split_to_array(trim(text), '\s+')), ' '))
+              AS fp_tsort,
+            list_transform(
+              list_distinct(regexp_split_to_array(lower(trim(text)),
+                '\s+')), tk ->
+                (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1)
+                  * 268435456
+              + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)
+                  * 16777216
+              + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1)
+                  * 1048576
+              + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+                  * 65536
+              + (strpos('0123456789abcdef', substr(md5(tk), 5, 1)) - 1)
+                  * 4096
+              + (strpos('0123456789abcdef', substr(md5(tk), 6, 1)) - 1)
+                  * 256
+              + (strpos('0123456789abcdef', substr(md5(tk), 7, 1)) - 1)
+                  * 16
+              + (strpos('0123456789abcdef', substr(md5(tk), 8, 1)) - 1))
+              AS hv
+          FROM a),
+        sim AS (
+          SELECT doc_id, kind, fp_exact, fp_tsort,
+            CAST(list_sum(list_transform(range(0, 32), b ->
+              CASE WHEN list_sum(list_transform(hv,
+                  h -> 2 * ((h // CAST(2 ** b AS BIGINT)) % 2) - 1)) > 0
+                THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT)
+              AS sh
+          FROM hs),
+        origs AS (
+          SELECT doc_id AS oid, fp_exact AS fe, fp_tsort AS ft,
+            sh AS so
+          FROM sim WHERE kind = 'orig'),
+        pairs AS (
+          SELECT s.kind, s.fp_exact, s.fp_tsort, s.sh, o.fe, o.ft, o.so
+          FROM sim s JOIN origs o ON s.doc_id % 10000000 = o.oid
+          WHERE s.kind <> 'orig')
+        SELECT kind, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN fp_exact = fe THEN 1 ELSE 0 END)
+            AS BIGINT) AS caught_exact,
+          CAST(SUM(CASE WHEN fp_tsort = ft THEN 1 ELSE 0 END)
+            AS BIGINT) AS caught_tsort,
+          CAST(SUM(CASE WHEN bit_count(xor(sh, so)) <= 3
+            THEN 1 ELSE 0 END) AS BIGINT) AS caught_simhash3
+        FROM pairs GROUP BY kind""")))
 }

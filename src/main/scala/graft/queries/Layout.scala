@@ -252,5 +252,56 @@ object Layout extends QueryPack {
           n * 32 * 1000000 // total AS load_ppm_of_even,
           mx * 32 * 1000000 // total AS worst_ppm_of_even
         FROM c, t""")),
+
+    // ---- q231: CDC log compaction — materialize an insert/update/
+    //      delete change log to its net-effect snapshot: per entity,
+    //      the LATEST op wins (fully tie-broken order), delete
+    //      tombstones drop the row, and per-row op provenance
+    //      (n_ops, n_deletes) rides along for audit. One entity-keyed
+    //      window — the compaction a CDC lake job runs over arbitrarily
+    //      long logs at the cost of one shuffle of (key, seq, op,
+    //      payload). q59 is the MERGE (two-table) face; this is the
+    //      log-replay face. ----
+    QueryDef(
+      "q231_cdc_compaction",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val log = t(s, d, "events")
+          .select((col("event_id") % 500).as("key"),
+            col("ts"), col("event_id"),
+            expr("""CASE WHEN event_id % 10 <= 5 THEN 'I'
+                    WHEN event_id % 10 <= 8 THEN 'U'
+                    ELSE 'D' END""").as("op"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("key")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val wAll = Window.partitionBy("key")
+        log
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_ops", count(lit(1)).over(wAll))
+          .withColumn("n_deletes",
+            sum((col("op") === "D").cast("long")).over(wAll))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("key"), col("cents").as("final_cents"),
+            col("op").as("last_op"), col("n_ops"), col("n_deletes"))
+      },
+      Some("""
+        WITH log AS (
+          SELECT event_id % 500 AS key, epoch_us(ts) AS ts, event_id,
+            CASE WHEN event_id % 10 <= 5 THEN 'I'
+              WHEN event_id % 10 <= 8 THEN 'U' ELSE 'D' END AS op,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY key
+              ORDER BY ts DESC, event_id DESC) AS rn,
+            COUNT(*) OVER (PARTITION BY key) AS n_ops,
+            CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY key) AS BIGINT) AS n_deletes
+          FROM log)
+        SELECT key, cents AS final_cents, op AS last_op, n_ops,
+          n_deletes
+        FROM r WHERE rn = 1 AND op <> 'D'""")),
   )
 }

@@ -133,6 +133,23 @@ class Round10PlanSpec extends SparkTestBase {
         s"user-keyed exchange, got $exchanges:\n$p208")
   }
 
+  test("q216/q227/q232: candidate generation stays equi-join only") {
+    for (q <- Seq("q216_minhash_calibration", "q227_session_incidents",
+        "q232_dedup_coverage")) {
+      val p = finalSection(settled(q))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a pair scan:\n$p")
+    }
+  }
+
+  test("q231: compaction costs exactly one entity-keyed exchange") {
+    val p = finalSection(settled("q231_cdc_compaction"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q231 expected one keyed exchange, got $exchanges:\n$p")
+  }
+
   test("q198: per-order windows reuse one order-keyed exchange") {
     val p = finalSection(settled("q198_prorate_allocation"))
     assert(!p.contains("CartesianProduct"), s"q198 product:\n$p")

@@ -1146,6 +1146,70 @@ object Similarity extends QueryPack {
         SELECT di, dj, n, s_i, s_j, s_ij,
           n * s_ij - s_i * s_j AS cov_num
         FROM agg""")),
+
+    // ---- q233: scaled-integer power iteration — the top principal
+    //      direction of the embedding Gram matrix by TWO exact
+    //      matrix-vector steps (q186's integer-power-iteration idea
+    //      applied to dense linear algebra): S = Σ q qᵀ over coarse
+    //      integer codes (round(x·100)), x₁ = 1, x₂ = S·x₁,
+    //      x₃ = S·(x₂ div 2¹⁰). The block-floating rescale keeps every
+    //      product in int64 through sf10 (grow the shift by
+    //      log₂(rows) beyond that); the RATIOS of x₃ — what a
+    //      whitening/ABE consumer reads — already rank the dims by
+    //      principal loading, and nothing float ever crosses the
+    //      engines. Scale: the S build is q166's d²-bounded join; each
+    //      step is a d-keyed join over the d×d matrix. ----
+    QueryDef(
+      "q233_power_iteration",
+      (s, d) => {
+        val q = emb(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            round(col("x").cast("double") * 100).cast("long").as("q"))
+        val S = q.select(col("vec_id"), col("i").as("di"),
+            col("q").as("qi"))
+          .join(q.select(col("vec_id"), col("i").as("dj"),
+            col("q").as("qj")), Seq("vec_id"))
+          .groupBy("di", "dj")
+          .agg(sum(col("qi") * col("qj")).as("s"))
+        val x2 = S.groupBy("di").agg(sum(col("s")).as("x2"))
+          .withColumn("x2s", expr("x2 div 1024"))
+        // contract S with x2s over the shared index dj
+        val step2 = S
+          .join(x2.select(col("di").as("dj"), col("x2s")), Seq("dj"))
+          .groupBy("di")
+          .agg(sum(col("s") * col("x2s")).as("x3"))
+        x2.join(step2, Seq("di"))
+          .select(col("di").cast("long").as("di"), col("x2"),
+            col("x2s"), col("x3"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id,
+            unnest(generate_series(0, len(q) - 1)) AS i,
+            unnest(q) AS qv
+          FROM e),
+        S AS (
+          SELECT a.i AS di, b.i AS dj,
+            CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+        x2 AS (
+          SELECT di, CAST(SUM(s) AS BIGINT) AS x2,
+            CAST(SUM(s) AS BIGINT) // 1024 AS x2s
+          FROM S GROUP BY 1),
+        x3 AS (
+          SELECT S.di, CAST(SUM(S.s * x2.x2s) AS BIGINT) AS x3
+          FROM S JOIN x2 ON x2.di = S.dj
+          GROUP BY 1)
+        SELECT CAST(x2.di AS BIGINT) AS di, x2.x2, x2.x2s, x3.x3
+        FROM x2 JOIN x3 ON x2.di = x3.di""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

@@ -405,5 +405,47 @@ object Graph extends QueryPack {
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           END AS r_assort
         FROM m""")),
+
+    // ---- q234: materialized paths — the '/1/2/5/11' path-string
+    //      denormalization every hierarchy UI and prefix-filterable
+    //      path index wants, built from the SAME pointer-doubling
+    //      closure as q167 (log-depth self-joins, never a driver
+    //      loop). This tree's parents are always smaller than their
+    //      children, so root-first ordering is a plain value sort of
+    //      the ancestor set — one node-keyed aggregate after the
+    //      closure. Oracle: DuckDB's linear recursion builds the path
+    //      directly; hash equality proves closure+sort ≡ recursion.
+    //      ----
+    QueryDef(
+      "q234_materialized_path",
+      (s, d) => {
+        val nodes = t(s, d, "documents")
+          .select((col("doc_id") + 1).as("id"))
+        val edges = nodes.filter(col("id") >= 2)
+          .select(col("id").as("child"), expr("id div 2").as("parent"))
+        val anc = graft.operators.TreeClosure.ancestors(edges)
+        val withSelf = anc.union(
+          nodes.select(col("id").as("node"), col("id").as("anc")))
+        withSelf.groupBy("node")
+          .agg(concat(lit("/"),
+            array_join(sort_array(collect_list(col("anc"))), "/"))
+            .as("path"),
+            (count(lit(1)) - 1).as("depth"))
+          .select(col("node").as("id"), col("depth"), col("path"))
+      },
+      Some("""
+        WITH RECURSIVE nodes AS (
+          SELECT doc_id + 1 AS id FROM documents),
+        walk AS (
+          SELECT id AS node, id AS cur,
+            CAST(id AS VARCHAR) AS path, 0 AS depth
+          FROM nodes
+          UNION ALL
+          SELECT node, cur // 2,
+            CAST(cur // 2 AS VARCHAR) || '/' || path, depth + 1
+          FROM walk WHERE cur >= 2)
+        SELECT node AS id, CAST(depth AS BIGINT) AS depth,
+          '/' || path AS path
+        FROM walk WHERE cur = 1 OR (cur = node AND node = 1)""")),
   )
 }

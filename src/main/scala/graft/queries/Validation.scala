@@ -1618,5 +1618,80 @@ object Validation extends QueryPack {
           CAST(CASE WHEN route <> 'ok' THEN 1 ELSE 0 END AS BIGINT)
             AS is_quarantine
         FROM r GROUP BY route""")),
+
+    // ---- q235: functional-dependency audit — data profiling's
+    //      X → Y check (Metanome/HyFD territory, restricted to a
+    //      declared candidate list): per candidate, how many LHS
+    //      groups exist, how many carry >1 distinct RHS (violations),
+    //      and the worst per-group RHS cardinality. Each candidate is
+    //      one combinable two-level aggregate; the audit that decides
+    //      whether a column can serve as a key, a partition dimension,
+    //      or a safe denormalization source. ----
+    QueryDef(
+      "q235_fd_audit",
+      (s, d) => {
+        def fd(table: String, lhs: String, rhs: String) =
+          t(s, d, table)
+            .groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("card"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("card") > 1, 1L).otherwise(0L))
+                .as("n_violating"),
+              max(col("card")).as("max_card"))
+            .select(lit(s"$table.$lhs->$rhs").as("fd"),
+              col("n_lhs"), col("n_violating"), col("max_card"),
+              (col("n_violating") === 0).cast("long").as("holds"))
+        fd("lineitem", "l_orderkey", "l_returnflag")
+          .unionByName(fd("lineitem", "l_partkey", "l_suppkey"))
+          .unionByName(fd("orders", "o_custkey", "o_orderstatus"))
+          .unionByName(fd("part", "p_name", "p_brand"))
+          .unionByName(fd("customer", "c_custkey", "c_nationkey"))
+      },
+      Some("""
+        WITH c1 AS (
+          SELECT 'lineitem.l_orderkey->l_returnflag' AS fd,
+            COUNT(*) AS n_lhs,
+            CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            CAST(MAX(card) AS BIGINT) AS max_card
+          FROM (SELECT l_orderkey,
+                  COUNT(DISTINCT l_returnflag) AS card
+                FROM lineitem GROUP BY 1)),
+        c2 AS (
+          SELECT 'lineitem.l_partkey->l_suppkey',
+            COUNT(*),
+            CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(card) AS BIGINT)
+          FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS card
+                FROM lineitem GROUP BY 1)),
+        c3 AS (
+          SELECT 'orders.o_custkey->o_orderstatus',
+            COUNT(*),
+            CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(card) AS BIGINT)
+          FROM (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS card
+                FROM orders GROUP BY 1)),
+        c4 AS (
+          SELECT 'part.p_name->p_brand',
+            COUNT(*),
+            CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(card) AS BIGINT)
+          FROM (SELECT p_name, COUNT(DISTINCT p_brand) AS card
+                FROM part GROUP BY 1)),
+        c5 AS (
+          SELECT 'customer.c_custkey->c_nationkey',
+            COUNT(*),
+            CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(card) AS BIGINT)
+          FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS card
+                FROM customer GROUP BY 1)),
+        u AS (
+          SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+          UNION ALL SELECT * FROM c5)
+        SELECT fd, n_lhs, n_violating, max_card,
+          CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS holds
+        FROM u""")),
   )
 }

@@ -1252,5 +1252,61 @@ object Dedup extends QueryPack {
             AS BIGINT) AS caught_tsort,
           CAST(SUM(CASE WHEN bit_count(xor(sh, so)) <= 3
             THEN 1 ELSE 0 END) AS BIGINT) AS caught_simhash3
-        FROM pairs GROUP BY kind""")))
+        FROM pairs GROUP BY kind""")),
+
+    // ---- q238: merge-conflict diagnostic — after exact dedup groups
+    //      form (q20's fp families), which clusters can actually be
+    //      auto-merged? Per multi-doc fingerprint cluster: member
+    //      count and the distinct-value cardinality of each metadata
+    //      attribute; any attribute with >1 value is a conflict a
+    //      survivorship rule (q208) must adjudicate rather than a
+    //      free merge. Mirror-crawl duplicates are planted
+    //      deterministically (same text, different source — the
+    //      cross-source conflict; every 3rd also same-source — the
+    //      auto-mergeable case). One fp-keyed aggregate over (id, fp,
+    //      source, lang) — text never joins back. ----
+    QueryDef(
+      "q238_merge_conflicts",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        val mirror = base.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"),
+            when(col("doc_id") % 18 === 0, col("source"))
+              .otherwise(lit("mirror")).as("source"),
+            col("lang"))
+        base.unionByName(mirror)
+          .select(md5(normText(col("text"))).as("fp"),
+            col("doc_id"), col("source"), col("lang"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("doc_id")).as("keep_id"))
+          .filter(col("n_docs") > 1)
+          .withColumn("auto_mergeable",
+            (col("n_sources") === 1 && col("n_langs") === 1)
+              .cast("long"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, text, source, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 50000000, text,
+            CASE WHEN doc_id % 18 = 0 THEN source
+              ELSE 'mirror' END, lang
+          FROM documents WHERE doc_id % 6 = 0),
+        k AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+              'g')) AS fp,
+            doc_id, source, lang
+          FROM a)
+        SELECT fp, COUNT(*) AS n_docs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          MIN(doc_id) AS keep_id,
+          CAST(CASE WHEN COUNT(DISTINCT source) = 1
+            AND COUNT(DISTINCT lang) = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS auto_mergeable
+        FROM k GROUP BY fp HAVING COUNT(*) > 1""")))
 }

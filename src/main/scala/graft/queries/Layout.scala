@@ -303,5 +303,38 @@ object Layout extends QueryPack {
         SELECT key, cents AS final_cents, op AS last_op, n_ops,
           n_deletes
         FROM r WHERE rn = 1 AND op <> 'D'""")),
+
+    // ---- q236: compaction plan — the PLANNER face of the Y2 stats-
+    //      driven compactor: per (source, lang) partition, projected
+    //      bytes (text length as the proxy the real job reads from
+    //      parquet footers), the ceil-div file count at a 256 KiB
+    //      target, and the resulting average file size. Pure
+    //      combinable aggregate + integer arithmetic — the dry-run
+    //      report a lake maintenance job publishes before rewriting
+    //      anything. ----
+    QueryDef(
+      "q236_compaction_plan",
+      (s, d) => {
+        val Target = 262144L // 256 KiB
+        t(s, d, "documents")
+          .select(col("source"), col("lang"),
+            length(col("text")).cast("long").as("bytes"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bytes")).as("part_bytes"))
+          .withColumn("n_files",
+            expr(s"(part_bytes + $Target - 1) div $Target"))
+          .withColumn("avg_file_bytes",
+            expr("part_bytes div n_files"))
+      },
+      Some("""
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(length(text)) AS BIGINT) AS part_bytes,
+          (CAST(SUM(length(text)) AS BIGINT) + 262143) // 262144
+            AS n_files,
+          CAST(SUM(length(text)) AS BIGINT)
+            // ((CAST(SUM(length(text)) AS BIGINT) + 262143) // 262144)
+            AS avg_file_bytes
+        FROM documents GROUP BY 1, 2""")),
   )
 }

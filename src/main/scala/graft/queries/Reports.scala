@@ -843,5 +843,51 @@ object Reports extends QueryPack {
           CASE WHEN tot = 0 THEN 0
             ELSE cum_buyers * 1000000 // tot END AS gains_ppm
         FROM cumed""")),
+
+    // ---- q237: audience overlap — Jaccard of USER SETS between every
+    //      event-type pair (q221 compares value DISTRIBUTIONS; this
+    //      compares who): the deduped (type, user) table self-joins on
+    //      USER (each user contributes their type-pair combinations —
+    //      bounded by the type count squared per user, never a row
+    //      product), and set sizes broadcast back. The audience-
+    //      planning matrix behind every cross-sell and frequency-cap
+    //      decision. ----
+    QueryDef(
+      "q237_audience_overlap",
+      (s, d) => {
+        val tu = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val sz = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+        tu.select(col("user_id"), col("event_type").as("ta"))
+          .join(tu.select(col("user_id"), col("event_type").as("tb")),
+            Seq("user_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sz.select(col("event_type").as("ta"),
+            col("n").as("n_a"))), Seq("ta"))
+          .join(broadcast(sz.select(col("event_type").as("tb"),
+            col("n").as("n_b"))), Seq("tb"))
+          .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+            col("n_both"),
+            expr("n_both * 1000000 div (n_a + n_b - n_both)")
+              .as("jaccard_ppm"))
+      },
+      Some("""
+        WITH tu AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        sz AS (
+          SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        p AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+            COUNT(*) AS n_both
+          FROM tu a JOIN tu b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT ta, tb, x.n AS n_a, y.n AS n_b, n_both,
+          n_both * 1000000 // (x.n + y.n - n_both) AS jaccard_ppm
+        FROM p
+        JOIN sz x ON x.event_type = p.ta
+        JOIN sz y ON y.event_type = p.tb""")),
   )
 }

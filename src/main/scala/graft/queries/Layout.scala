@@ -336,5 +336,133 @@ object Layout extends QueryPack {
             // ((CAST(SUM(length(text)) AS BIGINT) + 262143) // 262144)
             AS avg_file_bytes
         FROM documents GROUP BY 1, 2""")),
+
+    // ---- q239: index prefix-compression audit — how many bytes would
+    //      a prefix-compressed sorted key index save? Consecutive keys
+    //      within first-byte blocks (real index blocks partition the
+    //      key space the same way) compare common-prefix lengths via a
+    //      monotone HOF count; the per-block report is raw bytes vs
+    //      saved bytes. The sizing estimate run BEFORE building a
+    //      serving-table index (S5). Keyed window per block — the
+    //      block key is the partitioner. ----
+    QueryDef(
+      "q239_prefix_compression",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keys = t(s, d, "part")
+          .select(col("p_name").as("key")).distinct()
+          .withColumn("blk", substring(col("key"), 1, 1))
+        val w = Window.partitionBy("blk").orderBy("key")
+        keys
+          .withColumn("prev", lag(col("key"), 1).over(w))
+          .withColumn("cpl",
+            when(col("prev").isNull, 0L).otherwise(expr(
+              """size(filter(
+                   sequence(1, least(length(key), length(prev))),
+                   i -> substring(key, 1, i) = substring(prev, 1, i)))
+              """).cast("long")))
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(length(col("key"))).cast("long").as("raw_bytes"),
+            sum(col("cpl")).as("saved_bytes"))
+          .withColumn("savings_ppm",
+            expr("saved_bytes * 1000000 div raw_bytes"))
+      },
+      Some("""
+        WITH keys AS (
+          SELECT DISTINCT p_name AS key FROM part),
+        b AS (
+          SELECT key, substr(key, 1, 1) AS blk,
+            lag(key) OVER (PARTITION BY substr(key, 1, 1)
+              ORDER BY key) AS prev
+          FROM keys),
+        c AS (
+          SELECT blk, key,
+            CASE WHEN prev IS NULL THEN 0
+              ELSE len(list_filter(
+                range(1, least(length(key), length(prev)) + 1),
+                i -> substr(key, 1, CAST(i AS INT))
+                  = substr(prev, 1, CAST(i AS INT)))) END AS cpl
+          FROM b)
+        SELECT blk, COUNT(*) AS n_keys,
+          CAST(SUM(length(key)) AS BIGINT) AS raw_bytes,
+          CAST(SUM(cpl) AS BIGINT) AS saved_bytes,
+          CAST(SUM(cpl) AS BIGINT) * 1000000
+            // CAST(SUM(length(key)) AS BIGINT) AS savings_ppm
+        FROM c GROUP BY blk""")),
+
+    // ---- q240: shard rebalance plan — pair the k-th most overloaded
+    //      shard with the k-th most underloaded and move
+    //      min(excess, deficit): the one-round greedy step a shard
+    //      manager executes. Loads reduce to one bounded row per shard
+    //      (16 by construction); the pairing folds on the driver (the
+    //      q190/q213 bounded-collect precedent). Output is the move
+    //      list with exact integer row counts. ----
+    QueryDef(
+      "q240_rebalance_plan",
+      (s, d) => {
+        val N = 16
+        val h = conv(substring(md5(col("o_orderkey").cast("string")),
+          1, 8), 16, 10).cast("long")
+        val loads = t(s, d, "orders")
+          .select(pmod(h, lit(N)).as("shard"))
+          .groupBy("shard").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val total = loads.map(_._2).sum
+        val mean = total / N
+        val donors = loads.filter(_._2 > mean)
+          .sortBy { case (s0, n) => (-n, s0) }
+        val receivers = loads.filter(_._2 < mean)
+          .sortBy { case (s0, n) => (n, s0) }
+        val moves = donors.zip(receivers).map {
+          case ((ds, dn), (rs, rn)) =>
+            (ds, rs, math.min(dn - mean, mean - rn))
+        }.filter(_._3 > 0)
+        val spark0 = s
+        import spark0.implicits._
+        moves.toSeq.toDF("donor", "receiver", "move_n")
+      },
+      Some("""
+        WITH b AS (
+          SELECT (
+              (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+                * 268435456
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+                * 16777216
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1)
+                * 1048576
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)
+                * 65536
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 1)) - 1)
+                * 4096
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 6, 1)) - 1)
+                * 256
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 1)) - 1)
+                * 16
+            + (strpos('0123456789abcdef',
+                substr(md5(CAST(o_orderkey AS VARCHAR)), 8, 1)) - 1))
+            % 16 AS shard
+          FROM orders),
+        loads AS (SELECT shard, COUNT(*) AS n FROM b GROUP BY 1),
+        m AS (SELECT CAST(SUM(n) AS BIGINT) // 16 AS mean FROM loads),
+        donors AS (
+          SELECT shard, n,
+            row_number() OVER (ORDER BY n DESC, shard) AS rk
+          FROM loads, m WHERE n > mean),
+        receivers AS (
+          SELECT shard, n,
+            row_number() OVER (ORDER BY n ASC, shard) AS rk
+          FROM loads, m WHERE n < mean)
+        SELECT d.shard AS donor, r.shard AS receiver,
+          least(d.n - m.mean, m.mean - r.n) AS move_n
+        FROM donors d JOIN receivers r USING (rk), m
+        WHERE least(d.n - m.mean, m.mean - r.n) > 0""")),
   )
 }

@@ -1693,5 +1693,83 @@ object Validation extends QueryPack {
           CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)
             AS holds
         FROM u""")),
+
+    // ---- q241: quantile-binning error audit — how wrong is a
+    //      64-equal-width-bin histogram's median estimate vs the exact
+    //      disc percentile? Per type: the exact p50, the estimate
+    //      (lower edge of the first bin whose running count reaches
+    //      half), and their absolute error — the calibration that
+    //      decides whether the cheap histogram path (q135/q165) can
+    //      replace the exact-quantile shuffle on a given metric. The
+    //      bin cumsum window runs over the BOUNDED (type, bin) domain.
+    //      ----
+    QueryDef(
+      "q241_quantile_binning_error",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 64
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val rng = ev.agg(min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+        val binned = ev.crossJoin(broadcast(rng))
+          .withColumn("bin",
+            when(col("hi") > col("lo"),
+              least(expr(s"(cents - lo) * $B div (hi - lo)"),
+                lit(B - 1L))).otherwise(lit(0L)))
+        val hist = binned.groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy("event_type").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy("event_type")))
+        val est = hist
+          .filter(col("cum") * 2 >= col("n"))
+          .groupBy("event_type").agg(min(col("bin")).as("med_bin"))
+          .crossJoin(broadcast(rng))
+          .select(col("event_type"),
+            (col("lo") + expr(s"med_bin * (hi - lo) div $B"))
+              .as("est_p50"))
+        val exact = ev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("exact_p50"))
+        exact.join(est, Seq("event_type"))
+          .withColumn("abs_err", abs(col("exact_p50") - col("est_p50")))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_type,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM ev),
+        binned AS (
+          SELECT event_type, cents,
+            CASE WHEN hi > lo
+              THEN least((cents - lo) * 64 // (hi - lo), 63)
+              ELSE 0 END AS bin
+          FROM ev, rng),
+        hist AS (
+          SELECT event_type, bin, COUNT(*) AS c FROM binned
+          GROUP BY 1, 2),
+        cumed AS (
+          SELECT event_type, bin, c,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM hist),
+        est AS (
+          SELECT event_type, MIN(bin) AS med_bin
+          FROM cumed WHERE cum * 2 >= n GROUP BY 1),
+        estv AS (
+          SELECT event_type, lo + med_bin * (hi - lo) // 64 AS est_p50
+          FROM est, rng),
+        ex AS (
+          SELECT event_type, quantile_disc(cents, 0.5) AS exact_p50
+          FROM ev GROUP BY 1)
+        SELECT ex.event_type, ex.exact_p50, estv.est_p50,
+          abs(ex.exact_p50 - estv.est_p50) AS abs_err
+        FROM ex JOIN estv ON ex.event_type = estv.event_type""")),
   )
 }

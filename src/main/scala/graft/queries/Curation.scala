@@ -2010,5 +2010,60 @@ object Curation extends QueryPack {
           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS n_missing_cents
         FROM surv GROUP BY user_id""")),
+
+    // ---- q243: source datasheet — the one-stop "datasheet for
+    //      datasets" card per source: volume, length distribution
+    //      (exact sums + disc median), language spread, and the
+    //      exact-duplicate footprint (docs whose normalized-text
+    //      fingerprint repeats within the source). Two passes: one
+    //      fp-keyed dedup count, one source rollup — everything
+    //      integer or element-picked, so the card is reproducible
+    //      byte-for-byte anywhere. ----
+    QueryDef(
+      "q243_source_datasheet",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            length(col("text")).cast("long").as("len"),
+            md5(graft.functions.TextFunctions.normText(col("text")))
+              .as("fp"))
+        val dupDocs = docs.groupBy("source", "fp")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+            .as("n_dup_docs"))
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).as("total_chars"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY len)")
+              .cast("long").as("p50_len"),
+            countDistinct(col("lang")).as("n_langs"))
+          .join(dupDocs, Seq("source"))
+          .withColumn("dup_ppm",
+            expr("n_dup_docs * 1000000 div n_docs"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, lang, doc_id,
+            CAST(length(text) AS BIGINT) AS len,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              AS fp
+          FROM documents),
+        dd AS (
+          SELECT source,
+            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              AS n_dup_docs
+          FROM (SELECT source, fp, COUNT(*) AS c FROM docs
+                GROUP BY 1, 2)
+          GROUP BY source),
+        card AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len) AS BIGINT) AS total_chars,
+            quantile_disc(len, 0.5) AS p50_len,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM docs GROUP BY 1)
+        SELECT card.source, n_docs, total_chars, p50_len, n_langs,
+          n_dup_docs, n_dup_docs * 1000000 // n_docs AS dup_ppm
+        FROM card JOIN dd ON card.source = dd.source""")),
   )
 }

@@ -1210,6 +1210,65 @@ object Similarity extends QueryPack {
           GROUP BY 1)
         SELECT CAST(x2.di AS BIGINT) AS di, x2.x2, x2.x2s, x3.x3
         FROM x2 JOIN x3 ON x2.di = x3.di""")),
+
+    // ---- q244: negative-sampling audit — contrastive training draws
+    //      "in-batch" negatives from hash buckets; this measures what
+    //      that buys: per bucket (vec_id mod 32), each anchor takes
+    //      its 4 deterministically-ranked bucket-mates (md5 of the
+    //      ordered id pair — reproducible anywhere) and the audit
+    //      reports how often a sampled negative shares the anchor's
+    //      LABEL (a false negative for the loss). Pair fan-out is
+    //      bounded by bucket size; the rank window keys by anchor.
+    //      The check that decides bucket size and whether hard-
+    //      negative mining needs label filtering. ----
+    QueryDef(
+      "q244_negative_sampling",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            (col("vec_id") % 32).as("bkt"))
+        val pairs = v.select(col("bkt"), col("vec_id").as("a"),
+            col("label").as("la"))
+          .join(v.select(col("bkt"), col("vec_id").as("c"),
+            col("label").as("lc")), Seq("bkt"))
+          .filter(col("a") =!= col("c"))
+          .withColumn("rk_key",
+            md5(concat_ws(":", col("a"), col("c"))))
+        val w = Window.partitionBy("a").orderBy("rk_key")
+        pairs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("bkt")
+          .agg(countDistinct(col("a")).as("n_anchors"),
+            count(lit(1)).as("n_negatives"),
+            sum((col("la") === col("lc")).cast("long"))
+              .as("n_label_collisions"))
+          .withColumn("collision_ppm",
+            expr("n_label_collisions * 1000000 div n_negatives"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, label, vec_id % 32 AS bkt FROM embeddings),
+        p AS (
+          SELECT a.bkt, a.vec_id AS a, a.label AS la,
+            b.vec_id AS c, b.label AS lc,
+            md5(CAST(a.vec_id AS VARCHAR) || ':'
+              || CAST(b.vec_id AS VARCHAR)) AS rk_key
+          FROM v a JOIN v b ON a.bkt = b.bkt
+            AND a.vec_id <> b.vec_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY a
+            ORDER BY rk_key) AS rn
+          FROM p)
+        SELECT bkt,
+          CAST(COUNT(DISTINCT a) AS BIGINT) AS n_anchors,
+          COUNT(*) AS n_negatives,
+          CAST(SUM(CASE WHEN la = lc THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_label_collisions,
+          CAST(SUM(CASE WHEN la = lc THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS collision_ppm
+        FROM r WHERE rn <= 4 GROUP BY bkt""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

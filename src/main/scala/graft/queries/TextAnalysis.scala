@@ -724,7 +724,30 @@ object TextAnalysis extends QueryPack {
         SELECT doc_id, n_tokens, n_buckets,
           n_tokens - n_buckets AS n_collided,
           (n_tokens - n_buckets) * 1000000 // n_tokens AS collision_ppm
-        FROM b""")))
+        FROM b""")),
+
+    // ---- q242: language-ID confusion matrix — q18's classifier
+    //      evaluated against its labels as the (labeled, detected)
+    //      count matrix plus per-cell correctness: the eval readout
+    //      that turns a classifier query into a measured component.
+    //      One combinable aggregate over q18's per-row output. ----
+    QueryDef(
+      "q242_langid_confusion",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("lang").as("labeled"),
+            langId(col("text")).as("detected"))
+          .groupBy("labeled", "detected")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("is_correct",
+            (col("labeled") === col("detected")).cast("long")),
+      Some(s"""
+        WITH d AS ($langIdOracle)
+        SELECT labeled_lang AS labeled, detected_lang AS detected,
+          COUNT(*) AS n,
+          CAST(CASE WHEN labeled_lang = detected_lang THEN 1 ELSE 0 END
+            AS BIGINT) AS is_correct
+        FROM d GROUP BY 1, 2""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -2517,5 +2517,61 @@ object Temporal extends QueryPack {
         SELECT path, COUNT(*) AS n_users
         FROM p GROUP BY path
         ORDER BY n_users DESC, path LIMIT 10""")),
+
+    // ---- q246: correlogram — q172's lag-1 autocorrelation widened to
+    //      lags 1..24 over the hourly revenue series, as EXACT integer
+    //      sufficient statistics per (type, lag): the consumer divides
+    //      to get r(k) and reads the argmax as the dominant period.
+    //      The lag shift is an EQUI-join on (type, hb − lag) against a
+    //      24-row broadcast lag table (never a window per lag); series
+    //      values scale down by 100 so the corr numerator stays in
+    //      int64 through sf1 (drop another decade of scale per
+    //      further 100× of hourly volume). ----
+    QueryDef(
+      "q246_correlogram",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val series = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $HourUs").as("hb"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "hb")
+          .agg(expr("sum(cents) div 100").as("v"))
+        val lags = series.sparkSession.range(1, 25)
+          .select(col("id").as("lag"))
+        val lagged = series.crossJoin(broadcast(lags))
+          .select(col("event_type"), (col("hb") + col("lag")).as("hb"),
+            col("lag"), col("v").as("vp"))
+        series.join(lagged, Seq("event_type", "hb"))
+          .groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sx"),
+            sum(col("vp")).as("sy"),
+            sum(col("v") * col("vp")).as("sxy"),
+            sum(col("v") * col("v")).as("sxx"),
+            sum(col("vp") * col("vp")).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              // 100 AS v
+          FROM events GROUP BY 1, 2),
+        lags AS (SELECT unnest(range(1, 25)) AS lag),
+        j AS (
+          SELECT c.event_type, l.lag, c.v, p.v AS vp
+          FROM series c
+          CROSS JOIN lags l
+          JOIN series p ON p.event_type = c.event_type
+            AND p.hb = c.hb - l.lag)
+        SELECT event_type, lag, COUNT(*) AS n,
+          CAST(SUM(v) AS BIGINT) AS sx,
+          CAST(SUM(vp) AS BIGINT) AS sy,
+          CAST(SUM(v * vp) AS BIGINT) AS sxy,
+          CAST(SUM(v * v) AS BIGINT) AS sxx,
+          CAST(SUM(vp * vp) AS BIGINT) AS syy,
+          COUNT(*) * CAST(SUM(v * vp) AS BIGINT)
+            - CAST(SUM(v) AS BIGINT) * CAST(SUM(vp) AS BIGINT) AS num
+        FROM j GROUP BY 1, 2""")),
   )
 }

@@ -1771,5 +1771,80 @@ object Validation extends QueryPack {
         SELECT ex.event_type, ex.exact_p50, estv.est_p50,
           abs(ex.exact_p50 - estv.est_p50) AS abs_err
         FROM ex JOIN estv ON ex.event_type = estv.event_type""")),
+
+    // ---- q245: stratified IPW readout — the observational-data
+    //      counterpart of q209's CUPED: within activity terciles
+    //      (broadcast disc cuts, the q207 discipline), the treated
+    //      (clicked) users' conversion rate, the stratum's population
+    //      weight, and the population-standardized contribution — all
+    //      in scaled integers (per-stratum ppm rates, weights in ppm),
+    //      so the IPW estimate is reproducible bit-for-bit. Two keyed
+    //      aggregates (user, then stratum) + one broadcast cut row.
+    //      ----
+    QueryDef(
+      "q245_ipw_estimate",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val users = ev.groupBy("user_id")
+          .agg(
+            sum((col("event_type") =!= "purchase" &&
+              col("event_type") =!= "click").cast("long")).as("x"),
+            max((col("event_type") === "click").cast("long"))
+              .as("treated"),
+            max((col("event_type") === "purchase").cast("long"))
+              .as("converted"))
+        val cut = users.agg(
+          expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
+            "(ORDER BY x)").cast("long").as("t1"),
+          expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
+            "(ORDER BY x)").cast("long").as("t2"))
+        val strat = users.crossJoin(broadcast(cut))
+          .withColumn("stratum",
+            (col("x") > col("t1")).cast("long") +
+              (col("x") > col("t2")).cast("long"))
+        val tot = strat.agg(count(lit(1)).as("n_total"))
+        strat.groupBy("stratum")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("treated")).as("n_treated"),
+            sum(col("treated") * col("converted"))
+              .as("n_conv_treated"))
+          .crossJoin(broadcast(tot))
+          .select(col("stratum"), col("n_users"), col("n_treated"),
+            col("n_conv_treated"),
+            expr("n_conv_treated * 1000000 div n_treated")
+              .as("treated_rate_ppm"),
+            expr("n_users * 1000000 div n_total").as("weight_ppm"),
+            expr("(n_conv_treated * 1000000 div n_treated) * n_users " +
+              "div n_total").as("ipw_term_ppm"))
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id,
+            CAST(SUM(CASE WHEN event_type NOT IN ('purchase', 'click')
+              THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS treated,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+              ELSE 0 END) AS BIGINT) AS converted
+          FROM events GROUP BY 1),
+        cut AS (
+          SELECT quantile_disc(x, 0.3333333333333333) AS t1,
+            quantile_disc(x, 0.6666666666666666) AS t2
+          FROM users),
+        strat AS (
+          SELECT user_id, treated, converted,
+            CAST((x > t1)::INT + (x > t2)::INT AS BIGINT) AS stratum
+          FROM users, cut),
+        tot AS (SELECT COUNT(*) AS n_total FROM strat)
+        SELECT stratum, COUNT(*) AS n_users,
+          CAST(SUM(treated) AS BIGINT) AS n_treated,
+          CAST(SUM(treated * converted) AS BIGINT) AS n_conv_treated,
+          CAST(SUM(treated * converted) AS BIGINT) * 1000000
+            // CAST(SUM(treated) AS BIGINT) AS treated_rate_ppm,
+          COUNT(*) * 1000000 // n_total AS weight_ppm,
+          (CAST(SUM(treated * converted) AS BIGINT) * 1000000
+            // CAST(SUM(treated) AS BIGINT)) * COUNT(*) // n_total
+            AS ipw_term_ppm
+        FROM strat, tot GROUP BY stratum, n_total""")),
   )
 }

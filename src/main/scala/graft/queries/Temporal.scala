@@ -2573,5 +2573,60 @@ object Temporal extends QueryPack {
           COUNT(*) * CAST(SUM(v * vp) AS BIGINT)
             - CAST(SUM(v) AS BIGINT) * CAST(SUM(vp) AS BIGINT) AS num
         FROM j GROUP BY 1, 2""")),
+
+    // ---- q247: bounded-lag Theil–Sen trend — the robust slope
+    //      estimator (median of pairwise slopes) made scale-safe by
+    //      restricting pairs to lags 1..24 instead of all O(T²)
+    //      bucket pairs (Sen 1968; the bounded-window variant keeps
+    //      the estimator's outlier resistance for local trends while
+    //      the pair count stays 24·T). Slopes quantize to exact
+    //      µ-units-per-hour integers, the median is element-picked —
+    //      the whole trend readout crosses engines as integers. Same
+    //      equi-join shape as q246. ----
+    QueryDef(
+      "q247_theilsen_trend",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val series = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $HourUs").as("hb"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "hb")
+          .agg(expr("sum(cents) div 100").as("v"))
+        val lags = series.sparkSession.range(1, 25)
+          .select(col("id").as("lag"))
+        val lagged = series.crossJoin(broadcast(lags))
+          .select(col("event_type"), (col("hb") + col("lag")).as("hb"),
+            col("lag"), col("v").as("vp"))
+        series.join(lagged, Seq("event_type", "hb"))
+          .withColumn("slope_e6",
+            expr("(v - vp) * 1000000 div lag"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_slopes"),
+            expr("percentile_disc(0.5) WITHIN GROUP " +
+              "(ORDER BY slope_e6)").cast("long").as("slope_med_e6"),
+            expr("percentile_disc(0.1) WITHIN GROUP " +
+              "(ORDER BY slope_e6)").cast("long").as("slope_p10_e6"),
+            expr("percentile_disc(0.9) WITHIN GROUP " +
+              "(ORDER BY slope_e6)").cast("long").as("slope_p90_e6"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              // 100 AS v
+          FROM events GROUP BY 1, 2),
+        lags AS (SELECT unnest(range(1, 25)) AS lag),
+        j AS (
+          SELECT c.event_type,
+            (c.v - p.v) * 1000000 // l.lag AS slope_e6
+          FROM series c
+          CROSS JOIN lags l
+          JOIN series p ON p.event_type = c.event_type
+            AND p.hb = c.hb - l.lag)
+        SELECT event_type, COUNT(*) AS n_slopes,
+          quantile_disc(slope_e6, 0.5) AS slope_med_e6,
+          quantile_disc(slope_e6, 0.1) AS slope_p10_e6,
+          quantile_disc(slope_e6, 0.9) AS slope_p90_e6
+        FROM j GROUP BY event_type""")),
   )
 }

@@ -1846,5 +1846,81 @@ object Validation extends QueryPack {
             // CAST(SUM(treated) AS BIGINT)) * COUNT(*) // n_total
             AS ipw_term_ppm
         FROM strat, tot GROUP BY stratum, n_total""")),
+
+    // ---- q248: cardinality-estimation audit — the System-R join-size
+    //      estimate |A|·|B| / max(ndv_A, ndv_B) scored against the
+    //      ACTUAL join cardinality for the three core FK joins. The
+    //      estimator-error feedback loop every cost-based optimizer
+    //      (and every capacity plan that trusts it) should close; the
+    //      audit itself is three count/distinct aggregates plus the
+    //      real joins, all integer. ----
+    QueryDef(
+      "q248_cardinality_audit",
+      (s, d) => {
+        def audit(name: String, a: DataFrame, ak: String,
+            b: DataFrame, bk: String) = {
+          val sa = a.agg(count(lit(1)).as("na"),
+            countDistinct(col(ak)).as("da"))
+          val sb = b.agg(count(lit(1)).as("nb"),
+            countDistinct(col(bk)).as("db"))
+          val actual = a.join(b, a(ak) === b(bk))
+            .agg(count(lit(1)).as("actual"))
+          sa.crossJoin(sb).crossJoin(actual)
+            .select(lit(name).as("join_name"), col("na"), col("nb"),
+              col("da"), col("db"),
+              expr("na * nb div greatest(da, db)").as("est"),
+              col("actual"))
+            .withColumn("err_ppm",
+              expr("abs(est - actual) * 1000000 div actual"))
+        }
+        audit("lineitem*orders",
+            t(s, d, "lineitem"), "l_orderkey",
+            t(s, d, "orders"), "o_orderkey")
+          .unionByName(audit("orders*customer",
+            t(s, d, "orders"), "o_custkey",
+            t(s, d, "customer"), "c_custkey"))
+          .unionByName(audit("lineitem*part",
+            t(s, d, "lineitem"), "l_partkey",
+            t(s, d, "part"), "p_partkey"))
+      },
+      Some("""
+        WITH j1 AS (
+          SELECT 'lineitem*orders' AS join_name,
+            (SELECT COUNT(*) FROM lineitem) AS na,
+            (SELECT COUNT(*) FROM orders) AS nb,
+            (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem) AS da,
+            (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS db,
+            (SELECT COUNT(*) FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey) AS actual),
+        j2 AS (
+          SELECT 'orders*customer',
+            (SELECT COUNT(*) FROM orders),
+            (SELECT COUNT(*) FROM customer),
+            (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+              FROM orders),
+            (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer),
+            (SELECT COUNT(*) FROM orders JOIN customer
+              ON o_custkey = c_custkey)),
+        j3 AS (
+          SELECT 'lineitem*part',
+            (SELECT COUNT(*) FROM lineitem),
+            (SELECT COUNT(*) FROM part),
+            (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+              FROM lineitem),
+            (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT)
+              FROM part),
+            (SELECT COUNT(*) FROM lineitem JOIN part
+              ON l_partkey = p_partkey)),
+        u AS (
+          SELECT * FROM j1 UNION ALL SELECT * FROM j2
+          UNION ALL SELECT * FROM j3)
+        SELECT join_name, na, nb, da, db,
+          na * nb // greatest(da, db) AS est, actual,
+          abs(na * nb // greatest(da, db) - actual) * 1000000
+            // actual AS err_ppm
+        FROM u""")),
   )
 }

@@ -2628,5 +2628,57 @@ object Temporal extends QueryPack {
           quantile_disc(slope_e6, 0.1) AS slope_p10_e6,
           quantile_disc(slope_e6, 0.9) AS slope_p90_e6
         FROM j GROUP BY event_type""")),
+
+    // ---- q250: error-budget burn — SRE's SLO ledger as a query: per
+    //      day, the error rate vs a 1% SLO, and the cumulative share
+    //      of the MONTH's budget already consumed (integer ppm
+    //      throughout: used = cum_errors·10⁸ div cum_total at the 1%
+    //      target). The cumulative window partitions by 30-day budget
+    //      period, so the ledger scales with the bounded day domain,
+    //      not events. The q161/q218 monitoring family's
+    //      reporting-side closer. ----
+    QueryDef(
+      "q250_error_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(expr(s"ts div $DayUs").as("day"),
+            (col("event_type") === "error").cast("long").as("is_err"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("total"), sum(col("is_err")).as("errors"))
+          .withColumn("period", expr("day div 30"))
+        val w = Window.partitionBy("period").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("cum_errors", sum(col("errors")).over(w))
+          .withColumn("cum_total", sum(col("total")).over(w))
+          .select(col("day"), col("period"), col("total"), col("errors"),
+            expr("errors * 1000000 div total").as("burn_ppm"),
+            expr("cum_errors * 100000000 div cum_total")
+              .as("budget_used_ppm"),
+            (expr("errors * 1000000 div total") > 10000L)
+              .cast("long").as("over_slo"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS total,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT *, day // 30 AS period,
+            CAST(SUM(errors) OVER (PARTITION BY day // 30 ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_errors,
+            CAST(SUM(total) OVER (PARTITION BY day // 30 ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_total
+          FROM daily)
+        SELECT day, period, total, errors,
+          errors * 1000000 // total AS burn_ppm,
+          cum_errors * 100000000 // cum_total AS budget_used_ppm,
+          CAST(CASE WHEN errors * 1000000 // total > 10000
+            THEN 1 ELSE 0 END AS BIGINT) AS over_slo
+        FROM p""")),
   )
 }

@@ -1922,5 +1922,74 @@ object Validation extends QueryPack {
           abs(na * nb // greatest(da, db) - actual) * 1000000
             // actual AS err_ppm
         FROM u""")),
+
+    // ---- q249: distribution-free median CI — the order-statistic
+    //      confidence interval (no bootstrap, no normality): indices
+    //      l = ⌊(n − 1.96√n)/2⌋, u = ⌈(n + 2 + 1.96√n)/2⌉ bracket the
+    //      median with ≈95% coverage by the binomial argument. sqrt /
+    //      floor / ceil over identical operands are IEEE-exact, so
+    //      both engines pick the IDENTICAL elements; everything
+    //      shipped is an integer cent value. One type-keyed rank
+    //      window + a broadcast stats row. ----
+    QueryDef(
+      "q249_median_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lo_idx",
+            greatest(lit(1L), floor(
+              (col("n").cast("double") -
+                lit(1.96) * sqrt(col("n").cast("double"))) / 2)
+              .cast("long")))
+          .withColumn("hi_idx",
+            least(col("n"), ceil(
+              (col("n").cast("double") + 2 +
+                lit(1.96) * sqrt(col("n").cast("double"))) / 2)
+              .cast("long")))
+          .withColumn("mid_idx", expr("(n + 1) div 2"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        ev.withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(stats), Seq("event_type"))
+          .filter(col("rn") === col("lo_idx") ||
+            col("rn") === col("mid_idx") || col("rn") === col("hi_idx"))
+          .groupBy("event_type")
+          .agg(first(col("n")).as("n"),
+            max(when(col("rn") === col("lo_idx"), col("cents")))
+              .as("ci_lo_cents"),
+            max(when(col("rn") === col("mid_idx"), col("cents")))
+              .as("median_cents"),
+            max(when(col("rn") === col("hi_idx"), col("cents")))
+              .as("ci_hi_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        st AS (
+          SELECT event_type, COUNT(*) AS n,
+            greatest(1, CAST(floor((COUNT(*) - 1.96 * sqrt(COUNT(*)))
+              / 2) AS BIGINT)) AS lo_idx,
+            least(COUNT(*), CAST(ceil((COUNT(*) + 2
+              + 1.96 * sqrt(COUNT(*))) / 2) AS BIGINT)) AS hi_idx,
+            (COUNT(*) + 1) // 2 AS mid_idx
+          FROM ev GROUP BY 1),
+        r AS (
+          SELECT event_type, cents,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY cents, event_id) AS BIGINT) AS rn
+          FROM ev)
+        SELECT r.event_type, MAX(st.n) AS n,
+          MAX(CASE WHEN rn = lo_idx THEN cents END) AS ci_lo_cents,
+          MAX(CASE WHEN rn = mid_idx THEN cents END) AS median_cents,
+          MAX(CASE WHEN rn = hi_idx THEN cents END) AS ci_hi_cents
+        FROM r JOIN st ON r.event_type = st.event_type
+        WHERE rn = lo_idx OR rn = mid_idx OR rn = hi_idx
+        GROUP BY r.event_type""")),
   )
 }

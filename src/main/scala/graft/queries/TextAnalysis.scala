@@ -747,7 +747,87 @@ object TextAnalysis extends QueryPack {
           COUNT(*) AS n,
           CAST(CASE WHEN labeled_lang = detected_lang THEN 1 ELSE 0 END
             AS BIGINT) AS is_correct
-        FROM d GROUP BY 1, 2""")))
+        FROM d GROUP BY 1, 2""")),
+
+    // ---- q251: context-window fit — what share of documents fits in
+    //      each training context length (128/256/512/1024 BPE-ish
+    //      tokens, the q60 tokenizer)? The packing-policy input: the
+    //      smallest context that holds ~all docs sets the budget, the
+    //      overflow share sets the chunking need. One token-count scan
+    //      + a 4-row broadcast of context sizes. ----
+    QueryDef(
+      "q251_ctx_fit",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+        val n = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("n_tok"))
+        val ctx = n.sparkSession.range(7, 11)
+          .select(expr("shiftleft(1L, cast(id as int))").as("ctx"))
+        n.crossJoin(broadcast(ctx))
+          .groupBy("ctx")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("n_tok") <= col("ctx")).cast("long")).as("n_fit"))
+          .withColumn("fit_ppm", expr("n_fit * 1000000 div n_docs"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_tok
+          FROM documents),
+        ctx AS (SELECT unnest([128, 256, 512, 1024]) AS ctx)
+        SELECT ctx, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fit,
+          CAST(SUM(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS fit_ppm
+        FROM n, ctx GROUP BY ctx""")),
+
+    // ---- q252: language fertility — chars-per-token by language,
+    //      referenced to English (the multilingual budget table: a
+    //      language at 1.4× English fertility needs 1.4× the token
+    //      budget for the same text volume). Exact integer ppm ratios
+    //      off one combinable per-lang aggregate + a one-row English
+    //      broadcast. ----
+    QueryDef(
+      "q252_lang_fertility",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+        val per = t(s, d, "documents")
+          .select(col("lang"),
+            length(col("text")).cast("long").as("chars"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("toks"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("sum_chars"),
+            sum(col("toks")).as("sum_toks"))
+          .withColumn("cpt_ppm",
+            expr("sum_chars * 1000000 div sum_toks"))
+        val en = per.filter(col("lang") === "en")
+          .select(col("cpt_ppm").as("en_cpt_ppm"))
+        per.crossJoin(broadcast(en))
+          .withColumn("vs_en_ppm",
+            expr("cpt_ppm * 1000000 div en_cpt_ppm"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+            CAST(SUM(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+              AS BIGINT) AS sum_toks
+          FROM documents GROUP BY 1),
+        w AS (
+          SELECT *, sum_chars * 1000000 // sum_toks AS cpt_ppm
+          FROM per),
+        en AS (
+          SELECT cpt_ppm AS en_cpt_ppm FROM w WHERE lang = 'en')
+        SELECT lang, n_docs, sum_chars, sum_toks, cpt_ppm,
+          en_cpt_ppm, cpt_ppm * 1000000 // en_cpt_ppm AS vs_en_ppm
+        FROM w, en""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -1991,5 +1991,54 @@ object Validation extends QueryPack {
         FROM r JOIN st ON r.event_type = st.event_type
         WHERE rn = lo_idx OR rn = mid_idx OR rn = hi_idx
         GROUP BY r.event_type""")),
+
+    // ---- q253: shuffle-partition advisor — turn the q137-style key
+    //      stats into the CONFIG a job should run with: estimated
+    //      shuffle bytes (rows × a declared row-width constant),
+    //      recommended partition count at a 64 MiB target, and the
+    //      count of keys whose single-key volume exceeds one
+    //      partition's budget — the keys that need salting BEFORE the
+    //      job, not after it spills. One combinable key aggregate +
+    //      one summary row. ----
+    QueryDef(
+      "q253_shuffle_advisor",
+      (s, d) => {
+        val RowBytes = 64L
+        val Target = 67108864L // 64 MiB
+        val per = t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .withColumn("key_bytes", col("n") * RowBytes)
+        per.agg(count(lit(1)).as("n_keys"),
+            sum(col("n")).as("n_rows"),
+            sum(col("key_bytes")).as("est_bytes"),
+            max(col("key_bytes")).as("max_key_bytes"))
+          .withColumn("rec_partitions",
+            greatest(lit(1L), expr(s"(est_bytes + $Target - 1) div $Target")))
+          .withColumn("n_salt_keys",
+            lit(0L)) // placeholder replaced below via join
+          .drop("n_salt_keys")
+          .crossJoin(broadcast(per
+            .agg(sum((col("key_bytes") >
+              Target).cast("long")).as("n_salt_keys"))))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, COUNT(*) AS n, COUNT(*) * 64 AS key_bytes
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT COUNT(*) AS n_keys,
+            CAST(SUM(n) AS BIGINT) AS n_rows,
+            CAST(SUM(key_bytes) AS BIGINT) AS est_bytes,
+            CAST(MAX(key_bytes) AS BIGINT) AS max_key_bytes
+          FROM per),
+        k AS (
+          SELECT CAST(SUM(CASE WHEN key_bytes > 67108864 THEN 1
+            ELSE 0 END) AS BIGINT) AS n_salt_keys
+          FROM per)
+        SELECT n_keys, n_rows, est_bytes, max_key_bytes,
+          greatest(1, (est_bytes + 67108863) // 67108864)
+            AS rec_partitions,
+          n_salt_keys
+        FROM s, k""")),
   )
 }

@@ -664,5 +664,56 @@ object Corpus extends QueryPack {
           CAST(SUM(CASE WHEN cls = 'test' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_test
         FROM c WHERE cls IS NOT NULL GROUP BY k""")),
+
+    // ---- q256: mixture entropy — how diverse is the training mix?
+    //      The q114 integer-log2 entropy surrogate applied to SOURCE
+    //      shares (by token volume, the unit mixing actually budgets):
+    //      H = Σ n_s·(⌊log2 N⌋ − ⌊log2 n_s⌋) exact bigints, plus the
+    //      max-share concentration the entropy alone can hide. A
+    //      one-row diversity gate for q94/q95's mixing policies —
+    //      cheap enough to run on every mix revision. ----
+    QueryDef(
+      "q256_mix_entropy",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("toks"))
+          .groupBy("source")
+          .agg(sum(col("toks")).as("n_s"))
+        val bits = (c: Column) => (length(bin(c)) - 1).cast("long")
+        per.agg(count(lit(1)).as("n_sources"),
+            sum(col("n_s")).as("n_total"),
+            max(col("n_s")).as("max_s"))
+          .crossJoin(broadcast(per.select(col("n_s"))
+            .agg(collect_list(col("n_s")).as("all_s"))))
+          .select(col("n_sources"), col("n_total"), col("max_s"),
+            aggregate(col("all_s"), lit(0L),
+              (acc, v) => acc + v * (bits(col("n_total")) - bits(v)))
+              .as("h_bits"),
+            expr("max_s * 1000000 div n_total").as("max_share_ppm"))
+          .withColumn("mean_millibits",
+            expr("h_bits * 1000 div n_total"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_s
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+            CAST(SUM(n_s) AS BIGINT) AS n_total,
+            CAST(MAX(n_s) AS BIGINT) AS max_s
+          FROM per)
+        SELECT n_sources, n_total, max_s,
+          (SELECT CAST(SUM(n_s * ((length(bin(n_total)) - 1)
+             - (length(bin(n_s)) - 1))) AS BIGINT) FROM per)
+            AS h_bits,
+          max_s * 1000000 // n_total AS max_share_ppm,
+          (SELECT CAST(SUM(n_s * ((length(bin(n_total)) - 1)
+             - (length(bin(n_s)) - 1))) AS BIGINT) FROM per)
+            * 1000 // n_total AS mean_millibits
+        FROM tot""")),
   )
 }

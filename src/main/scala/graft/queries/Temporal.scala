@@ -2680,5 +2680,109 @@ object Temporal extends QueryPack {
           CAST(CASE WHEN errors * 1000000 // total > 10000
             THEN 1 ELSE 0 END AS BIGINT) AS over_slo
         FROM p""")),
+
+    // ---- q254: seasonality strength — how much of the metric's
+    //      variance is explained by hour-of-day? One-way ANOVA
+    //      SSB/SST where every SUMMED quantity is an exact integer
+    //      (dollar-scaled values; each cell's between-group term
+    //      floors to s_h² div n_h — error < one unit per cell, and
+    //      integer sums are order-independent where a float Σ s²/n
+    //      would hash-diverge); only the FINAL ratio is one identical
+    //      IEEE expression (the q49 discipline). Strength near 1 →
+    //      schedule-driven metric; near 0 → q247's trend or q161's
+    //      changepoints matter more. Two combinable aggregates. ----
+    QueryDef(
+      "q254_seasonality_strength",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val cells = t(s, d, "events")
+          .select(col("event_type"),
+            (expr(s"ts div $HourUs") % 24).as("hod"),
+            round(col("value")).cast("long").as("c"))
+          .groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("c")).as("s_h"),
+            sum(col("c") * col("c")).as("ss_h"))
+          .withColumn("cell_ssb", expr("s_h * s_h div n_h"))
+        val nD = col("n").cast("double")
+        cells.groupBy("event_type")
+          .agg(sum(col("n_h")).as("n"),
+            sum(col("s_h")).as("s"),
+            sum(col("ss_h")).as("ss"),
+            sum(col("cell_ssb")).as("ssb_floor"))
+          .withColumn("sst",
+            col("ss").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / nD)
+          .withColumn("ssb",
+            col("ssb_floor").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / nD)
+          .withColumn("strength",
+            when(col("sst") =!= 0.0, col("ssb") / col("sst")))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT event_type,
+            (epoch_us(ts) // 3600000000) % 24 AS hod,
+            COUNT(*) AS n_h,
+            CAST(SUM(CAST(round("value") AS BIGINT)) AS BIGINT) AS s_h,
+            CAST(SUM(CAST(round("value") AS BIGINT)
+              * CAST(round("value") AS BIGINT)) AS BIGINT) AS ss_h
+          FROM events GROUP BY 1, 2),
+        c2 AS (
+          SELECT *, s_h * s_h // n_h AS cell_ssb FROM cells),
+        agg AS (
+          SELECT event_type,
+            CAST(SUM(n_h) AS BIGINT) AS n,
+            CAST(SUM(s_h) AS BIGINT) AS s,
+            CAST(SUM(ss_h) AS BIGINT) AS ss,
+            CAST(SUM(cell_ssb) AS BIGINT) AS ssb_floor
+          FROM c2 GROUP BY 1)
+        SELECT event_type, n, s, ss, ssb_floor,
+          CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE) AS sst,
+          CAST(ssb_floor AS DOUBLE) - CAST(s AS DOUBLE)
+            * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+          CASE WHEN CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) <> 0.0
+            THEN (CAST(ssb_floor AS DOUBLE) - CAST(s AS DOUBLE)
+                * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END
+            AS strength
+        FROM agg""")),
+
+    // ---- q255: day-of-week uplift — each weekday's mean vs the
+    //      overall mean as an EXACT integer cross-ratio
+    //      (S_dow·N·10⁶ div S·n_dow — the ratio of two rational means
+    //      without ever forming either): the staffing/budget uplift
+    //      table. One combinable aggregate + one-row broadcast. ----
+    QueryDef(
+      "q255_dow_uplift",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val ev = t(s, d, "events")
+          .select((expr(s"ts div $DayUs") % 7).as("dow"),
+            round(col("value") * 100).cast("long").as("c"))
+        val tot = ev.agg(count(lit(1)).as("n_all"),
+          sum(col("c")).as("s_all"))
+        ev.groupBy("dow")
+          .agg(count(lit(1)).as("n_dow"), sum(col("c")).as("s_dow"))
+          .crossJoin(broadcast(tot))
+          .withColumn("uplift_ppm",
+            expr("s_dow * n_all * 1000000 div (s_all * n_dow)"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+            CAST(round("value" * 100) AS BIGINT) AS c
+          FROM events),
+        tot AS (
+          SELECT COUNT(*) AS n_all, CAST(SUM(c) AS BIGINT) AS s_all
+          FROM ev)
+        SELECT dow, COUNT(*) AS n_dow,
+          CAST(SUM(c) AS BIGINT) AS s_dow, n_all, s_all,
+          CAST(SUM(c) AS BIGINT) * n_all * 1000000
+            // (s_all * COUNT(*)) AS uplift_ppm
+        FROM ev, tot GROUP BY dow, n_all, s_all""")),
   )
 }

@@ -902,8 +902,8 @@ object Dedup extends QueryPack {
         val dirty = t(s, d, "part")
           .filter(col("p_partkey") % 6 === 0)
           .select(col("p_partkey").as("dirty_id"),
-            when(col("p_partkey") % 3 === 0, upper(col("p_name")))
-              .when(col("p_partkey") % 3 === 1,
+            when(expr("p_partkey div 6") % 3 === 0, upper(col("p_name")))
+              .when(expr("p_partkey div 6") % 3 === 1,
                 concat(col("p_name").substr(lit(1), pos),
                   col("p_name").substr(pos + lit(2),
                     length(col("p_name")))))
@@ -942,8 +942,8 @@ object Dedup extends QueryPack {
         dirty AS (
           SELECT p_partkey AS dirty_id,
             CASE
-              WHEN p_partkey % 3 = 0 THEN upper(p_name)
-              WHEN p_partkey % 3 = 1 THEN
+              WHEN (p_partkey // 6) % 3 = 0 THEN upper(p_name)
+              WHEN (p_partkey // 6) % 3 = 1 THEN
                 substr(p_name, 1,
                   CAST(p_partkey % length(p_name) AS INT))
                 || substr(p_name,

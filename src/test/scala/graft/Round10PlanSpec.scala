@@ -150,6 +150,21 @@ class Round10PlanSpec extends SparkTestBase {
       s"q231 expected one keyed exchange, got $exchanges:\n$p")
   }
 
+  test("q237/q244/q246/q247: pair generation stays equi-join only") {
+    for (q <- Seq("q237_audience_overlap", "q244_negative_sampling",
+        "q246_correlogram", "q247_theilsen_trend")) {
+      val p = finalSection(settled(q))
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+    }
+  }
+
+  test("q233: Gram build joins on vec_id; no dim-pair product") {
+    val p = finalSection(settled("q233_power_iteration"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q233 matrix build degenerated:\n$p")
+  }
+
   test("q198: per-order windows reuse one order-keyed exchange") {
     val p = finalSection(settled("q198_prorate_allocation"))
     assert(!p.contains("CartesianProduct"), s"q198 product:\n$p")

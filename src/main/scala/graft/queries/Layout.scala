@@ -464,5 +464,36 @@ object Layout extends QueryPack {
           least(d.n - m.mean, m.mean - r.n) AS move_n
         FROM donors d JOIN receivers r USING (rk), m
         WHERE least(d.n - m.mean, m.mean - r.n) > 0""")),
+
+    // ---- q259: salted two-phase aggregation — the Y4 hot-key defence
+    //      in the ORACLE GATE: phase 1 aggregates on (key, salt) so a
+    //      hot key spreads across 8 reducers, phase 2 collapses the 8
+    //      partials per key; integer sums are associative, so the
+    //      result is BIT-IDENTICAL to the plain one-phase GROUP BY the
+    //      oracle runs. The query keys on l_returnflag — 3 values over
+    //      600k+ rows, exactly the cardinality collapse salting
+    //      exists for. ----
+    QueryDef(
+      "q259_salted_agg",
+      (s, d) => {
+        val S = 8
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("r"),
+            pmod(conv(substring(md5(col("l_orderkey").cast("string")),
+              1, 8), 16, 10).cast("long"), lit(S)).as("salt"))
+          .groupBy("l_returnflag", "salt")
+          .agg(count(lit(1)).as("pn"), sum(col("r")).as("pr"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("pn")).as("n_items"),
+            sum(col("pr")).as("rev_cents"),
+            count(lit(1)).as("n_salt_partials"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+          CAST(8 AS BIGINT) AS n_salt_partials
+        FROM lineitem GROUP BY l_returnflag""")),
   )
 }

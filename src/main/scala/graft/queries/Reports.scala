@@ -889,5 +889,89 @@ object Reports extends QueryPack {
         FROM p
         JOIN sz x ON x.event_type = p.ta
         JOIN sz y ON y.event_type = p.tb""")),
+
+    // ---- q257: revenue bridge (price/volume waterfall) — the FP&A
+    //      decomposition of period-over-period revenue change per
+    //      brand: volume effect = Δqty · (old unit revenue, exact
+    //      µ-cents via integer division), price/mix = the residual so
+    //      the bridge ADDS UP EXACTLY (vol + price_mix = Δrev·10⁶ by
+    //      construction — no float leakage, no unexplained
+    //      remainder). Periods split the order-date range in half via
+    //      a broadcast min/max row; parts absent from a period carry
+    //      zero. Two keyed aggregates + one part-keyed full-outer
+    //      join, rolled up to brands. ----
+    QueryDef(
+      "q257_revenue_bridge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            (year(col("o_orderdate")) * 10000 +
+              month(col("o_orderdate")) * 100 +
+              dayofmonth(col("o_orderdate"))).cast("long").as("dk"),
+            col("l_quantity").cast("long").as("q"),
+            round(col("l_extendedprice") * 100).cast("long").as("r"))
+        val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
+        val per = li.crossJoin(broadcast(rng))
+          .withColumn("h",
+            when(col("dk") * 2 <= col("lo") + col("hi"), 1L)
+              .otherwise(2L))
+          .groupBy("l_partkey", "h")
+          .agg(sum(col("q")).as("q"), sum(col("r")).as("r"))
+        val p1 = per.filter(col("h") === 1)
+          .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
+        val p2 = per.filter(col("h") === 2)
+          .select(col("l_partkey"), col("q").as("q2"), col("r").as("r2"))
+        p1.join(p2, Seq("l_partkey"), "full_outer")
+          .na.fill(0L, Seq("q1", "r1", "q2", "r2"))
+          .withColumn("vol_e6",
+            when(col("q1") > 0,
+              (col("q2") - col("q1")) * expr("r1 * 1000000 div q1"))
+              .otherwise(lit(0L)))
+          .withColumn("d_rev_e6", (col("r2") - col("r1")) * 1000000L)
+          .withColumn("price_mix_e6", col("d_rev_e6") - col("vol_e6"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("d_rev_e6")).as("d_rev_e6"),
+            sum(col("vol_e6")).as("vol_e6"),
+            sum(col("price_mix_e6")).as("price_mix_e6"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey,
+            CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+              + day(o_orderdate) AS BIGINT) AS dk,
+            CAST(l_quantity AS BIGINT) AS q,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        rng AS (SELECT MIN(dk) AS lo, MAX(dk) AS hi FROM li),
+        per AS (
+          SELECT l_partkey,
+            CASE WHEN dk * 2 <= lo + hi THEN 1 ELSE 2 END AS h,
+            CAST(SUM(q) AS BIGINT) AS q, CAST(SUM(r) AS BIGINT) AS r
+          FROM li, rng GROUP BY 1, 2),
+        p1 AS (SELECT l_partkey, q AS q1, r AS r1 FROM per WHERE h = 1),
+        p2 AS (SELECT l_partkey, q AS q2, r AS r2 FROM per WHERE h = 2),
+        j AS (
+          SELECT COALESCE(p1.l_partkey, p2.l_partkey) AS l_partkey,
+            COALESCE(q1, 0) AS q1, COALESCE(r1, 0) AS r1,
+            COALESCE(q2, 0) AS q2, COALESCE(r2, 0) AS r2
+          FROM p1 FULL OUTER JOIN p2 USING (l_partkey)),
+        eff AS (
+          SELECT l_partkey, q1, r1, q2, r2,
+            CASE WHEN q1 > 0
+              THEN (q2 - q1) * (r1 * 1000000 // q1) ELSE 0 END
+              AS vol_e6,
+            (r2 - r1) * 1000000 AS d_rev_e6
+          FROM j)
+        SELECT p_brand, COUNT(*) AS n_parts,
+          CAST(SUM(d_rev_e6) AS BIGINT) AS d_rev_e6,
+          CAST(SUM(vol_e6) AS BIGINT) AS vol_e6,
+          CAST(SUM(d_rev_e6 - vol_e6) AS BIGINT) AS price_mix_e6
+        FROM eff JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
   )
 }

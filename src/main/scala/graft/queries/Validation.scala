@@ -2040,5 +2040,146 @@ object Validation extends QueryPack {
             AS rec_partitions,
           n_salt_keys
         FROM s, k""")),
+
+    // ---- q258: Wald–Wolfowitz runs test — is the above/below-median
+    //      sign sequence random, or does the metric streak? Signs come
+    //      from the disc median (element-picked), runs from the q203
+    //      gaps-and-islands count, and the expected-runs formula
+    //      2·n₁·n₂/n + 1 ships as exact integer cross-products (the
+    //      consumer divides). Completes the q61/q68/q191 test family
+    //      with the SEQUENCE-randomness axis those value tests can't
+    //      see. One keyed window + combinable aggregates. ----
+    QueryDef(
+      "q258_runs_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("med"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val signed = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("sgn", (col("cents") > col("med")).cast("int"))
+          .withColumn("brk",
+            when(lag(col("sgn"), 1).over(w).isNull ||
+              col("sgn") =!= lag(col("sgn"), 1).over(w), 1L)
+              .otherwise(0L))
+        signed.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("sgn").cast("long")).as("n_above"),
+            sum(col("brk")).as("n_runs"))
+          .withColumn("n_below", col("n") - col("n_above"))
+          .withColumn("exp_runs_num",
+            lit(2L) * col("n_above") * col("n_below") + col("n"))
+          .select(col("event_type"), col("n"), col("n_above"),
+            col("n_below"), col("n_runs"), col("exp_runs_num"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events),
+        med AS (
+          SELECT event_type, quantile_disc(cents, 0.5) AS med
+          FROM ev GROUP BY 1),
+        sg AS (
+          SELECT ev.event_type, ts, event_id,
+            CASE WHEN cents > med THEN 1 ELSE 0 END AS sgn
+          FROM ev JOIN med ON ev.event_type = med.event_type),
+        b AS (
+          SELECT event_type, sgn,
+            CASE WHEN lag(sgn) OVER w IS NULL
+                   OR sgn <> lag(sgn) OVER w THEN 1 ELSE 0 END AS brk
+          FROM sg
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(sgn) AS BIGINT) AS n_above,
+          COUNT(*) - CAST(SUM(sgn) AS BIGINT) AS n_below,
+          CAST(SUM(brk) AS BIGINT) AS n_runs,
+          2 * CAST(SUM(sgn) AS BIGINT)
+            * (COUNT(*) - CAST(SUM(sgn) AS BIGINT)) + COUNT(*)
+            AS exp_runs_num
+        FROM b GROUP BY event_type""")),
+
+    // ---- q260: XmR control chart (individuals + moving range) — the
+    //      SPC chart over the daily metric: center line and control
+    //      limits x̄ ± 2.66·m̄R from exact integer sums (two single
+    //      IEEE expressions), each day flagged against them. The
+    //      manufacturing-grade "is this variation special or common
+    //      cause" gate, cheaper and more principled than ad-hoc
+    //      z-score thresholds on autocorrelated dailies. One bounded
+    //      day-domain window per type. ----
+    QueryDef(
+      "q260_xmr_chart",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("c")).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val withMr = daily
+          .withColumn("mr", abs(col("x") - lag(col("x"), 1).over(w)))
+        val stats = withMr.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"),
+            sum(col("mr")).as("smr"),
+            count(col("mr")).as("n_mr"))
+          .withColumn("center",
+            col("sx").cast("double") / col("n_days").cast("double"))
+          .withColumn("mrbar",
+            col("smr").cast("double") / col("n_mr").cast("double"))
+        withMr.join(broadcast(stats), Seq("event_type"))
+          .withColumn("ucl", col("center") + lit(2.66) * col("mrbar"))
+          .withColumn("lcl", col("center") - lit(2.66) * col("mrbar"))
+          .groupBy("event_type")
+          .agg(first(col("n_days")).as("n_days"),
+            first(col("center")).as("center"),
+            first(col("ucl")).as("ucl"),
+            first(col("lcl")).as("lcl"),
+            sum((col("x").cast("double") > col("ucl")).cast("long"))
+              .as("n_above_ucl"),
+            sum((col("x").cast("double") < col("lcl")).cast("long"))
+              .as("n_below_lcl"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, day, x,
+            abs(x - lag(x) OVER (PARTITION BY event_type
+              ORDER BY day)) AS mr
+          FROM daily),
+        st AS (
+          SELECT event_type, COUNT(*) AS n_days,
+            CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(mr) AS BIGINT) AS smr,
+            COUNT(mr) AS n_mr
+          FROM m GROUP BY 1),
+        s2 AS (
+          SELECT event_type, n_days,
+            CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS center,
+            CAST(smr AS DOUBLE) / CAST(n_mr AS DOUBLE) AS mrbar
+          FROM st)
+        SELECT m.event_type, MAX(s2.n_days) AS n_days,
+          MAX(center) AS center,
+          MAX(center + 2.66 * mrbar) AS ucl,
+          MAX(center - 2.66 * mrbar) AS lcl,
+          CAST(SUM(CASE WHEN CAST(x AS DOUBLE)
+            > center + 2.66 * mrbar THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_above_ucl,
+          CAST(SUM(CASE WHEN CAST(x AS DOUBLE)
+            < center - 2.66 * mrbar THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_below_lcl
+        FROM m JOIN s2 ON m.event_type = s2.event_type
+        GROUP BY m.event_type""")),
   )
 }

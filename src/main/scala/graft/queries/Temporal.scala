@@ -2784,5 +2784,181 @@ object Temporal extends QueryPack {
           CAST(SUM(c) AS BIGINT) * n_all * 1000000
             // (s_all * COUNT(*)) AS uplift_ppm
         FROM ev, tot GROUP BY dow, n_all, s_all""")),
+
+    // ---- q261: clamped running balance — the inventory/wallet fold
+    //      b_t = max(b_{t-1} + δ_t, 0), a SEQUENTIAL recurrence turned
+    //      into a PARALLEL prefix via the closed form
+    //      b_t = S_t − least(0, running_min(S_t)) (S = prefix sum):
+    //      two stacked window passes instead of a per-key driver loop.
+    //      Deterministic order (ts, event_id); all int64 cents. The
+    //      100 TB shape: one user_id exchange feeds both windows and
+    //      the final per-user aggregate — a single hash partitioning
+    //      reused across three operators. ----
+    QueryDef(
+      "q261_clamped_balance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (round(col("value") * 100).cast("long") - 5000L).as("delta"))
+        val wAsc = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("s", sum(col("delta")).over(wAsc))
+          .withColumn("runmin", min(col("s")).over(wAsc))
+          .withColumn("b", col("s") - least(lit(0L), col("runmin")))
+          .withColumn("rnd", row_number().over(wDesc))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_tx"),
+            max(col("b")).as("max_bal"),
+            min(col("s")).as("min_pref"),
+            // last row's balance, folded into the SAME aggregate —
+            // a join-back would re-derive the whole window stack
+            max(when(col("rnd") === 1, col("b"))).as("final_bal"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS tsu, event_id,
+            CAST(round("value" * 100) AS BIGINT) - 5000 AS delta
+          FROM events),
+        w AS (
+          SELECT user_id, tsu, event_id,
+            CAST(SUM(delta) OVER (PARTITION BY user_id
+              ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s
+          FROM ev),
+        w2 AS (
+          SELECT user_id, s,
+            MIN(s) OVER (PARTITION BY user_id
+              ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS runmin,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY tsu DESC, event_id DESC) AS rnd
+          FROM w),
+        w3 AS (
+          SELECT user_id, s, s - LEAST(0, runmin) AS b, rnd FROM w2)
+        SELECT user_id, COUNT(*) AS n_tx, MAX(b) AS max_bal,
+          MIN(s) AS min_pref,
+          MAX(CASE WHEN rnd = 1 THEN b END) AS final_bal
+        FROM w3 GROUP BY 1""")),
+
+    // ---- q262: dyadic EWMA — exponential smoothing of per-type daily
+    //      counts with α = 1/2 truncated at 8 lags, kept EXACT by the
+    //      dyadic weights 2^(7−i): ewma = num/den where
+    //      num = Σ lag_i·2^(7−i), den = Σ 2^(7−i) over AVAILABLE lags
+    //      (series heads carry smaller denominators instead of fake
+    //      zeros). All int64 — no float recurrence to diverge between
+    //      engines. One aggregate + one bounded-frame window over the
+    //      tiny (type, day) domain, never over raw events. ----
+    QueryDef(
+      "q262_dyadic_ewma",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy(col("day"))
+        val num = (0 to 7).map(i =>
+          coalesce(lag(col("cnt"), i).over(w), lit(0L)) *
+            lit(1L << (7 - i))).reduce(_ + _)
+        val den = (0 to 7).map(i =>
+          when(lag(col("cnt"), i).over(w).isNotNull, lit(1L << (7 - i)))
+            .otherwise(lit(0L))).reduce(_ + _)
+        daily.withColumn("ewma_num", num).withColumn("ewma_den", den)
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, day, cnt,
+          COALESCE(LAG(cnt, 0) OVER w, 0) * 128
+            + COALESCE(LAG(cnt, 1) OVER w, 0) * 64
+            + COALESCE(LAG(cnt, 2) OVER w, 0) * 32
+            + COALESCE(LAG(cnt, 3) OVER w, 0) * 16
+            + COALESCE(LAG(cnt, 4) OVER w, 0) * 8
+            + COALESCE(LAG(cnt, 5) OVER w, 0) * 4
+            + COALESCE(LAG(cnt, 6) OVER w, 0) * 2
+            + COALESCE(LAG(cnt, 7) OVER w, 0) AS ewma_num,
+          (CASE WHEN LAG(cnt, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END)
+            + (CASE WHEN LAG(cnt, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END)
+            AS ewma_den
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)""")),
+
+    // ---- q267: quartile motif census — SAX-style time-series
+    //      symbolization kept exact: per-type daily counts quantize
+    //      into quartile symbols 0..3 (disc-quantile boundaries pick
+    //      ELEMENTS → int64), consecutive symbol 3-grams encode as one
+    //      base-4 integer, and the census counts each motif. The
+    //      repeated-pattern / regime detector over any metric series;
+    //      boundaries broadcast back, the window rides the (type, day)
+    //      domain — never raw events. ----
+    QueryDef(
+      "q267_quartile_motifs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+        val qs = daily.groupBy("event_type")
+          .agg(
+            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cnt)")
+              .cast("long").as("q1"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+              .cast("long").as("q2"),
+            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cnt)")
+              .cast("long").as("q3"))
+        val w = Window.partitionBy("event_type").orderBy(col("day"))
+        daily.join(broadcast(qs), Seq("event_type"))
+          .withColumn("sym",
+            when(col("cnt") <= col("q1"), 0L)
+              .when(col("cnt") <= col("q2"), 1L)
+              .when(col("cnt") <= col("q3"), 2L).otherwise(3L))
+          .withColumn("s1", lag(col("sym"), 1).over(w))
+          .withColumn("s2", lag(col("sym"), 2).over(w))
+          .filter(col("s2").isNotNull)
+          .select(col("event_type"),
+            (col("s2") * 16L + col("s1") * 4L + col("sym")).as("motif"))
+          .groupBy("event_type", "motif")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        qs AS (
+          SELECT event_type,
+            quantile_disc(cnt, 0.25) AS q1,
+            quantile_disc(cnt, 0.5) AS q2,
+            quantile_disc(cnt, 0.75) AS q3
+          FROM daily GROUP BY 1),
+        sym AS (
+          SELECT daily.event_type, day,
+            CASE WHEN cnt <= q1 THEN 0 WHEN cnt <= q2 THEN 1
+              WHEN cnt <= q3 THEN 2 ELSE 3 END AS sym
+          FROM daily JOIN qs ON daily.event_type = qs.event_type),
+        tri AS (
+          SELECT event_type, sym,
+            LAG(sym, 1) OVER w AS s1, LAG(sym, 2) OVER w AS s2
+          FROM sym
+          WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type,
+          CAST(s2 * 16 + s1 * 4 + sym AS BIGINT) AS motif,
+          COUNT(*) AS n
+        FROM tri WHERE s2 IS NOT NULL
+        GROUP BY 1, 2""")),
   )
 }

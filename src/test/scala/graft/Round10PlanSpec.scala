@@ -175,4 +175,40 @@ class Round10PlanSpec extends SparkTestBase {
       s"q198 window stages must reuse the join partitioning, " +
         s"got $exchanges exchanges:\n$p")
   }
+
+  test("q261: both prefix windows + aggregate share ONE user exchange") {
+    val p = finalSection(settled("q261_clamped_balance"))
+    assert(!p.contains("CartesianProduct"), s"q261 product:\n$p")
+    // prefix-sum window, running-min window, row_number window, the
+    // per-user aggregate AND the final self-join all cluster by
+    // user_id: exactly one hash exchange may appear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q261 expected ONE user_id exchange reused across windows + " +
+        s"aggregate + join, got $exchanges:\n$p")
+  }
+
+  test("q263: rank<=k filter collapses to a window group limit") {
+    // the bottom-k sample must NOT materialize a full per-source sort
+    // of every row's rank — Spark's InferWindowGroupLimit turns the
+    // row_number<=k filter into a per-partition bounded top-k
+    val p = settled("q263_bottomk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"q263 lost the group-limit rewrite (full rank materialized):\n$p")
+  }
+
+  test("q264/q266: one-row totals / medians attach by broadcast") {
+    for (q <- Seq("q264_benford_digits", "q266_mad_robust")) {
+      val p = finalSection(settled(q))
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast its scalar/median side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+    }
+  }
+
+  test("q265: rank window reuses the part-keyed aggregate exchange") {
+    val p = finalSection(settled("q265_gini_concentration"))
+    assert(!p.contains("CartesianProduct"), s"q265 product:\n$p")
+  }
 }

@@ -211,4 +211,28 @@ class Round10PlanSpec extends SparkTestBase {
     val p = finalSection(settled("q265_gini_concentration"))
     assert(!p.contains("CartesianProduct"), s"q265 product:\n$p")
   }
+
+  test("q267: quartile boundaries broadcast back over the day domain") {
+    val p = finalSection(settled("q267_quartile_motifs"))
+    assert(p.contains("BroadcastExchange"),
+      s"q267 must broadcast the per-type quartiles:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q267 product:\n$p")
+  }
+
+  test("q268: basket pairs generate by order-keyed equi-join only") {
+    val p = finalSection(settled("q268_copurchase_lift"))
+    assert(!p.contains("CartesianProduct"),
+      s"q268 degenerated to a part cross product:\n$p")
+    // the one-row order-count attach must be a broadcast
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), s"q268 lost broadcast:\n$p")
+  }
+
+  test("q269/q270: single combinable aggregate, no product") {
+    for (q <- Seq("q269_discount_elasticity", "q270_wilson_ranking")) {
+      val p = finalSection(settled(q))
+      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost its aggregate:\n$p")
+    }
+  }
 }

@@ -188,4 +188,62 @@ class Round10SemanticsSpec extends SparkTestBase {
     assert(mad(base) == mad(spiked),
       "one planted outlier must not move the MAD")
   }
+
+  test("q267: motif codes are base-4 3-grams; census covers every window") {
+    val rows = run("q267_quartile_motifs").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("motif"),
+        r.getAs[Long]("n")))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 63L))
+    // per type, Σn over motifs == n_days − 2 (every full 3-window
+    // counted exactly once)
+    val perType = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val days = graft.core.Tables.t(spark, SharedSpark.Sf001, "events")
+      .selectExpr("event_type", "ts div 86400000000 as day")
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((tpe, tot) <- perType)
+      assert(tot == days(tpe) - 2, s"$tpe: $tot vs ${days(tpe)} days")
+  }
+
+  test("q268: support bounded by both marginals, lift consistent") {
+    val rows = run("q268_copurchase_lift").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab >= 2L && nab <= math.min(na, nb))
+      assert(r.getAs[Long]("lift_ppm") > 0L)
+    }
+  }
+
+  test("q269: slope denominator obeys Cauchy-Schwarz (n·Σx² ≥ (Σx)²)") {
+    val rows = run("q269_discount_elasticity").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("s_den") >= 0L,
+        s"${r.getAs[String]("p_brand")}: negative OLS denominator")
+  }
+
+  test("q270: Wilson LB penalizes small n — 1/1 loses to 80/100") {
+    // the ranking property the operator exists for, evaluated through
+    // the very expression the query uses
+    import spark.implicits._
+    val lb = Seq((1L, 1L), (80L, 100L)).toDF("k", "n").selectExpr(
+      """(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+            + 3.8416 / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+        / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS lb""")
+      .collect().map(_.getDouble(0))
+    assert(lb(0) < lb(1), s"1/1 got ${lb(0)}, 80/100 got ${lb(1)}")
+    // and the registered query's outputs are genuine lower bounds
+    val rows = run("q270_wilson_ranking").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, k, w) = (r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Double]("wilson_lb"))
+      assert(w >= 0.0 && w <= k.toDouble / n)
+    }
+  }
 }

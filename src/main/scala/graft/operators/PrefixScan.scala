@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordered prefix sum — the two-level scan.
+  *
+  * `SUM(x) OVER (ORDER BY k)` with an empty PARTITION BY moves every
+  * row through ONE task: the silent 100 TB single-partition trap this
+  * repo's QueryPackSpec lint exists to catch. The classic parallel
+  * alternative is a two-level scan:
+  *
+  *   1. band rows by broadcast disc-percentile cuts of the order key
+  *      (any two rows with k_a < k_b land in band_a <= band_b; equal
+  *      keys share a band, so banding is consistent with the order);
+  *   2. run the prefix window WITHIN each band — a partitioned window,
+  *      `nBands`-way parallel;
+  *   3. collect the `nBands` band totals (bounded by construction),
+  *      fold them to per-band offsets on the driver, broadcast back;
+  *   4. global prefix = band offset + within-band prefix.
+  *
+  * Exactness: int64 arithmetic end to end; the full order (key +
+  * caller-supplied tiebreakers) is applied inside each band, and band
+  * boundaries only ever split between DIFFERENT key values, so the
+  * result equals the single-partition window row for row — q271's
+  * DuckDB oracle (a plain global window) certifies exactly that
+  * equality at whole-result grain.
+  */
+object PrefixScan {
+
+  /** Appends `cumCol` = running sum of `valueCol` over the global
+    * order (`orderKeyCol` ASC, then `tieCols` ASC), plus the banding
+    * column `bandCol` (kept for plan tests; drop it if unwanted).
+    *
+    * `orderKeyCol` must be a LONG column expression; `valueCol` long.
+    * For descending order pass a negated key. `df` is scanned twice
+    * (cut aggregate + the banded pass) — cache upstream if it is
+    * expensive to recompute.
+    */
+  def runningSum(
+      df: DataFrame, orderKeyCol: String, tieCols: Seq[String],
+      valueCol: String, cumCol: String, nBands: Int = 32,
+      bandCol: String = "scan_band"): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2: $nBands")
+    // 1. band cuts: nBands-1 disc percentiles of the order key.
+    //    percentile_disc picks elements, so cuts are exact longs and
+    //    `key > cut` banding is stable under duplicates.
+    val cuts = df.agg(array((1 until nBands).map(b =>
+      expr(s"percentile_disc(${b.toDouble / nBands}) WITHIN GROUP " +
+        s"(ORDER BY $orderKeyCol)").cast("long")): _*).as("cuts"))
+    val banded = df.crossJoin(broadcast(cuts))
+      .withColumn(bandCol,
+        size(filter(col("cuts"), c => col(orderKeyCol) > c)).cast("long"))
+      .drop("cuts")
+    // 2. within-band prefix sums under the full total order
+    val w = Window.partitionBy(bandCol)
+      .orderBy((orderKeyCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = banded.withColumn("scan_local", sum(col(valueCol)).over(w))
+    // 3. band totals -> exclusive offsets; <= nBands rows by
+    //    construction, the bounded-collect contract
+    val totals = local.groupBy(bandCol)
+      .agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col(bandCol) === b, lit(off)).otherwise(acc)
+    }
+    // 4. global prefix = offset(band) + local prefix
+    local.withColumn(cumCol, offExpr + col("scan_local"))
+      .drop("scan_local")
+  }
+}

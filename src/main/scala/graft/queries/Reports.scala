@@ -1117,5 +1117,143 @@ object Reports extends QueryPack {
             THEN CAST(n * sxy - sx * sy AS DOUBLE)
               / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_q_per_bp
         FROM ag""")),
+
+    // ---- q271: ABC classification — parts bucketed A/B/C by
+    //      CUMULATIVE revenue share (A carries the first 80%, B to
+    //      95%, C the tail). The global ordered prefix sum comes from
+    //      [[graft.operators.PrefixScan]] — banded disc-percentile
+    //      cuts + within-band windows + broadcast band offsets — never
+    //      a single-partition window; the DuckDB oracle IS a plain
+    //      global window, so hash equality certifies two-level scan ==
+    //      global scan. All int64; shares in exact ppm. ----
+    QueryDef(
+      "q271_abc_classification",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("r"))
+          .groupBy("l_partkey").agg(sum(col("r")).as("x"))
+          .withColumn("negx", -col("x"))
+        val scanned = graft.operators.PrefixScan.runningSum(
+          rev, "negx", Seq("l_partkey"), "x", "c")
+        val tot = rev.agg(sum(col("x")).as("t"))
+        scanned.crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("c") * 100 <= col("t") * 80, 0L)
+              .when(col("c") * 100 <= col("t") * 95, 1L)
+              .otherwise(2L))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("rev_cents"),
+            max(col("t")).as("t"))
+          .withColumn("share_ppm", expr("rev_cents * 1000000 div t"))
+          .select("cls", "n_parts", "rev_cents", "share_ppm")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS x
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM rev),
+        cum AS (
+          SELECT l_partkey, x,
+            CAST(SUM(x) OVER (ORDER BY x DESC, l_partkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+          FROM rev)
+        SELECT CASE WHEN c * 100 <= t * 80 THEN 0
+            WHEN c * 100 <= t * 95 THEN 1 ELSE 2 END AS cls,
+          COUNT(*) AS n_parts, CAST(SUM(x) AS BIGINT) AS rev_cents,
+          CAST(SUM(x) AS BIGINT) * 1000000 // t AS share_ppm
+        FROM cum, tot GROUP BY 1, t""")),
+
+    // ---- q272: double-charge audit — candidate duplicate events:
+    //      same user, same event type, same dollar amount, within 7
+    //      days. The pair generator is the banded range join
+    //      (operators/RangeJoin): each left row fans to two
+    //      week-buckets of a composite (user, type, usd) key, the
+    //      join is pure equi — never an inequality join / BNLJ. The
+    //      asymmetric (earlier, later) tie rule counts each unordered
+    //      pair exactly once. Pairs roll up per event type. ----
+    QueryDef(
+      "q272_double_charge",
+      (s, d) => {
+        val o = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            concat_ws("#", col("user_id"), col("event_type"),
+              round(col("value")).cast("long")).as("k"),
+            expr("ts div 1000000").as("sec"))
+        val left = o.select(col("k"), col("user_id").as("uid"),
+          col("event_type").as("et"), col("sec").as("sec_a"),
+          col("event_id").as("ea"))
+        val right = o.select(col("k"), col("sec").as("sec_b"),
+          col("event_id").as("eb"))
+        graft.operators.RangeJoin
+          .bandJoin(left, right, "k", "sec_a", "sec_b", 604800L)
+          .filter(col("sec_a") < col("sec_b") ||
+            (col("sec_a") === col("sec_b") && col("ea") < col("eb")))
+          .groupBy(col("et").as("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("uid")).as("n_users"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+            CAST(round("value") AS BIGINT) AS usd,
+            epoch_us(ts) // 1000000 AS sec
+          FROM events),
+        pairs AS (
+          SELECT a.user_id AS uid, a.event_type AS et
+          FROM o a JOIN o b
+            ON a.user_id = b.user_id AND a.event_type = b.event_type
+            AND a.usd = b.usd
+            AND b.sec >= a.sec AND b.sec <= a.sec + 604800
+            AND (a.sec < b.sec OR (a.sec = b.sec
+              AND a.event_id < b.event_id)))
+        SELECT et AS event_type, COUNT(*) AS n_pairs,
+          CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_users
+        FROM pairs GROUP BY 1""")),
+
+    // ---- q273: HHI market concentration — the antitrust readout per
+    //      nation: supplier revenue shares in floor-divided basis
+    //      points, HHI = Σ share_bp² (0..10⁸), plus the top share.
+    //      Floor division is applied identically on both engines, so
+    //      the metric is deterministic integer math end to end — no
+    //      share ever materializes as a float. Two keyed aggregates +
+    //      a broadcast per-nation total. ----
+    QueryDef(
+      "q273_hhi_concentration",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .select(col("l_suppkey"),
+            round(col("l_extendedprice")).cast("long").as("r"))
+          .groupBy("l_suppkey").agg(sum(col("r")).as("x"))
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+        val tot = rev.groupBy("s_nationkey").agg(sum(col("x")).as("tn"))
+        rev.join(broadcast(tot), Seq("s_nationkey"))
+          .withColumn("share_bp", expr("x * 10000 div tn"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"), max(col("tn")).as("t_usd"),
+            sum(col("share_bp") * col("share_bp")).as("hhi_bp2"),
+            max(col("share_bp")).as("top_share_bp"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT s_nationkey, l_suppkey,
+            CAST(SUM(CAST(round(l_extendedprice) AS BIGINT))
+              AS BIGINT) AS x
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT s_nationkey, CAST(SUM(x) AS BIGINT) AS tn
+          FROM rev GROUP BY 1),
+        sh AS (
+          SELECT rev.s_nationkey, x * 10000 // tn AS share_bp, tn
+          FROM rev JOIN tot ON rev.s_nationkey = tot.s_nationkey)
+        SELECT s_nationkey, COUNT(*) AS n_suppliers, MAX(tn) AS t_usd,
+          CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+          MAX(share_bp) AS top_share_bp
+        FROM sh GROUP BY 1""")),
   )
 }

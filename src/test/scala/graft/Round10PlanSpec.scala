@@ -235,4 +235,24 @@ class Round10PlanSpec extends SparkTestBase {
       assert(p.contains("HashAggregate"), s"$q lost its aggregate:\n$p")
     }
   }
+
+  test("q271: the ABC prefix scan windows by band, cuts broadcast") {
+    val p = finalSection(settled("q271_abc_classification"))
+    assert(p.contains("BroadcastExchange"),
+      s"q271 must broadcast the band cuts + total:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q271 product:\n$p")
+  }
+
+  test("q272: duplicate-pair generation is a pure equi-join") {
+    val p = finalSection(settled("q272_double_charge"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q272 degenerated to an inequality join:\n$p")
+  }
+
+  test("q273: per-nation totals broadcast back over supplier revenue") {
+    val p = finalSection(settled("q273_hhi_concentration"))
+    assert(p.contains("BroadcastExchange"), s"q273 lost broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q273 product:\n$p")
+  }
 }

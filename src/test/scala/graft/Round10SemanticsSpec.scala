@@ -246,4 +246,58 @@ class Round10SemanticsSpec extends SparkTestBase {
       assert(w >= 0.0 && w <= k.toDouble / n)
     }
   }
+
+  test("q271: ABC classes partition revenue with A-heavy ordering") {
+    val rows = run("q271_abc_classification").collect()
+      .map(r => r.getAs[Long]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("rev_cents"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    // shares floor-divide from one total: sum within 3 ppm of 1e6
+    val ppm = rows.values.map(_._3).sum
+    assert(ppm > 999997L && ppm <= 1000000L, s"ppm sum $ppm")
+    // construction invariants: A stops AT or BEFORE the 80% line
+    // (the crossing part goes to B), A+B at or before 95%
+    assert(rows(0L)._3 <= 800000L && rows(0L)._3 >= 780000L)
+    assert(rows(0L)._3 + rows(1L)._3 <= 950000L)
+    assert(rows.values.forall(_._1 >= 1L))
+  }
+
+  test("q272: every reported pair is a genuine 7-day same-amount dup") {
+    // rebuild the brute-force pair set at sf0.001 and compare counts
+    val ev = graft.core.Tables.t(spark, SharedSpark.Sf0001, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "cast(round(value) as long) as usd", "ts div 1000000 as sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val brute = ev.toSeq.groupBy(e => (e._1, e._3, e._4)).values
+      .flatMap { g =>
+        for {
+          a <- g; b <- g
+          if b._5 >= a._5 && b._5 <= a._5 + 604800L &&
+            (a._5 < b._5 || (a._5 == b._5 && a._2 < b._2))
+        } yield a._3
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q272_double_charge")(
+        spark, SharedSpark.Sf0001).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(got == brute, s"got $got, brute force says $brute")
+  }
+
+  test("q273: HHI bounded by [10^8/n, 10^8]; top share <= sqrt bound") {
+    val rows = run("q273_hhi_concentration").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, hhi, top) = (r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("hhi_bp2"), r.getAs[Long]("top_share_bp"))
+      assert(hhi <= 100000000L, s"HHI above monopoly: $hhi")
+      // floor-division can only undershoot the rational lower bound
+      assert(hhi >= 100000000L / n - 2 * 10000L,
+        s"HHI $hhi below equal-share floor for n=$n")
+      assert(top.toDouble * top <= hhi.toDouble + 1e-6,
+        "top share² cannot exceed the sum of squares")
+    }
+  }
 }

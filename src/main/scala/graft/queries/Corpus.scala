@@ -716,39 +716,5 @@ object Corpus extends QueryPack {
             * 1000 // n_total AS mean_millibits
         FROM tot""")),
 
-    // ---- q263: deterministic bottom-k-by-hash sample — the
-    //      reproducible per-source eval/debug sample: rank docs by
-    //      md5("smp:" || doc_id) and keep the k smallest per source.
-    //      Unlike ORDER BY rand() LIMIT k this is stable across runs,
-    //      engines, and partitionings (the hash IS the randomness),
-    //      and composes incrementally: a new doc displaces at most one
-    //      survivor. Window over the source partitioning; at 100 TB
-    //      the same contract runs as a per-partition top-k heap
-    //      (k·|sources| rows) with no global sort. ----
-    QueryDef(
-      "q263_bottomk_sample",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = 5
-        val w = Window.partitionBy("source")
-          .orderBy(col("h"), col("doc_id"))
-        t(s, d, "documents")
-          .select(col("source"), col("doc_id"),
-            md5(concat(lit("smp:"), col("doc_id").cast("string")))
-              .as("h"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= k)
-      },
-      Some("""
-        WITH h AS (
-          SELECT source, doc_id,
-            md5('smp:' || CAST(doc_id AS VARCHAR)) AS h
-          FROM documents),
-        r AS (
-          SELECT source, doc_id, h,
-            CAST(ROW_NUMBER() OVER (PARTITION BY source
-              ORDER BY h, doc_id) AS BIGINT) AS rank
-          FROM h)
-        SELECT source, doc_id, h, rank FROM r WHERE rank <= 5""")),
   )
 }

@@ -974,150 +974,6 @@ object Reports extends QueryPack {
         FROM eff JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand""")),
 
-    // ---- q265: Gini concentration — how concentrated is each
-    //      brand's revenue across its parts, as an EXACT rational:
-    //      with x_(1..n) sorted ascending, G = gnum/gden where
-    //      gnum = Σ(2i−n−1)·x_(i) = Σ2i·x_(i) − (n+1)·Σx and
-    //      gden = n·Σx — all int64 cents, no division performed.
-    //      Tie-invariant: permuting equal x within a tie run leaves
-    //      Σi over the run unchanged, so gnum is deterministic. One
-    //      part-keyed aggregate, one per-brand window over the tiny
-    //      (brand, part) domain, one aggregate. ----
-    QueryDef(
-      "q265_gini_concentration",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val rev = t(s, d, "lineitem")
-          .select(col("l_partkey"),
-            round(col("l_extendedprice") * 100).cast("long").as("r"))
-          .groupBy("l_partkey").agg(sum(col("r")).as("x"))
-          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-        val w = Window.partitionBy("p_brand")
-          .orderBy(col("x"), col("l_partkey"))
-        rev.withColumn("i", row_number().over(w).cast("long"))
-          .groupBy("p_brand")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("i") * 2L * col("x")).as("s2ix"))
-          .withColumn("gnum",
-            col("s2ix") - (col("n") + 1L) * col("sx"))
-          .withColumn("gden", col("n") * col("sx"))
-          .select("p_brand", "n", "sx", "gnum", "gden")
-      },
-      Some("""
-        WITH rev AS (
-          SELECT l_partkey,
-            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-              AS BIGINT) AS x
-          FROM lineitem GROUP BY 1),
-        rk AS (
-          SELECT p_brand, x,
-            CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
-              ORDER BY x, l_partkey) AS BIGINT) AS i
-          FROM rev JOIN part ON l_partkey = p_partkey),
-        ag AS (
-          SELECT p_brand, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-            CAST(SUM(i * 2 * x) AS BIGINT) AS s2ix
-          FROM rk GROUP BY 1)
-        SELECT p_brand, n, sx, s2ix - (n + 1) * sx AS gnum,
-          n * sx AS gden
-        FROM ag""")),
-
-    // ---- q268: co-purchase lift — association-rule mining over
-    //      order baskets: part pairs sharing an order, with support
-    //      and EXACT integer lift·10⁶ = n_ab·N·10⁶ div (n_a·n_b).
-    //      The pair generator is an ORDER-KEYED equi-join whose
-    //      fan-out is bounded by basket size (≤ 7 lines/order in this
-    //      schema) — pairs ≈ 3.5·|lineitem|, linear, never all-pairs
-    //      across parts. Support ≥ 2 keeps the output the interesting
-    //      tail, not the cross product. ----
-    QueryDef(
-      "q268_copurchase_lift",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
-        val per = li.groupBy("pk").agg(count(lit(1)).as("n_one"))
-        val pairs = li.select(col("ok"), col("pk").as("pa"))
-          .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        pairs
-          .join(per.select(col("pk").as("pa"), col("n_one").as("n_a")),
-            Seq("pa"))
-          .join(per.select(col("pk").as("pb"), col("n_one").as("n_b")),
-            Seq("pb"))
-          .crossJoin(broadcast(nOrders))
-          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"),
-            col("n_b"),
-            expr("n_ab * n_orders * 1000000 div (n_a * n_b)")
-              .as("lift_ppm"))
-      },
-      Some("""
-        WITH li AS (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-          FROM lineitem),
-        tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
-        per AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY 1),
-        pairs AS (
-          SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
-          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        SELECT pa, pb, n_ab, x.n_one AS n_a, y.n_one AS n_b,
-          n_ab * n_orders * 1000000 // (x.n_one * y.n_one) AS lift_ppm
-        FROM pairs
-        JOIN per x ON x.pk = pa
-        JOIN per y ON y.pk = pb, tot""")),
-
-    // ---- q269: discount elasticity — the price-sensitivity readout:
-    //      per brand, the OLS slope of quantity on discount (basis
-    //      points) from EXACT int64 sufficient statistics
-    //      (n, Σx, Σy, Σxy, Σx²); the slope's numerator/denominator
-    //      ship as integers and the single IEEE division is the only
-    //      float op (the q49 correlation discipline). One combinable
-    //      aggregate after a part-keyed dim join. ----
-    QueryDef(
-      "q269_discount_elasticity",
-      (s, d) => {
-        t(s, d, "lineitem")
-          .select(col("l_partkey"),
-            round(col("l_discount") * 10000).cast("long").as("x"),
-            col("l_quantity").cast("long").as("y"))
-          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .groupBy("p_brand")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"))
-          .withColumn("s_num", col("n") * col("sxy") - col("sx") * col("sy"))
-          .withColumn("s_den", col("n") * col("sxx") - col("sx") * col("sx"))
-          .withColumn("slope_q_per_bp",
-            when(col("s_den") =!= 0L,
-              col("s_num").cast("double") / col("s_den").cast("double")))
-      },
-      Some("""
-        WITH xy AS (
-          SELECT p_brand,
-            CAST(round(l_discount * 10000) AS BIGINT) AS x,
-            CAST(l_quantity AS BIGINT) AS y
-          FROM lineitem JOIN part ON l_partkey = p_partkey),
-        ag AS (
-          SELECT p_brand, COUNT(*) AS n,
-            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-            CAST(SUM(x * y) AS BIGINT) AS sxy,
-            CAST(SUM(x * x) AS BIGINT) AS sxx
-          FROM xy GROUP BY 1)
-        SELECT p_brand, n, sx, sy, sxy, sxx,
-          n * sxy - sx * sy AS s_num,
-          n * sxx - sx * sx AS s_den,
-          CASE WHEN n * sxx - sx * sx <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_q_per_bp
-        FROM ag""")),
-
     // ---- q271: ABC classification — parts bucketed A/B/C by
     //      CUMULATIVE revenue share (A carries the first 80%, B to
     //      95%, C the tail). The global ordered prefix sum comes from

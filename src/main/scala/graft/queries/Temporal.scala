@@ -2843,58 +2843,6 @@ object Temporal extends QueryPack {
           MAX(CASE WHEN rnd = 1 THEN b END) AS final_bal
         FROM w3 GROUP BY 1""")),
 
-    // ---- q262: dyadic EWMA — exponential smoothing of per-type daily
-    //      counts with α = 1/2 truncated at 8 lags, kept EXACT by the
-    //      dyadic weights 2^(7−i): ewma = num/den where
-    //      num = Σ lag_i·2^(7−i), den = Σ 2^(7−i) over AVAILABLE lags
-    //      (series heads carry smaller denominators instead of fake
-    //      zeros). All int64 — no float recurrence to diverge between
-    //      engines. One aggregate + one bounded-frame window over the
-    //      tiny (type, day) domain, never over raw events. ----
-    QueryDef(
-      "q262_dyadic_ewma",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val DayUs = 86400000000L
-        val daily = t(s, d, "events")
-          .select(col("event_type"), expr(s"ts div $DayUs").as("day"))
-          .groupBy("event_type", "day")
-          .agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy("event_type").orderBy(col("day"))
-        val num = (0 to 7).map(i =>
-          coalesce(lag(col("cnt"), i).over(w), lit(0L)) *
-            lit(1L << (7 - i))).reduce(_ + _)
-        val den = (0 to 7).map(i =>
-          when(lag(col("cnt"), i).over(w).isNotNull, lit(1L << (7 - i)))
-            .otherwise(lit(0L))).reduce(_ + _)
-        daily.withColumn("ewma_num", num).withColumn("ewma_den", den)
-      },
-      Some("""
-        WITH daily AS (
-          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-            COUNT(*) AS cnt
-          FROM events GROUP BY 1, 2)
-        SELECT event_type, day, cnt,
-          COALESCE(LAG(cnt, 0) OVER w, 0) * 128
-            + COALESCE(LAG(cnt, 1) OVER w, 0) * 64
-            + COALESCE(LAG(cnt, 2) OVER w, 0) * 32
-            + COALESCE(LAG(cnt, 3) OVER w, 0) * 16
-            + COALESCE(LAG(cnt, 4) OVER w, 0) * 8
-            + COALESCE(LAG(cnt, 5) OVER w, 0) * 4
-            + COALESCE(LAG(cnt, 6) OVER w, 0) * 2
-            + COALESCE(LAG(cnt, 7) OVER w, 0) AS ewma_num,
-          (CASE WHEN LAG(cnt, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END)
-            + (CASE WHEN LAG(cnt, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END)
-            AS ewma_den
-        FROM daily
-        WINDOW w AS (PARTITION BY event_type ORDER BY day)""")),
-
     // ---- q267: quartile motif census — SAX-style time-series
     //      symbolization kept exact: per-type daily counts quantize
     //      into quartile symbols 0..3 (disc-quantile boundaries pick

@@ -2182,84 +2182,7 @@ object Validation extends QueryPack {
         FROM m JOIN s2 ON m.event_type = s2.event_type
         GROUP BY m.event_type""")),
 
-    // ---- q264: Benford first-digit audit — the classic fabricated-
-    //      data screen over monetary amounts: observed leading-digit
-    //      shares (exact ppm via integer division) against Benford's
-    //      law log10(1+1/d), pinned as integer-ppm CONSTANTS (they sum
-    //      to exactly 1 000 000) so no engine evaluates a log. One
-    //      combinable 9-group aggregate + a one-row broadcast — the
-    //      cheapest fraud tripwire a 100 TB ledger scan can carry. ----
-    QueryDef(
-      "q264_benford_digits",
-      (s, d) => {
-        val exp = expr("""CASE digit WHEN 1 THEN 301030
-          WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
-          WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
-          WHEN 8 THEN 51153 ELSE 45757 END""").cast("long")
-        val dig = t(s, d, "lineitem")
-          .select(substring(round(col("l_extendedprice") * 100)
-            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
-          .groupBy("digit").agg(count(lit(1)).as("n"))
-        dig.crossJoin(broadcast(dig.agg(sum(col("n")).as("n_tot"))))
-          .withColumn("obs_ppm", expr("n * 1000000 div n_tot"))
-          .withColumn("exp_ppm", exp)
-          .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
-      },
-      Some("""
-        WITH dig AS (
-          SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
-              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-            COUNT(*) AS n
-          FROM lineitem GROUP BY 1),
-        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM dig)
-        SELECT digit, n, n_tot, n * 1000000 // n_tot AS obs_ppm,
-          CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
-            WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
-            WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
-            ELSE 45757 END AS BIGINT) AS exp_ppm,
-          n * 1000000 // n_tot - CASE digit WHEN 1 THEN 301030
-            WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
-            WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
-            WHEN 8 THEN 51153 ELSE 45757 END AS dev_ppm
-        FROM dig, tot""")),
 
-    // ---- q266: median absolute deviation — the robust dispersion
-    //      gate (outlier fences that outliers themselves can't move,
-    //      unlike stddev): med = disc-median of cents, MAD =
-    //      disc-median of |c − med|. Two aggregate passes over the
-    //      same event_type partitioning with a broadcast median
-    //      join-back between them; percentile_disc picks ELEMENTS so
-    //      every output is exact int64 (Spark types the aggregate
-    //      DOUBLE — cast back, the round-9 q153 discipline). ----
-    QueryDef(
-      "q266_mad_robust",
-      (s, d) => {
-        val ev = t(s, d, "events")
-          .select(col("event_type"),
-            round(col("value") * 100).cast("long").as("c"))
-        val med = ev.groupBy("event_type")
-          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
-            .cast("long").as("med"))
-        ev.join(broadcast(med), Seq("event_type"))
-          .select(col("event_type"), col("med"),
-            abs(col("c") - col("med")).as("dev"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
-            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
-              .cast("long").as("mad"))
-      },
-      Some("""
-        WITH ev AS (
-          SELECT event_type,
-            CAST(round("value" * 100) AS BIGINT) AS c
-          FROM events),
-        med AS (
-          SELECT event_type, quantile_disc(c, 0.5) AS med
-          FROM ev GROUP BY 1)
-        SELECT ev.event_type, COUNT(*) AS n, MAX(med) AS med,
-          quantile_disc(abs(c - med), 0.5) AS mad
-        FROM ev JOIN med ON ev.event_type = med.event_type
-        GROUP BY ev.event_type""")),
 
     // ---- q270: Wilson lower bound — rate ranking that small samples
     //      can't game (a 1/1 success never outranks 80/100): the 95%

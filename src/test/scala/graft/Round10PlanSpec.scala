@@ -188,28 +188,13 @@ class Round10PlanSpec extends SparkTestBase {
         s"aggregate + join, got $exchanges:\n$p")
   }
 
-  test("q263: rank<=k filter collapses to a window group limit") {
-    // the bottom-k sample must NOT materialize a full per-source sort
-    // of every row's rank — Spark's InferWindowGroupLimit turns the
-    // row_number<=k filter into a per-partition bounded top-k
-    val p = settled("q263_bottomk_sample")
+  test("q63: rank<=k filter collapses to a window group limit") {
+    // the stratified sample must NOT materialize a full per-stratum
+    // sort of every row's rank — Spark's InferWindowGroupLimit turns
+    // the row_number<=k filter into a per-partition bounded top-k
+    val p = settled("q63_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
-      s"q263 lost the group-limit rewrite (full rank materialized):\n$p")
-  }
-
-  test("q264/q266: one-row totals / medians attach by broadcast") {
-    for (q <- Seq("q264_benford_digits", "q266_mad_robust")) {
-      val p = finalSection(settled(q))
-      assert(p.contains("BroadcastExchange") ||
-        p.contains("BroadcastNestedLoopJoin"),
-        s"$q must broadcast its scalar/median side:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
-    }
-  }
-
-  test("q265: rank window reuses the part-keyed aggregate exchange") {
-    val p = finalSection(settled("q265_gini_concentration"))
-    assert(!p.contains("CartesianProduct"), s"q265 product:\n$p")
+      s"q63 lost the group-limit rewrite (full rank materialized):\n$p")
   }
 
   test("q267: quartile boundaries broadcast back over the day domain") {
@@ -219,21 +204,10 @@ class Round10PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"q267 product:\n$p")
   }
 
-  test("q268: basket pairs generate by order-keyed equi-join only") {
-    val p = finalSection(settled("q268_copurchase_lift"))
-    assert(!p.contains("CartesianProduct"),
-      s"q268 degenerated to a part cross product:\n$p")
-    // the one-row order-count attach must be a broadcast
-    assert(p.contains("BroadcastExchange") ||
-      p.contains("BroadcastNestedLoopJoin"), s"q268 lost broadcast:\n$p")
-  }
-
-  test("q269/q270: single combinable aggregate, no product") {
-    for (q <- Seq("q269_discount_elasticity", "q270_wilson_ranking")) {
-      val p = finalSection(settled(q))
-      assert(!p.contains("CartesianProduct"), s"$q product:\n$p")
-      assert(p.contains("HashAggregate"), s"$q lost its aggregate:\n$p")
-    }
+  test("q270: single combinable aggregate, no product") {
+    val p = finalSection(settled("q270_wilson_ranking"))
+    assert(!p.contains("CartesianProduct"), s"q270 product:\n$p")
+    assert(p.contains("HashAggregate"), s"q270 lost its aggregate:\n$p")
   }
 
   test("q271: the ABC prefix scan windows by band, cuts broadcast") {

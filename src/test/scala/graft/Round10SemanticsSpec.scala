@@ -131,64 +131,6 @@ class Round10SemanticsSpec extends SparkTestBase {
       assert(got(u) == exp, s"user $u: got ${got(u)}, fold says $exp")
   }
 
-  test("q262: dyadic weights — constant series smooths to itself") {
-    // a row with m+1 observed lags carries den = 256 − 2^(7−m): the
-    // top-bits-set ladder 128,192,…,254 for series heads, 255 once the
-    // full 8-lag frame exists — any other value means a weight leaked
-    val ladder = Set(128L, 192L, 224L, 240L, 248L, 252L, 254L, 255L)
-    val rows = run("q262_dyadic_ewma").collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(r => ladder(r.getAs[Long]("ewma_den"))))
-    assert(rows.exists(_.getAs[Long]("ewma_den") == 255L),
-      "at least one full-frame row expected")
-    // weighted-mean sanity: num/den lies within [min,max] of the
-    // contributing counts — here crudely bounded by the global max
-    val maxCnt = rows.map(_.getAs[Long]("cnt")).max
-    assert(rows.forall { r =>
-      val (n, dn) = (r.getAs[Long]("ewma_num"), r.getAs[Long]("ewma_den"))
-      n >= 0 && n <= maxCnt * dn
-    })
-  }
-
-  test("q264: Benford constants sum to exactly one million ppm") {
-    val rows = run("q264_benford_digits").collect()
-    assert(rows.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
-    // floor-division shares can undershoot by at most 8 ppm total
-    val obs = rows.map(_.getAs[Long]("obs_ppm")).sum
-    assert(obs > 999991L && obs <= 1000000L, s"obs ppm sum $obs")
-  }
-
-  test("q265: Gini numerator bounded by its denominator, both exact") {
-    // 0 ≤ G < 1 for non-negative x with n ≥ 1: 0 ≤ gnum < gden
-    val rows = run("q265_gini_concentration").collect()
-    assert(rows.nonEmpty)
-    for (r <- rows) {
-      val (gnum, gden) = (r.getAs[Long]("gnum"), r.getAs[Long]("gden"))
-      assert(gnum >= 0L && gnum < gden,
-        s"${r.getAs[String]("p_brand")}: gnum=$gnum gden=$gden")
-    }
-  }
-
-  test("q266: MAD is immune to a planted far outlier; stddev is not") {
-    // robustness contract on the engine form itself: shifting ONE
-    // element to an extreme value moves stddev arbitrarily but cannot
-    // move the discrete median or MAD of a 1001-element series
-    import spark.implicits._
-    val base = (1 to 1001).map(i => ("t", (i % 101).toLong))
-    val spiked = base.updated(500, ("t", 10000000L))
-    def mad(xs: Seq[(String, Long)]) = {
-      val df = xs.toDF("event_type", "c")
-      val med = df.selectExpr(
-        "cast(percentile_disc(0.5) within group (order by c) as long) m")
-        .head().getLong(0)
-      df.selectExpr(s"abs(c - $med) d").selectExpr(
-        "cast(percentile_disc(0.5) within group (order by d) as long) md")
-        .head().getLong(0)
-    }
-    assert(mad(base) == mad(spiked),
-      "one planted outlier must not move the MAD")
-  }
-
   test("q267: motif codes are base-4 3-grams; census covers every window") {
     val rows = run("q267_quartile_motifs").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("motif"),
@@ -204,25 +146,6 @@ class Round10SemanticsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     for ((tpe, tot) <- perType)
       assert(tot == days(tpe) - 2, s"$tpe: $tot vs ${days(tpe)} days")
-  }
-
-  test("q268: support bounded by both marginals, lift consistent") {
-    val rows = run("q268_copurchase_lift").collect()
-    assert(rows.nonEmpty)
-    for (r <- rows) {
-      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
-        r.getAs[Long]("n_b"))
-      assert(nab >= 2L && nab <= math.min(na, nb))
-      assert(r.getAs[Long]("lift_ppm") > 0L)
-    }
-  }
-
-  test("q269: slope denominator obeys Cauchy-Schwarz (n·Σx² ≥ (Σx)²)") {
-    val rows = run("q269_discount_elasticity").collect()
-    assert(rows.nonEmpty)
-    for (r <- rows)
-      assert(r.getAs[Long]("s_den") >= 0L,
-        s"${r.getAs[String]("p_brand")}: negative OLS denominator")
   }
 
   test("q270: Wilson LB penalizes small n — 1/1 loses to 80/100") {

@@ -2908,5 +2908,139 @@ object Temporal extends QueryPack {
           COUNT(*) AS n
         FROM tri WHERE s2 IS NOT NULL
         GROUP BY 1, 2""")),
+
+    // ---- q274: Shapley channel attribution — the game-theoretic
+    //      credit split (q148 last-touch / q193 position / q223
+    //      last-non-direct are heuristics; Shapley is the axiomatic
+    //      one): channels = the 4 non-purchase event types, coalition
+    //      value v(S) = users whose touched-channel set ⊆ S, and
+    //      φ_c·4! = Σ_{S∌c} |S|!(3−|S|)!·(v(S∪c)−v(S)) — EXACT
+    //      integers (the factorial scaling clears every division).
+    //      One user-keyed bitmask aggregate is the only real shuffle;
+    //      the 16-coalition lattice, subset sums, and the marginal
+    //      fan are broadcast joins over ≤16-row frames. Efficiency
+    //      axiom Σφ = v(full) − v(∅) is spec-asserted. ----
+    QueryDef(
+      "q274_shapley_attribution",
+      (s, d) => {
+        val ch = t(s, d, "events")
+          .filter(col("event_type") =!= "purchase")
+          .select("user_id", "event_type").distinct()
+        val tn = ch.select("event_type").distinct()
+        // rank-without-window: idx = #types lexicographically below
+        val ti = tn.alias("a")
+          .crossJoin(broadcast(tn.alias("b")))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.event_type") < col("a.event_type"), 1L)
+            .otherwise(0L)).as("idx"))
+        val um = ch.join(broadcast(ti), Seq("event_type"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(shiftleft(1, cast(idx as int)))")
+            .cast("long").as("mask"))
+        val cm = um.groupBy("mask").agg(count(lit(1)).as("cnt"))
+        val ss = s.range(16).select(col("id").as("s"))
+        val vs = ss.join(broadcast(cm), expr("(mask & ~s) = 0"), "left")
+          .groupBy("s")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+        val pc = ti.select(col("event_type"),
+          expr("cast(shiftleft(1, cast(idx as int)) as bigint)").as("bit"))
+        pc.join(broadcast(ss), expr("(s & bit) = 0"))
+          .join(broadcast(vs.select(col("s"), col("v").as("v0"))),
+            Seq("s"))
+          .join(broadcast(vs.select(col("s").as("s1"),
+            col("v").as("v1"))), expr("s1 = (s | bit)"))
+          .withColumn("w24", expr(
+            "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+              "WHEN 2 THEN 2 ELSE 6 END").cast("long"))
+          .groupBy("event_type")
+          .agg(sum(col("w24") * (col("v1") - col("v0"))).as("phi_x24"))
+      },
+      Some("""
+        WITH ch AS (
+          SELECT DISTINCT user_id, event_type FROM events
+          WHERE event_type <> 'purchase'),
+        tn AS (SELECT DISTINCT event_type FROM ch),
+        ti AS (
+          SELECT a.event_type,
+            CAST(COUNT(CASE WHEN b.event_type < a.event_type THEN 1 END)
+              AS BIGINT) AS idx
+          FROM tn a, tn b GROUP BY 1),
+        um AS (
+          SELECT user_id, CAST(bit_or(1 << idx) AS BIGINT) AS mask
+          FROM ch JOIN ti USING (event_type) GROUP BY 1),
+        cm AS (SELECT mask, COUNT(*) AS cnt FROM um GROUP BY 1),
+        ss AS (SELECT CAST(x AS BIGINT) AS s FROM range(16) t(x)),
+        vs AS (
+          SELECT s, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+          FROM ss LEFT JOIN cm ON (mask & ~s) = 0 GROUP BY s),
+        pc AS (
+          SELECT event_type, CAST(1 << idx AS BIGINT) AS bit FROM ti)
+        SELECT pc.event_type,
+          CAST(SUM((CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END) * (v1.v - v0.v)) AS BIGINT)
+            AS phi_x24
+        FROM pc JOIN ss s ON (s.s & pc.bit) = 0
+        JOIN vs v0 ON v0.s = s.s
+        JOIN vs v1 ON v1.s = (s.s | pc.bit)
+        GROUP BY 1""")),
+
+    // ---- q275: bitemporal as-of reconstruction — "what did we
+    //      believe at transaction time T about the state valid at V?"
+    //      Records carry BOTH a valid-from day and a (possibly late)
+    //      recorded-at day; for a 3×3 (V, T) checkpoint grid the
+    //      query reconstructs each entity's believed state (max
+    //      valid_from ≤ V among records recorded ≤ T, corrections
+    //      resolved by latest recorded_at) and rolls it up. The
+    //      audit/compliance twin of SCD2 (q163 is valid-time only;
+    //      q218 measures lateness, this REPLAYS belief). Fan-out is
+    //      a broadcast 9-row grid; the rank window partitions by
+    //      (entity, v, t). ----
+    QueryDef(
+      "q275_bitemporal_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val DayUs = 86400000000L
+        val rec = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr(s"ts div $DayUs").as("vf"),
+            round(col("value") * 100).cast("long").as("val"))
+          .withColumn("rc", col("vf") + col("event_id") % 5)
+        val rng = rec.agg(min(col("vf")).as("lo"), max(col("vf")).as("hi"))
+        val grid = rng
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+          .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
+          .select(expr("lo + (hi - lo) * k div 4").as("v"),
+            expr("lo + (hi - lo) * j div 4 + 2").as("tt"))
+        val w = Window.partitionBy("user_id", "v", "tt")
+          .orderBy(col("vf").desc, col("rc").desc, col("event_id").desc)
+        rec.crossJoin(broadcast(grid))
+          .filter(col("vf") <= col("v") && col("rc") <= col("tt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("v", "tt")
+          .agg(count(lit(1)).as("n_entities"), sum(col("val")).as("sum_val"))
+      },
+      Some("""
+        WITH rec AS (
+          SELECT user_id, event_id,
+            epoch_us(ts) // 86400000000 AS vf,
+            CAST(round("value" * 100) AS BIGINT) AS val,
+            epoch_us(ts) // 86400000000 + event_id % 5 AS rc
+          FROM events),
+        rng AS (SELECT MIN(vf) AS lo, MAX(vf) AS hi FROM rec),
+        grid AS (
+          SELECT lo + (hi - lo) * k // 4 AS v,
+            lo + (hi - lo) * j // 4 + 2 AS tt
+          FROM rng, unnest([1, 2, 3]) u(k), unnest([1, 2, 3]) w(j)),
+        ranked AS (
+          SELECT user_id, v, tt, val,
+            ROW_NUMBER() OVER (PARTITION BY user_id, v, tt
+              ORDER BY vf DESC, rc DESC, event_id DESC) AS rk
+          FROM rec, grid
+          WHERE vf <= v AND rc <= tt)
+        SELECT v, tt, COUNT(*) AS n_entities,
+          CAST(SUM(val) AS BIGINT) AS sum_val
+        FROM ranked WHERE rk = 1
+        GROUP BY 1, 2""")),
   )
 }

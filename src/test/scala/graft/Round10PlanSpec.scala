@@ -229,4 +229,21 @@ class Round10PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"q273 lost broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"q273 product:\n$p")
   }
+
+  test("q274: one user-keyed exchange; coalition lattice rides broadcasts") {
+    val p = finalSection(settled("q274_shapley_attribution"))
+    // the only hash exchanges may serve the user-mask aggregate and
+    // the tiny mask/coalition groupings — no sort-merge join anywhere
+    assert(!p.contains("SortMergeJoin"),
+      s"q274 shuffled a 16-row lattice:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), s"q274 lost broadcast:\n$p")
+  }
+
+  test("q275: the 9-point grid broadcasts; the rank window is keyed") {
+    val p = finalSection(settled("q275_bitemporal_asof"))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), s"q275 lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q275 shuffled the grid:\n$p")
+  }
 }

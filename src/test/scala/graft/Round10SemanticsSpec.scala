@@ -170,6 +170,42 @@ class Round10SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q274: Shapley satisfies efficiency and null-player axioms") {
+    val phi = run("q274_shapley_attribution").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("phi_x24"))
+      .toMap
+    assert(phi.keySet ==
+      Set("click", "error", "signup", "view"), s"channels: ${phi.keySet}")
+    // efficiency: Σφ·24 == 24·(v(full) − v(∅)); v(full) counts every
+    // user (all masks ⊆ 1111), v(∅) counts users with NO channel
+    val ev = graft.core.Tables.t(spark, SharedSpark.Sf001, "events")
+    val nUsers = ev.select("user_id").distinct().count()
+    val nNoChannel = nUsers - ev
+      .filter(org.apache.spark.sql.functions.col("event_type") =!=
+        "purchase")
+      .select("user_id").distinct().count()
+    assert(phi.values.sum == 24L * (nUsers - nNoChannel),
+      s"efficiency axiom: ${phi.values.sum} != 24*(${nUsers}-$nNoChannel)")
+    // monotonicity: every channel's credit is non-negative (v is
+    // monotone in S by construction: more channels ⊇ more masks)
+    assert(phi.values.forall(_ >= 0L))
+  }
+
+  test("q275: belief grows along BOTH bitemporal axes") {
+    val rows = run("q275_bitemporal_asof").collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->
+        r.getAs[Long]("n_entities")).toMap
+    assert(rows.size == 9)
+    val vs = rows.keys.map(_._1).toSeq.distinct.sorted
+    val ts = rows.keys.map(_._2).toSeq.distinct.sorted
+    // fixing T, widening the valid window can only see MORE entities;
+    // fixing V, later transaction times can only know MORE
+    for (t0 <- ts; Seq(a, b) <- vs.sliding(2))
+      assert(rows((a, t0)) <= rows((b, t0)), s"V-monotone fails at T=$t0")
+    for (v0 <- vs; Seq(a, b) <- ts.sliding(2))
+      assert(rows((v0, a)) <= rows((v0, b)), s"T-monotone fails at V=$v0")
+  }
+
   test("q271: ABC classes partition revenue with A-heavy ordering") {
     val rows = run("q271_abc_classification").collect()
       .map(r => r.getAs[Long]("cls") ->

@@ -41,8 +41,20 @@ object PrefixScan {
   def runningSum(
       df: DataFrame, orderKeyCol: String, tieCols: Seq[String],
       valueCol: String, cumCol: String, nBands: Int = 32,
+      bandCol: String = "scan_band"): DataFrame =
+    runningSums(df, orderKeyCol, tieCols, Seq(valueCol -> cumCol),
+      nBands, bandCol)
+
+  /** Several running sums over the SAME global order in one banded
+    * pass — N scans for the price of one (one cut aggregate, one
+    * window stage, one bounded totals collect). `cols` maps each
+    * value column to its output cumulative-column name. */
+  def runningSums(
+      df: DataFrame, orderKeyCol: String, tieCols: Seq[String],
+      cols: Seq[(String, String)], nBands: Int = 32,
       bandCol: String = "scan_band"): DataFrame = {
     require(nBands >= 2, s"nBands must be >= 2: $nBands")
+    require(cols.nonEmpty, "at least one (value, cum) pair required")
     // 1. band cuts: nBands-1 disc percentiles of the order key.
     //    percentile_disc picks elements, so cuts are exact longs and
     //    `key > cut` banding is stable under duplicates.
@@ -53,23 +65,38 @@ object PrefixScan {
       .withColumn(bandCol,
         size(filter(col("cuts"), c => col(orderKeyCol) > c)).cast("long"))
       .drop("cuts")
-    // 2. within-band prefix sums under the full total order
+    // 2. within-band prefix sums under the full total order — all N
+    //    value columns ride ONE window operator over one sort
     val w = Window.partitionBy(bandCol)
       .orderBy((orderKeyCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = banded.withColumn("scan_local", sum(col(valueCol)).over(w))
+    val local = cols.zipWithIndex.foldLeft(banded) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"scan_local_$i", sum(col(v)).over(w))
+    }
     // 3. band totals -> exclusive offsets; <= nBands rows by
     //    construction, the bounded-collect contract
     val totals = local.groupBy(bandCol)
-      .agg(sum(col(valueCol)).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col(bandCol) === b, lit(off)).otherwise(acc)
+      .agg(cols.zipWithIndex.map { case ((v, _), i) =>
+        sum(col(v)).as(s"t_$i") }.head,
+        cols.zipWithIndex.tail.map { case ((v, _), i) =>
+          sum(col(v)).as(s"t_$i") }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> cols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offsetRows = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(cols.indices.map(_ => 0L)) {
+        (acc, t) => acc.zip(t).map { case (a, b) => a + b }
+      }.dropRight(1))
+    // 4. global prefix = offset(band) + local prefix, per column
+    cols.zipWithIndex.foldLeft(local) {
+      case (acc, ((_, cum), i)) =>
+        val offExpr = offsetRows.foldLeft(lit(0L)) {
+          case (e, (b, offs)) =>
+            when(col(bandCol) === b, lit(offs(i))).otherwise(e)
+        }
+        acc.withColumn(cum, offExpr + col(s"scan_local_$i"))
+          .drop(s"scan_local_$i")
     }
-    // 4. global prefix = offset(band) + local prefix
-    local.withColumn(cumCol, offExpr + col("scan_local"))
-      .drop("scan_local")
   }
 }

@@ -46,6 +46,28 @@ class PrefixScanSpec extends SparkTestBase {
     assert(cums.toSeq == (1L to 50L))
   }
 
+  test("runningSums: N columns in one pass, each equal to its own scan") {
+    import graft.operators.PrefixScan
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      (i.toLong, (i % 11).toLong, (i % 7).toLong, ((i * 13) % 5).toLong)
+    }.toDF("id", "k", "v1", "v2")
+    val multi = PrefixScan.runningSums(df, "k", Seq("id"),
+        Seq("v1" -> "c1", "v2" -> "c2"), nBands = 4)
+      .select("id", "c1", "c2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s1 = PrefixScan.runningSum(df, "k", Seq("id"), "v1", "c1",
+        nBands = 4)
+      .select("id", "c1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = PrefixScan.runningSum(df, "k", Seq("id"), "v2", "c2",
+        nBands = 4)
+      .select("id", "c2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi.view.mapValues(_._1).toMap == s1)
+    assert(multi.view.mapValues(_._2).toMap == s2)
+  }
+
   test("plans NO unpartitioned window; bands bound the offset table") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -191,6 +191,38 @@ class Round10SemanticsSpec extends SparkTestBase {
     assert(phi.values.forall(_ >= 0L))
   }
 
+  test("q276: W1 dominates the mean gap and vanishes on identity") {
+    val r = run("q276_wasserstein").head()
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val w1 = r.getAs[Double]("w1_cents")
+    assert(na > 0 && nb > 0 && w1 >= 0.0)
+    // W1(A,B) >= |E[A] − E[B]| for any 1-D distributions
+    val m = graft.core.Tables.t(spark, SharedSpark.Sf001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "view"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100)).as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(w1 >= math.abs(m("click") - m("view")) - 1e-6,
+      s"W1=$w1 below mean gap ${math.abs(m("click") - m("view"))}")
+    // identity: EMD of a distribution against itself is exactly zero
+    import spark.implicits._
+    val same = (1 to 200).map(i => ((i % 37).toLong, 1L, 1L))
+      .toDF("v", "ca", "cb").groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum("ca").as("ca"),
+        org.apache.spark.sql.functions.sum("cb").as("cb"))
+      .withColumn("one", org.apache.spark.sql.functions.lit(1L))
+    val sc = graft.operators.PrefixScan.runningSums(same, "v",
+      Seq.empty, Seq("ca" -> "cum_a", "cb" -> "cum_b", "one" -> "rank"))
+    val num = sc.selectExpr("rank", "v", "cum_a", "cum_b")
+      .join(sc.selectExpr("rank - 1 as rank", "v as v_next"), Seq("rank"))
+      .selectExpr("sum(abs(cum_a - cum_b) * (v_next - v)) as s")
+      .head().getLong(0)
+    assert(num == 0L, s"self-EMD must be zero, got $num")
+  }
+
   test("q275: belief grows along BOTH bitemporal axes") {
     val rows = run("q275_bitemporal_asof").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->

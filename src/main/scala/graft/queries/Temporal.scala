@@ -3116,5 +3116,93 @@ object Temporal extends QueryPack {
             AS DOUBLE) / CAST(na * nb AS DOUBLE) AS w1_cents
         FROM sc, tot WHERE v_next IS NOT NULL
         GROUP BY na, nb""")),
+
+    // ---- q277: Kendall tau-b — the rank-correlation completion of
+    //      the stats family (q49 Pearson is linear, q191 rank-sum is
+    //      two-sample, q247 Theil-Sen is the slope): per type, does
+    //      daily VOLUME co-move with daily VALUE? S = Σ sign(Δx)·
+    //      sign(Δy) over day pairs plus the tie-corrected pair counts
+    //      n0/n1/n2 ship as exact int64; tau_b's sqrt is the single
+    //      IEEE op. The pair join is bounded by the DAY domain
+    //      (days²/2 per type, independent of event volume) — the
+    //      aggregate-first-then-pair discipline that keeps pairwise
+    //      statistics viable at 100 TB. ----
+    QueryDef(
+      "q277_kendall_tau",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("x"), sum(col("c")).as("y"))
+        val sgn = (a: org.apache.spark.sql.Column) =>
+          when(a > 0, 1L).when(a < 0, -1L).otherwise(0L)
+        val pairs = daily.select(col("event_type"), col("day").as("da"),
+            col("x").as("xa"), col("y").as("ya"))
+          .join(daily.select(col("event_type"), col("day").as("db"),
+            col("x").as("xb"), col("y").as("yb")), Seq("event_type"))
+          .filter(col("da") < col("db"))
+          .groupBy("event_type")
+          .agg(sum(sgn(col("xb") - col("xa")) * sgn(col("yb") - col("ya")))
+            .as("s_stat"))
+        val ties = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .join(daily.groupBy("event_type", "x")
+            .agg(count(lit(1)).as("tx"))
+            .groupBy("event_type")
+            .agg(sum(expr("tx * (tx - 1) div 2")).as("n1")),
+            Seq("event_type"))
+          .join(daily.groupBy("event_type", "y")
+            .agg(count(lit(1)).as("ty"))
+            .groupBy("event_type")
+            .agg(sum(expr("ty * (ty - 1) div 2")).as("n2")),
+            Seq("event_type"))
+          .withColumn("n0", expr("n * (n - 1) div 2"))
+        pairs.join(ties, Seq("event_type"))
+          .withColumn("tau_b",
+            col("s_stat").cast("double") /
+              sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+                .cast("double")))
+          .select("event_type", "n", "s_stat", "n0", "n1", "n2", "tau_b")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS x,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM events GROUP BY 1, 2),
+        pr AS (
+          SELECT a.event_type,
+            CAST(SUM((CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x
+                THEN -1 ELSE 0 END)
+              * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y
+                THEN -1 ELSE 0 END)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY 1),
+        tx AS (
+          SELECT event_type,
+            CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+          FROM (SELECT event_type, x, COUNT(*) AS t
+                FROM daily GROUP BY 1, 2)
+          GROUP BY 1),
+        ty AS (
+          SELECT event_type,
+            CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+          FROM (SELECT event_type, y, COUNT(*) AS t
+                FROM daily GROUP BY 1, 2)
+          GROUP BY 1),
+        nn AS (
+          SELECT event_type, COUNT(*) AS n,
+            COUNT(*) * (COUNT(*) - 1) // 2 AS n0
+          FROM daily GROUP BY 1)
+        SELECT nn.event_type, n, s_stat, n0, n1, n2,
+          CAST(s_stat AS DOUBLE)
+            / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) AS tau_b
+        FROM nn JOIN pr ON nn.event_type = pr.event_type
+        JOIN tx ON nn.event_type = tx.event_type
+        JOIN ty ON nn.event_type = ty.event_type""")),
   )
 }

@@ -2184,6 +2184,71 @@ object Validation extends QueryPack {
 
 
 
+    // ---- q278: Chapman capture-recapture — estimate the TRUE
+    //      population each source only partially observes (the
+    //      data-coverage question a crawler/ingest pipeline asks:
+    //      "how many entities exist that NEITHER window saw?"):
+    //      two observation windows (first/last third of the time
+    //      range), N̂ = (nA+1)(nB+1)/(m+1) − 1 from the overlap m,
+    //      as exact integer numerator/denominator plus the floor
+    //      estimate — compared against the in-sample ground truth
+    //      n_true. Three distinct-user aggregates per type, one
+    //      broadcast range row; no window. ----
+    QueryDef(
+      "q278_capture_recapture",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          col("user_id"), col("ts"))
+        val rng = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val tagged = ev.crossJoin(broadcast(rng))
+          .withColumn("w",
+            when(col("ts") * 3 <= col("lo") * 2 + col("hi"), 1L)
+              .when(col("ts") * 3 >= col("lo") + col("hi") * 2, 2L)
+              .otherwise(0L))
+        val a = tagged.filter(col("w") === 1)
+          .select("event_type", "user_id").distinct()
+        val b = tagged.filter(col("w") === 2)
+          .select("event_type", "user_id").distinct()
+        val na = a.groupBy("event_type").agg(count(lit(1)).as("n_a"))
+        val nb = b.groupBy("event_type").agg(count(lit(1)).as("n_b"))
+        val m = a.join(b, Seq("event_type", "user_id"))
+          .groupBy("event_type").agg(count(lit(1)).as("m"))
+        val tru = ev.select("event_type", "user_id").distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        na.join(nb, Seq("event_type")).join(m, Seq("event_type"))
+          .join(tru, Seq("event_type"))
+          .withColumn("chapman_est",
+            expr("(n_a + 1) * (n_b + 1) div (m + 1) - 1"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, user_id, epoch_us(ts) AS tsu FROM events),
+        rng AS (SELECT MIN(tsu) AS lo, MAX(tsu) AS hi FROM ev),
+        tagged AS (
+          SELECT event_type, user_id,
+            CASE WHEN tsu * 3 <= lo * 2 + hi THEN 1
+              WHEN tsu * 3 >= lo + hi * 2 THEN 2 ELSE 0 END AS w
+          FROM ev, rng),
+        a AS (SELECT DISTINCT event_type, user_id FROM tagged
+          WHERE w = 1),
+        b AS (SELECT DISTINCT event_type, user_id FROM tagged
+          WHERE w = 2),
+        na AS (SELECT event_type, COUNT(*) AS n_a FROM a GROUP BY 1),
+        nb AS (SELECT event_type, COUNT(*) AS n_b FROM b GROUP BY 1),
+        m AS (
+          SELECT a.event_type, COUNT(*) AS m
+          FROM a JOIN b ON a.event_type = b.event_type
+            AND a.user_id = b.user_id
+          GROUP BY 1),
+        tru AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+          FROM ev GROUP BY 1)
+        SELECT na.event_type, n_a, n_b, m, n_true,
+          (n_a + 1) * (n_b + 1) // (m + 1) - 1 AS chapman_est
+        FROM na JOIN nb ON na.event_type = nb.event_type
+        JOIN m ON na.event_type = m.event_type
+        JOIN tru ON na.event_type = tru.event_type""")),
+
     // ---- q270: Wilson lower bound — rate ranking that small samples
     //      can't game (a 1/1 success never outranks 80/100): the 95%
     //      Wilson score interval's lower endpoint per event_type over

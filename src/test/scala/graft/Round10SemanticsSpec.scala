@@ -223,6 +223,47 @@ class Round10SemanticsSpec extends SparkTestBase {
     assert(num == 0L, s"self-EMD must be zero, got $num")
   }
 
+  test("q277: S equals brute-force Kendall on the daily aggregates") {
+    val daily = graft.core.Tables.t(spark, SharedSpark.Sf001, "events")
+      .selectExpr("event_type", "ts div 86400000000 as day",
+        "cast(round(value * 100) as long) as c")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("x"),
+        org.apache.spark.sql.functions.sum("c").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val brute = daily.toSeq.groupBy(_._1).view.mapValues { g =>
+      val v = g.map(t => (t._2, t._3))
+      (for (i <- v.indices; j <- i + 1 until v.length) yield
+        math.signum(v(j)._1 - v(i)._1) * math.signum(v(j)._2 - v(i)._2)
+      ).sum
+    }.toMap
+    val got = run("q277_kendall_tau").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("s_stat"), r.getAs[Double]("tau_b"))).toMap
+    assert(got.keySet == brute.keySet)
+    for ((tpe, (s, tb)) <- got) {
+      assert(s == brute(tpe), s"$tpe: S=$s, brute=${brute(tpe)}")
+      assert(tb >= -1.0 && tb <= 1.0)
+    }
+  }
+
+  test("q278: Chapman estimate bounded below by both window counts") {
+    val rows = run("q278_capture_recapture").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (na, nb, m, tru, est) = (r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("m"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("chapman_est"))
+      assert(m <= math.min(na, nb), "overlap exceeds a window count")
+      assert(tru >= math.max(na, nb), "ground truth below a window")
+      // (nA+1)(nB+1)/(m+1) >= nA+1 whenever m <= nB (and symmetric)
+      assert(est >= math.max(na, nb),
+        s"Chapman $est below observed max(${na}, $nb)")
+    }
+  }
+
   test("q275: belief grows along BOTH bitemporal axes") {
     val rows = run("q275_bitemporal_asof").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->

@@ -985,11 +985,15 @@ object Reports extends QueryPack {
     QueryDef(
       "q271_abc_classification",
       (s, d) => {
+        // PrefixScan reads its input 3x (cuts, scan, band totals) and
+        // the total once more: persist the small per-part aggregate so
+        // lineitem is scanned and shuffled exactly once
         val rev = t(s, d, "lineitem")
           .select(col("l_partkey"),
             round(col("l_extendedprice") * 100).cast("long").as("r"))
           .groupBy("l_partkey").agg(sum(col("r")).as("x"))
           .withColumn("negx", -col("x"))
+          .persist()
         val scanned = graft.operators.PrefixScan.runningSum(
           rev, "negx", Seq("l_partkey"), "x", "c")
         val tot = rev.agg(sum(col("x")).as("t"))

@@ -3070,6 +3070,9 @@ object Temporal extends QueryPack {
           .groupBy("v")
           .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
           .withColumn("one", lit(1L))
+          // PrefixScan reads this 3x and the totals row once more:
+          // persist the level table so events aggregate exactly once
+          .persist()
         val sc = graft.operators.PrefixScan.runningSums(
           lv, "v", Seq.empty,
           Seq("ca" -> "cum_a", "cb" -> "cum_b", "one" -> "rank"))

@@ -46,6 +46,28 @@ class PrefixScanSpec extends SparkTestBase {
     assert(cums.toSeq == (1L to 50L))
   }
 
+  test("randomized: banded == global across seeds, sizes, band counts") {
+    import graft.operators.PrefixScan
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1337); nBands <- Seq(2, 5, 16)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(400)
+      // keys drawn from a SMALL domain to force heavy duplication at
+      // band boundaries; values span negatives
+      val rows = (1 to n).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong, (rnd.nextInt(199) - 99).toLong)
+      }
+      val df = rows.toDF("id", "k", "v")
+      val got = PrefixScan.runningSum(df, "k", Seq("id"), "v", "cum",
+          nBands = nBands)
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = refScan(df).select("id", "cum_ref").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"seed=$seed nBands=$nBands n=$n diverged")
+    }
+  }
+
   test("runningSums: N columns in one pass, each equal to its own scan") {
     import graft.operators.PrefixScan
     import spark.implicits._

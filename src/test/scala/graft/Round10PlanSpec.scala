@@ -212,7 +212,10 @@ class Round10PlanSpec extends SparkTestBase {
 
   test("q271: the ABC prefix scan windows by band, cuts broadcast") {
     val p = finalSection(settled("q271_abc_classification"))
-    assert(p.contains("BroadcastExchange"),
+    // under a warm cache the one-row attaches print as BNLJ over an
+    // InMemoryRelation without a literal BroadcastExchange node
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
       s"q271 must broadcast the band cuts + total:\n$p")
     assert(!p.contains("CartesianProduct"), s"q271 product:\n$p")
   }

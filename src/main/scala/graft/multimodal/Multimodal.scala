@@ -237,13 +237,14 @@ object Multimodal {
     out
   }
 
-  /** REAL JPEG/PNG decode via the JDK's `javax.imageio.ImageIO` —
+  /** REAL JPEG/PNG/GIF decode via the JDK's `javax.imageio.ImageIO` —
     * ships in every JRE, so no external codec dependency. Payloads
-    * are magic-sniffed (JPEG FFD8, PNG 89'PNG') before the codec ever
-    * sees them; output is top-down RGB triplets like every other
-    * image decoder here. JPEG being lossy, pixel values are
-    * codec-defined — tests assert dimensions and per-pixel tolerance
-    * on round trips, exact bytes only for PNG (lossless). None on
+    * are magic-sniffed (JPEG FFD8, PNG 89'PNG', GIF 'GIF8') before
+    * the codec ever sees them; output is top-down RGB triplets like
+    * every other image decoder here. JPEG being lossy, pixel values
+    * are codec-defined — tests assert dimensions and per-pixel
+    * tolerance on round trips, exact bytes for PNG and for GIF whose
+    * palette the source colors fit (both lossless). None on
     * malformed/truncated payloads (ImageIO returns null or throws;
     * both map to None). */
   private[graft] def decodeImageIO(
@@ -252,7 +253,9 @@ object Multimodal {
     val isJpeg = (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8
     val isPng = (data(0) & 0xff) == 0x89 && data(1) == 'P' &&
       data(2) == 'N' && data(3) == 'G'
-    if (!isJpeg && !isPng) return None
+    val isGif = data(0) == 'G' && data(1) == 'I' && data(2) == 'F' &&
+      data(3) == '8'
+    if (!isJpeg && !isPng && !isGif) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(data))
@@ -271,7 +274,8 @@ object Multimodal {
         out(3 * i + 2) = (v & 0xff).toByte
         i += 1
       }
-      Some((if (isJpeg) "jpeg" else "png", w, h, out))
+      Some((if (isJpeg) "jpeg" else if (isGif) "gif" else "png",
+        w, h, out))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -308,6 +312,44 @@ object Multimodal {
     img.setRGB(0, 0, w, h, argb, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** Encode top-down RGB triplets as GIF via ImageIO (fixture side of
+    * the palette-lossless round-trip test). The JDK's GIF writer
+    * QUANTIZES direct-color images to its own palette — handing it a
+    * TYPE_INT_RGB frame loses colors even when ≤256 are present — so
+    * the image is built as TYPE_BYTE_INDEXED over an explicit
+    * IndexColorModel holding exactly the distinct source colors
+    * (≤256 required), which the writer emits verbatim. */
+  private[graft] def encodeGif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val n = w * h
+    val argb = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      argb(i) = ((rgb(3 * i) & 0xff) << 16) |
+        ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    val palette = argb.distinct
+    require(palette.length <= 256,
+      s"GIF fixture needs <=256 distinct colors, got ${palette.length}")
+    val idx = palette.zipWithIndex.toMap
+    val cm = new java.awt.image.IndexColorModel(
+      8, palette.length,
+      palette.map(v => ((v >> 16) & 0xff).toByte),
+      palette.map(v => ((v >> 8) & 0xff).toByte),
+      palette.map(v => (v & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    i = 0
+    while (i < n) {
+      raster.setSample(i % w, i / w, 0, idx(argb(i)))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
     bos.toByteArray
   }
 

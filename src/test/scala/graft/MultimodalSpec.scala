@@ -292,6 +292,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta.getAs[Array[Byte]]("px").length === 8 * 8 * 3)
   }
 
+  test("GIF decode is real: palette-lossless round trip, golden pixels") {
+    import spark.implicits._
+    // 4 distinct colors on an 8x8 diagonal: fits any palette, so the
+    // GIF round trip must be byte-exact like PNG. (8x8, not smaller:
+    // the JDK GIF codec corrupts the LZW stream of a 2x2 frame — a
+    // probed tiny-image edge case, not a palette issue.)
+    val colors = Array(Array[Byte](255.toByte, 0, 0),
+      Array[Byte](0, 255.toByte, 0), Array[Byte](0, 0, 255.toByte),
+      Array[Byte](7, 42, 99))
+    val rgb = (0 until 64).flatMap(i =>
+      colors((i % 8 + i / 8) % 4)).toArray
+    val gif = Multimodal.encodeGif(8, 8, rgb)
+    assert(gif(0) === 'G' && gif(1) === 'I' && gif(2) === 'F' &&
+      gif(3) === '8', "real GIF magic")
+    val Some((fmt, w, h, back)) = Multimodal.decodeImageIO(gif)
+    assert(fmt === "gif" && w === 8 && h === 8)
+    assert(back.sameElements(rgb), "palette GIF is lossless: exact bytes")
+    // the Spark-side decode path routes GIF through the same kernel
+    val px = Seq((1L, gif)).toDF("media_id", "data")
+      .select(Multimodal.decodedRgb(col("data")).as("px"))
+      .collect()(0).getAs[Array[Byte]]("px")
+    assert(px.sameElements(rgb))
+    // truncated GIF stays None, never fake-decoded
+    assert(Multimodal.decodeImageIO(gif.take(10)).isEmpty)
+  }
+
   test("malformed headers with overflowing dims return None, never throw") {
     // PGM/PPM declaring 46341x46341: w*h Int-overflows negative; the
     // Long-arithmetic guard must reject, not NegativeArraySizeException

@@ -264,5 +264,56 @@ object Cleaning extends QueryPack {
         FROM totals t
         LEFT JOIN nb USING (source)
         LEFT JOIN removed r USING (source)""")),
+
+    // ---- q279: Unicode NFC normalization audit — un-normalized text
+    //      is a silent dedup leak ("é" precomposed vs "e"+COMBINING
+    //      ACUTE are different bytes, identical glyphs: exact/MinHash
+    //      fingerprints miss the pair and tokenizers split them
+    //      apart). The corpus is deterministically "dirtied" in-query
+    //      (every 'e' decomposed to e+U+0301 on doc_id%3==0 rows —
+    //      the synthetic stand-in for crawl-source mojibake), then
+    //      normalized by the new codegen'd [[graft.functions
+    //      .NfcNormalize]] Catalyst expression; DuckDB's ICU
+    //      `nfc_normalize` is the oracle, so hash equality checks the
+    //      JDK normalizer against an independent UAX #15
+    //      implementation. Per-source: docs changed, chars before /
+    //      after, combining marks removed. Pure per-row map — no
+    //      shuffle but the final count. ----
+    QueryDef(
+      "q279_nfc_normalize",
+      (s, d) => {
+        val dirty = when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "e", "e\u0301"))
+          .otherwise(col("text"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), dirty.as("aug"))
+          .withColumn("norm",
+            graft.functions.UnicodeFunctions.nfcNormalize(col("aug")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("aug") =!= col("norm"), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(length(col("aug"))).as("chars_before"),
+            sum(length(col("norm"))).as("chars_after"))
+          .withColumn("marks_removed",
+            col("chars_before") - col("chars_after"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT source, doc_id,
+            CASE WHEN doc_id % 3 = 0
+              THEN replace(text, 'e', 'e' || chr(769))
+              ELSE text END AS aug
+          FROM documents),
+        norm AS (
+          SELECT source, aug, nfc_normalize(aug) AS norm FROM aug)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN aug <> norm THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_changed,
+          CAST(SUM(length(aug)) AS BIGINT) AS chars_before,
+          CAST(SUM(length(norm)) AS BIGINT) AS chars_after,
+          CAST(SUM(length(aug)) - SUM(length(norm)) AS BIGINT)
+            AS marks_removed
+        FROM norm GROUP BY 1""")),
   )
 }

@@ -716,5 +716,55 @@ object Corpus extends QueryPack {
             * 1000 // n_total AS mean_millibits
         FROM tot""")),
 
+    // ---- q280: data-constrained epoch allocation — when the token
+    //      budget exceeds the corpus, WHICH sources repeat and how
+    //      often? Following the data-constrained-scaling intuition
+    //      that repeated epochs have diminishing value (Muennighoff
+    //      et al. 2023: ~zero marginal value past a few repeats,
+    //      modeled here as gain halving per epoch), the allocator
+    //      fans each source into epoch slots 1..8 with EXACT integer
+    //      gain tok·2^(8−e) and greedily takes the top-30 slots
+    //      (TakeOrdered over the ≤ sources×8 lattice — never a
+    //      window), then reports epochs granted + effective tokens
+    //      per source. Deterministic ties (gain, source, epoch). ----
+    QueryDef(
+      "q280_epoch_allocation",
+      (s, d) => {
+        val budget = 30
+        val tok = t(s, d, "documents")
+          .select(col("source"), rawTokens(col("text")).as("toks"))
+          .groupBy("source")
+          .agg(sum(size(col("toks"))).cast("long").as("tok"))
+        val lattice = tok
+          .withColumn("epoch", explode(array((1 to 8).map(e =>
+            lit(e.toLong)): _*)))
+          .withColumn("gain",
+            col("tok") * expr("shiftleft(1, cast(8 - epoch as int))"))
+        val granted = lattice
+          .orderBy(col("gain").desc, col("source"), col("epoch"))
+          .limit(budget)
+        granted.groupBy("source")
+          .agg(count(lit(1)).as("epochs"),
+            max(col("tok")).as("tok"),
+            sum(col("gain")).as("gain_total"))
+          .withColumn("effective_tokens", col("tok") * col("epochs"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS tok
+          FROM documents GROUP BY 1),
+        lattice AS (
+          SELECT source, tok, CAST(e AS BIGINT) AS epoch,
+            tok * (1 << (8 - e)) AS gain
+          FROM tok, unnest([1, 2, 3, 4, 5, 6, 7, 8]) u(e)),
+        granted AS (
+          SELECT * FROM lattice
+          ORDER BY gain DESC, source, epoch LIMIT 30)
+        SELECT source, COUNT(*) AS epochs, MAX(tok) AS tok,
+          CAST(SUM(gain) AS BIGINT) AS gain_total,
+          MAX(tok) * COUNT(*) AS effective_tokens
+        FROM granted GROUP BY 1""")),
   )
 }

@@ -2065,5 +2065,91 @@ object Curation extends QueryPack {
         SELECT card.source, n_docs, total_chars, p50_len, n_langs,
           n_dup_docs, n_dup_docs * 1000000 // n_docs AS dup_ppm
         FROM card JOIN dd ON card.source = dd.source""")),
+
+    // ---- q281: cleaning-filter funnel — the ablation table every
+    //      corpus-cleaning pipeline publishes: filters applied
+    //      CUMULATIVELY (length → min words → type-token ratio →
+    //      max words), with survivors and surviving tokens after
+    //      each prefix. q132 audits rules independently; the funnel
+    //      shows the marginal cost of each stage in pipeline ORDER —
+    //      what you consult before reordering or dropping a filter.
+    //      Ratio thresholds stay exact via integer cross-
+    //      multiplication (dw·100 ≥ w·40, not dw/w ≥ 0.4).
+    //      One scan, all four prefixes as conditional aggregates;
+    //      the 4-row unpivot is a constant-size stack. ----
+    QueryDef(
+      "q281_filter_funnel",
+      (s, d) => {
+        val flags = t(s, d, "documents")
+          .select(col("n_chars"),
+            size(toks(col("text"))).cast("long").as("w"),
+            size(array_distinct(toks(col("text")))).cast("long")
+              .as("dw"))
+          .withColumn("f1",
+            col("n_chars") >= 200 && col("n_chars") <= 20000)
+          .withColumn("f2", col("w") >= 40)
+          // type-token ratio >= 0.40 — the repetition cut, exact via
+          // cross-multiplication (never a float division)
+          .withColumn("f3", col("dw") * 100 >= col("w") * 40)
+          .withColumn("f4", col("w") <= 70)
+        val agg = flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f1"), col("w")).otherwise(0L)).as("t1"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("f1") && col("f2"), col("w")).otherwise(0L))
+            .as("t2"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("f1") && col("f2") && col("f3"), col("w"))
+            .otherwise(0L)).as("t3"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L)
+            .otherwise(0L)).as("n3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"),
+            col("w")).otherwise(0L)).as("t4"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+            .otherwise(0L)).as("n4"))
+        agg.selectExpr("n0", """stack(4,
+            1L, n1, t1, 2L, n2, t2, 3L, n3, t3, 4L, n4, t4)
+          AS (stage, n_surv, tokens_surv)""")
+          .withColumn("kept_ppm", expr("n_surv * 1000000 div n0"))
+          .select("stage", "n_surv", "tokens_surv", "kept_ppm")
+      },
+      Some("""
+        WITH flags AS (
+          SELECT n_chars,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS w,
+            CAST(len(list_distinct(
+              regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+              AS dw
+          FROM documents),
+        fl AS (
+          SELECT w,
+            (n_chars >= 200 AND n_chars <= 20000) AS f1,
+            (w >= 40) AS f2,
+            (dw * 100 >= w * 40) AS f3,
+            (w <= 70) AS f4
+          FROM flags),
+        agg AS (
+          SELECT COUNT(*) AS n0,
+            CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN f1 THEN w ELSE 0 END) AS BIGINT) AS t1,
+            CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(SUM(CASE WHEN f1 AND f2 THEN w ELSE 0 END) AS BIGINT)
+              AS t2,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n3,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN w ELSE 0 END)
+              AS BIGINT) AS t3,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0
+              END) AS BIGINT) AS n4,
+            CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN w ELSE 0
+              END) AS BIGINT) AS t4
+          FROM fl)
+        SELECT s.stage, s.n_surv, s.tokens_surv,
+          s.n_surv * 1000000 // agg.n0 AS kept_ppm
+        FROM agg, LATERAL (VALUES
+          (CAST(1 AS BIGINT), n1, t1), (2, n2, t2),
+          (3, n3, t3), (4, n4, t4)) s(stage, n_surv, tokens_surv)""")),
   )
 }

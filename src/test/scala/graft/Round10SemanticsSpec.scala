@@ -264,6 +264,24 @@ class Round10SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q281: the funnel is monotone and every stage bites somewhere") {
+    val rows = run("q281_filter_funnel").collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_surv"),
+        r.getAs[Long]("tokens_surv"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // cumulative prefixes can only shrink
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._2 <= a._2 && b._3 <= a._3
+      case _ => true
+    })
+    // at sf0.01 every filter removes at least one document — a flat
+    // stage means the threshold stopped discriminating on this corpus
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._2 < a._2
+      case _ => true
+    }, s"flat stage in ${rows.toSeq}")
+  }
+
   test("q275: belief grows along BOTH bitemporal axes") {
     val rows = run("q275_bitemporal_asof").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->

@@ -109,6 +109,11 @@ object GraftExtensions {
       info("graft_lang_id",
         "graft_lang_id(tokens) - marker-overlap language id"),
       arity("graft_lang_id", 1)(args => LangIdExpr(args(0)))),
+    "graft_nfc" -> (
+      info("graft_nfc",
+        "graft_nfc(str) - Unicode NFC canonical composition"),
+      arity("graft_nfc", 1)(args =>
+        graft.functions.NfcNormalize(args(0)))),
     "graft_to_avro" -> (
       info("graft_to_avro", "graft_to_avro(struct) - avro-encode"),
       arity("graft_to_avro", 1)(args => ToAvro(args(0)))),

@@ -320,7 +320,8 @@ class ArchiveSpec extends SparkTestBase {
         "graft_ngram_join(array('a','b','c'), 2) AS nj, " +
         "graft_simhash_md5(array('a','b')) AS sm, " +
         "graft_lang_id(array('the','and','of','to','in')) AS l, " +
-        "graft_sorted_long_intersect_size(array(1L,2L), array(2L,3L)) AS li")
+        "graft_sorted_long_intersect_size(array(1L,2L), array(2L,3L)) AS li, " +
+        "length(graft_nfc('Cafe\u0301')) AS nfc")
       .collect()(0)
     assert(more.getDouble(0) === 1.0)
     assert(more.getSeq[String](1).length === 2 &&
@@ -328,6 +329,7 @@ class ArchiveSpec extends SparkTestBase {
     assert(more.getSeq[String](2) === Seq("a b", "b c"))
     assert(more.getAs[String]("l") === "en")
     assert(more.getInt(5) === 1)
+    assert(more.getInt(6) === 4) // e+combining acute composed away
     // wrong arity surfaces as WRONG_NUM_ARGS, not IndexOutOfBounds
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_cosine(array(1.0f))").collect()

@@ -1115,5 +1115,100 @@ object Reports extends QueryPack {
           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
           MAX(share_bp) AS top_share_bp
         FROM sh GROUP BY 1""")),
+
+    // ---- q282: ABC/XYZ matrix — the inventory-planning grid that
+    //      crosses VALUE concentration (A/B/C by cumulative revenue
+    //      share, the q271 PrefixScan) with DEMAND PREDICTABILITY
+    //      (X/Y/Z by the squared coefficient of variation of weekly
+    //      shipped quantity, zero-weeks included via the global week
+    //      count): A-X items are forecast-and-automate, C-Z are
+    //      review-manually. CV² stays EXACT by integer cross-
+    //      multiplication — X ⇔ W·(W·Σq²−(Σq)²) ≤ 15·(W−1)·(Σq)²,
+    //      never a float division; thresholds 15/18 sit inside this
+    //      corpus's observed CV² band so all classes populate. Two
+    //      part-keyed aggregates + the banded scan; output is the
+    //      3×3 matrix with per-cell revenue. ----
+    QueryDef(
+      "q282_abc_xyz",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("r"),
+            col("l_quantity").cast("long").as("q"),
+            (datediff(col("l_shipdate").cast("date"),
+              lit("1970-01-01").cast("date")) / 7).cast("long").as("wk"))
+          .persist()
+        val rev = li.groupBy("l_partkey").agg(sum(col("r")).as("x"))
+          .withColumn("negx", -col("x")).persist()
+        val scanned = graft.operators.PrefixScan.runningSum(
+          rev, "negx", Seq("l_partkey"), "x", "c")
+        val tot = rev.agg(sum(col("x")).as("t"))
+        val abc = scanned.crossJoin(broadcast(tot))
+          .withColumn("abc",
+            when(col("c") * 100 <= col("t") * 80, 0L)
+              .when(col("c") * 100 <= col("t") * 95, 1L)
+              .otherwise(2L))
+          .select("l_partkey", "x", "abc")
+        val wkAgg = li.groupBy("l_partkey", "wk")
+          .agg(sum(col("q")).as("qw"))
+        val nW = wkAgg.agg(countDistinct(col("wk")).as("W"))
+        val xyz = wkAgg.groupBy("l_partkey")
+          .agg(sum(col("qw")).as("sx"),
+            sum(col("qw") * col("qw")).as("sxx"))
+          .crossJoin(broadcast(nW))
+          .withColumn("lhs",
+            col("W") * (col("W") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("rhs1",
+            lit(15L) * (col("W") - 1L) * col("sx") * col("sx"))
+          .withColumn("rhs2",
+            lit(18L) * (col("W") - 1L) * col("sx") * col("sx"))
+          .withColumn("xyz",
+            when(col("lhs") <= col("rhs1"), 0L)
+              .when(col("lhs") <= col("rhs2"), 1L).otherwise(2L))
+          .select("l_partkey", "xyz")
+        abc.join(xyz, Seq("l_partkey"))
+          .groupBy("abc", "xyz")
+          .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("rev_cents"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS r,
+            CAST(l_quantity AS BIGINT) AS q,
+            CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              // 7 AS wk
+          FROM lineitem),
+        rev AS (
+          SELECT l_partkey, CAST(SUM(r) AS BIGINT) AS x
+          FROM li GROUP BY 1),
+        tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM rev),
+        cum AS (
+          SELECT l_partkey, x,
+            CAST(SUM(x) OVER (ORDER BY x DESC, l_partkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+          FROM rev),
+        abc AS (
+          SELECT l_partkey, x,
+            CASE WHEN c * 100 <= t * 80 THEN 0
+              WHEN c * 100 <= t * 95 THEN 1 ELSE 2 END AS abc
+          FROM cum, tot),
+        wkagg AS (
+          SELECT l_partkey, wk, CAST(SUM(q) AS BIGINT) AS qw
+          FROM li GROUP BY 1, 2),
+        ww AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS W
+          FROM wkagg),
+        xyz AS (
+          SELECT l_partkey,
+            CASE WHEN W * (W * sxx - sx * sx)
+                <= 15 * (W - 1) * sx * sx THEN 0
+              WHEN W * (W * sxx - sx * sx)
+                <= 18 * (W - 1) * sx * sx THEN 1 ELSE 2 END AS xyz
+          FROM (SELECT l_partkey, CAST(SUM(qw) AS BIGINT) AS sx,
+                  CAST(SUM(qw * qw) AS BIGINT) AS sxx
+                FROM wkagg GROUP BY 1), ww)
+        SELECT abc, xyz, COUNT(*) AS n_parts,
+          CAST(SUM(x) AS BIGINT) AS rev_cents
+        FROM abc JOIN xyz USING (l_partkey)
+        GROUP BY 1, 2""")),
   )
 }

@@ -282,6 +282,27 @@ class Round10SemanticsSpec extends SparkTestBase {
     }, s"flat stage in ${rows.toSeq}")
   }
 
+  test("q282: the ABC/XYZ grid partitions the part universe exactly") {
+    val rows = run("q282_abc_xyz").collect()
+      .map(r => (r.getAs[Long]("abc"), r.getAs[Long]("xyz")) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("rev_cents"))).toMap
+    assert(rows.keySet.forall { case (a, x) =>
+      a >= 0 && a <= 2 && x >= 0 && x <= 2 })
+    val nParts = graft.core.Tables.t(spark, SharedSpark.Sf001, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nParts,
+      "every shipped part lands in exactly one cell")
+    // the revenue identity: A cells carry 78-80% of total by the
+    // q271 construction (A stops at or before the 80% line)
+    val tot = rows.values.map(_._2).sum
+    val aRev = rows.collect { case ((0L, _), (_, r)) => r }.sum
+    assert(aRev * 100 <= tot * 80 && aRev * 100 >= tot * 78,
+      s"A-class revenue share off: $aRev of $tot")
+    // both classification axes are populated
+    assert(rows.keySet.map(_._1) == Set(0L, 1L, 2L))
+    assert(rows.keySet.map(_._2) == Set(0L, 1L, 2L))
+  }
+
   test("q275: belief grows along BOTH bitemporal axes") {
     val rows = run("q275_bitemporal_asof").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->

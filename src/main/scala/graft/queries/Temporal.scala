@@ -3207,5 +3207,64 @@ object Temporal extends QueryPack {
         FROM nn JOIN pr ON nn.event_type = pr.event_type
         JOIN tx ON nn.event_type = tx.event_type
         JOIN ty ON nn.event_type = ty.event_type""")),
+
+    // ---- q283: seasonal anomaly detection — deseasonalize BEFORE
+    //      flagging: per type, remove the day-of-week median from
+    //      each daily count, then flag |residual| > 3·MAD of the
+    //      residuals. Neither piece alone suffices: the raw-count
+    //      MAD gate (q115) fires on every weekend trough, and the
+    //      XmR chart (q260) assumes an unstructured mean. Disc
+    //      medians pick elements, so counts, seasonal indices,
+    //      residuals, MAD, and the 3·MAD compare are ALL exact
+    //      int64. Two grouped medians over the tiny (type, day)
+    //      domain + broadcast join-backs. ----
+    QueryDef(
+      "q283_seasonal_anomaly",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("dow", col("day") % 7)
+        val seas = daily.groupBy("event_type", "dow")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long").as("dow_med"))
+        val resid = daily.join(broadcast(seas), Seq("event_type", "dow"))
+          .withColumn("r", col("cnt") - col("dow_med"))
+          .withColumn("ar", abs(col("r")))
+        val mad = resid.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ar)")
+            .cast("long").as("mad"))
+        resid.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), max(col("mad")).as("mad"),
+            sum(when(col("ar") > col("mad") * 3L, 1L).otherwise(0L))
+              .as("n_flagged"),
+            max(col("ar")).as("max_abs_resid"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        dd AS (SELECT event_type, day, cnt, day % 7 AS dow FROM daily),
+        seas AS (
+          SELECT event_type, dow, quantile_disc(cnt, 0.5) AS dow_med
+          FROM dd GROUP BY 1, 2),
+        resid AS (
+          SELECT dd.event_type, cnt - dow_med AS r,
+            abs(cnt - dow_med) AS ar
+          FROM dd JOIN seas ON dd.event_type = seas.event_type
+            AND dd.dow = seas.dow),
+        mad AS (
+          SELECT event_type, quantile_disc(ar, 0.5) AS mad
+          FROM resid GROUP BY 1)
+        SELECT resid.event_type, COUNT(*) AS n_days, MAX(mad.mad) AS mad,
+          CAST(SUM(CASE WHEN ar > mad.mad * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+          MAX(ar) AS max_abs_resid
+        FROM resid JOIN mad ON resid.event_type = mad.event_type
+        GROUP BY 1""")),
   )
 }

@@ -3266,5 +3266,142 @@ object Temporal extends QueryPack {
           MAX(ar) AS max_abs_resid
         FROM resid JOIN mad ON resid.event_type = mad.event_type
         GROUP BY 1""")),
+
+    // ---- q284: sequence-pattern detection (CEP-lite) — the
+    //      MATCH_RECOGNIZE shape without an NFA: each user's event
+    //      stream compiles to a direction-symbol STRING ('+'/'-'/'='
+    //      vs the previous value, fully tie-broken order), and
+    //      patterns become regexes over it — here the V-shape
+    //      'down,down,up,up' with standard non-overlapping AFTER
+    //      MATCH SKIP PAST semantics, which left-to-right regex
+    //      counting reproduces exactly in both engines. Per user:
+    //      events, V-count, up/down totals. One user-keyed exchange;
+    //      symbols collapse each user to one string row (bounded by
+    //      per-user event counts — chunk per session for unbounded
+    //      streams). ----
+    QueryDef(
+      "q284_pattern_vshape",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val sym = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("prev", lag(col("c"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("sym",
+            when(col("c") > col("prev"), lit("+"))
+              .when(col("c") < col("prev"), lit("-"))
+              .otherwise(lit("=")))
+        sym.groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("sym")))),
+            x => x.getField("sym")), "").as("syms"))
+          .select(col("user_id"),
+            (length(col("syms")) + 1).cast("long").as("n_events"),
+            expr("cast(regexp_count(syms, '--\\\\+\\\\+') as bigint)")
+              .as("n_vshape"),
+            (length(col("syms")) -
+              length(regexp_replace(col("syms"), "\\+", "")))
+              .cast("long").as("n_up"),
+            (length(col("syms")) -
+              length(regexp_replace(col("syms"), "-", "")))
+              .cast("long").as("n_down"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS tsu, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS c
+          FROM events),
+        sym AS (
+          SELECT user_id, tsu, event_id,
+            CASE WHEN c > prev THEN '+' WHEN c < prev THEN '-'
+              ELSE '=' END AS sym
+          FROM (SELECT user_id, tsu, event_id, c,
+                  LAG(c, 1) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id) AS prev
+                FROM ev)
+          WHERE prev IS NOT NULL),
+        strs AS (
+          SELECT user_id,
+            string_agg(sym, '' ORDER BY tsu, event_id) AS syms
+          FROM sym GROUP BY 1)
+        SELECT user_id,
+          CAST(length(syms) + 1 AS BIGINT) AS n_events,
+          CAST(len(regexp_extract_all(syms, '--\+\+')) AS BIGINT)
+            AS n_vshape,
+          CAST(length(syms) - length(replace(syms, '+', ''))
+            AS BIGINT) AS n_up,
+          CAST(length(syms) - length(replace(syms, '-', ''))
+            AS BIGINT) AS n_down
+        FROM strs""")),
+
+    // ---- q285: cross-series correlation matrix — which metric
+    //      co-moves with which (q49 correlates two FIXED columns;
+    //      q246 is SELF-correlation across lags): all type PAIRS of
+    //      daily dollar volume, day-aligned by an equi-join on the
+    //      (type, day) aggregate — the pair fan is types², data cost
+    //      is the day domain, never raw events. Exact int64
+    //      sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy in
+    //      dollars — cents would overflow n·Σxy at sf1) and the q49
+    //      single-expression float r. The series-similarity /
+    //      leading-indicator screen. ----
+    QueryDef(
+      "q285_series_corr_matrix",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val daily = t(s, d, "events")
+          .select(col("event_type"), expr(s"ts div $DayUs").as("day"),
+            round(col("value")).cast("long").as("usd"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("usd")).as("v"))
+        val pairs = daily.select(col("event_type").as("ta"),
+            col("day"), col("v").as("x"))
+          .join(daily.select(col("event_type").as("tb"), col("day"),
+            col("v").as("y")), Seq("day"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        pairs
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("r",
+            when(col("denx") > 0 && col("deny") > 0,
+              col("num").cast("double") /
+                sqrt(col("denx").cast("double") *
+                  col("deny").cast("double"))))
+          .select("ta", "tb", "n", "num", "denx", "deny", "r")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(round("value") AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+            COUNT(*) AS n,
+            CAST(SUM(a.v) AS BIGINT) AS sx,
+            CAST(SUM(b.v) AS BIGINT) AS sy,
+            CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+            CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+            CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT ta, tb, n,
+          n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS denx,
+          n * syy - sy * sy AS deny,
+          CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+        FROM st""")),
   )
 }

@@ -303,6 +303,43 @@ class Round10SemanticsSpec extends SparkTestBase {
     assert(rows.keySet.map(_._2) == Set(0L, 1L, 2L))
   }
 
+  test("q284: V-counts equal a brute-force scan of each user's stream") {
+    val ev = graft.core.Tables.t(spark, SharedSpark.Sf0001, "events")
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(round(value * 100) as long) as c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = ev.toSeq.groupBy(_._1).view.mapValues { rows =>
+      val cs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val syms = cs.sliding(2).collect {
+        case Seq(a, b) => if (b > a) '+' else if (b < a) '-' else '='
+      }.mkString
+      ("--\\+\\+".r.findAllIn(syms).size.toLong, syms.count(_ == '+').toLong)
+    }.toMap
+    val got = SparkEntry.queries("q284_pattern_vshape")(
+        spark, SharedSpark.Sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_vshape"), r.getAs[Long]("n_up"))).toMap
+    assert(got.keySet == brute.keySet)
+    for ((u, exp) <- brute)
+      assert(got(u) == exp, s"user $u: got ${got(u)}, brute $exp")
+    assert(got.values.map(_._1).sum > 0, "no V-shapes found at all")
+  }
+
+  test("q285: full pair matrix, correlations bounded, CS inequality") {
+    val rows = run("q285_series_corr_matrix").collect()
+    assert(rows.length == 10, s"C(5,2) pairs expected, got ${rows.length}")
+    for (r <- rows) {
+      val (num, dx, dy) = (r.getAs[Long]("num"), r.getAs[Long]("denx"),
+        r.getAs[Long]("deny"))
+      assert(dx >= 0 && dy >= 0, "variance numerators must be >= 0")
+      // Cauchy-Schwarz in exact integers: num² <= denx·deny
+      assert(BigInt(num) * BigInt(num) <= BigInt(dx) * BigInt(dy))
+      val rr = r.getAs[Double]("r")
+      assert(rr >= -1.0 - 1e-12 && rr <= 1.0 + 1e-12)
+    }
+  }
+
   test("q275: belief grows along BOTH bitemporal axes") {
     val rows = run("q275_bitemporal_asof").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("tt")) ->

@@ -1210,5 +1210,110 @@ object Reports extends QueryPack {
           CAST(SUM(x) AS BIGINT) AS rev_cents
         FROM abc JOIN xyz USING (l_partkey)
         GROUP BY 1, 2""")),
+
+    // ---- q286: change drill-down — the "why did revenue move"
+    //      decomposition: split the order-date range in half, compute
+    //      per-value revenue deltas along THREE candidate dimensions
+    //      (brand, order priority, supplier nation), and report each
+    //      dimension's explanatory shape — value count, Σ|Δ| (how
+    //      concentrated the change is: Σ|Δ| ≥ |Δtotal| with equality
+    //      iff every value moved the same direction), and the top
+    //      mover with deterministic ties. All int64 cents; each
+    //      dimension is one keyed aggregate + a 1-row TakeOrdered;
+    //      the three 5-row summaries union. ----
+    QueryDef(
+      "q286_change_drilldown",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_brand"), col("o_orderpriority"), col("n_name"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("dk"),
+            round(col("l_extendedprice") * 100).cast("long").as("r"))
+          .persist()
+        val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
+        val halved = li.crossJoin(broadcast(rng))
+          .withColumn("h",
+            when(col("dk") * 2 <= col("lo") + col("hi"), 1L)
+              .otherwise(2L))
+        def dim(name: String, c: String) = {
+          val per = halved.groupBy(col(c).as("v"))
+            .agg(sum(when(col("h") === 1, col("r")).otherwise(0L))
+              .as("r1"),
+              sum(when(col("h") === 2, col("r")).otherwise(0L))
+                .as("r2"))
+            .withColumn("delta", col("r2") - col("r1"))
+          val summary = per.agg(count(lit(1)).as("n_values"),
+            sum(abs(col("delta"))).as("sum_abs_delta"))
+          val top = per.orderBy(abs(col("delta")).desc, col("v"))
+            .limit(1).select(col("v").as("top_value"),
+              col("delta").as("top_delta"))
+          summary.crossJoin(broadcast(top))
+            .select(lit(name).as("dim"), col("n_values"),
+              col("sum_abs_delta"), col("top_value"), col("top_delta"))
+        }
+        dim("brand", "p_brand")
+          .unionByName(dim("priority", "o_orderpriority"))
+          .unionByName(dim("nation", "n_name"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT p_brand, o_orderpriority, n_name,
+            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS dk,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS r
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey),
+        rng AS (SELECT MIN(dk) AS lo, MAX(dk) AS hi FROM li),
+        hv AS (
+          SELECT *, CASE WHEN dk * 2 <= lo + hi THEN 1 ELSE 2 END AS h
+          FROM li, rng),
+        pb AS (
+          SELECT p_brand AS v,
+            CAST(SUM(CASE WHEN h = 1 THEN r ELSE 0 END) AS BIGINT) r1,
+            CAST(SUM(CASE WHEN h = 2 THEN r ELSE 0 END) AS BIGINT) r2
+          FROM hv GROUP BY 1),
+        pp AS (
+          SELECT o_orderpriority AS v,
+            CAST(SUM(CASE WHEN h = 1 THEN r ELSE 0 END) AS BIGINT) r1,
+            CAST(SUM(CASE WHEN h = 2 THEN r ELSE 0 END) AS BIGINT) r2
+          FROM hv GROUP BY 1),
+        pn AS (
+          SELECT n_name AS v,
+            CAST(SUM(CASE WHEN h = 1 THEN r ELSE 0 END) AS BIGINT) r1,
+            CAST(SUM(CASE WHEN h = 2 THEN r ELSE 0 END) AS BIGINT) r2
+          FROM hv GROUP BY 1),
+        mk AS (
+          SELECT 'brand' AS dim, v, r2 - r1 AS delta FROM pb
+          UNION ALL
+          SELECT 'priority', v, r2 - r1 FROM pp
+          UNION ALL
+          SELECT 'nation', v, r2 - r1 FROM pn),
+        su AS (
+          SELECT dim, COUNT(*) AS n_values,
+            CAST(SUM(abs(delta)) AS BIGINT) AS sum_abs_delta
+          FROM mk GROUP BY 1),
+        tp AS (
+          SELECT dim, v AS top_value, delta AS top_delta
+          FROM (SELECT dim, v, delta, ROW_NUMBER() OVER (
+                  PARTITION BY dim
+                  ORDER BY abs(delta) DESC, v) AS rk
+                FROM mk)
+          WHERE rk = 1)
+        SELECT su.dim, n_values, sum_abs_delta, top_value, top_delta
+        FROM su JOIN tp ON su.dim = tp.dim""")),
   )
 }

@@ -2249,6 +2249,85 @@ object Validation extends QueryPack {
         JOIN m ON na.event_type = m.event_type
         JOIN tru ON na.event_type = tru.event_type""")),
 
+    // ---- q287: leave-one-out target encoding — the feature-
+    //      engineering operator whose naive form LEAKS the label:
+    //      encoding a row's category by the group mean INCLUDING the
+    //      row itself lets the model read its own target. The
+    //      leakage-free form excludes the row: enc_i = (S_g − x_i) /
+    //      (n_g − 1), shipped as exact integer numerator/denominator
+    //      per row (consumers divide; singleton groups yield den = 0
+    //      → NULL encoding, surfaced not hidden). One group
+    //      aggregate broadcast back over the scan — no window, no
+    //      self-join. ----
+    QueryDef(
+      "q287_loo_encoding",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("x"))
+        val g = ev.groupBy("event_type")
+          .agg(sum(col("x")).as("sg"), count(lit(1)).as("ng"))
+        ev.join(broadcast(g), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            (col("sg") - col("x")).as("enc_num"),
+            (col("ng") - 1L).as("enc_den"),
+            when(col("ng") > 1,
+              (col("sg") - col("x")).cast("double") /
+                (col("ng") - 1L).cast("double")).as("enc"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+            CAST(round("value" * 100) AS BIGINT) AS x
+          FROM events),
+        g AS (
+          SELECT event_type, CAST(SUM(x) AS BIGINT) AS sg,
+            COUNT(*) AS ng
+          FROM ev GROUP BY 1)
+        SELECT event_id, ev.event_type, sg - x AS enc_num,
+          ng - 1 AS enc_den,
+          CASE WHEN ng > 1 THEN CAST(sg - x AS DOUBLE)
+            / CAST(ng - 1 AS DOUBLE) END AS enc
+        FROM ev JOIN g ON ev.event_type = g.event_type""")),
+
+    // ---- q288: effective sample size — the importance-sampling
+    //      diagnostic for any weighted mixture (q94/q95/q96 build
+    //      them): ESS = (Σw)²/Σw² over per-source token weights, as
+    //      exact integer numerator/denominator plus the one-division
+    //      float — ESS ≪ n_sources means a few sources dominate and
+    //      the mixture behaves like far fewer independent sources.
+    //      Ships next to the max-share and the n_sources ceiling. ----
+    QueryDef(
+      "q288_ess_mixture",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("w"))
+          .agg(count(lit(1)).as("n_sources"), sum(col("w")).as("sw"),
+            sum(col("w") * col("w")).as("sww"), max(col("w")).as("max_w"))
+          .withColumn("ess_num", col("sw") * col("sw"))
+          .withColumn("ess", col("ess_num").cast("double") /
+            col("sww").cast("double"))
+          .withColumn("max_share_ppm", expr("max_w * 1000000 div sw"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT source,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS w
+          FROM documents GROUP BY 1),
+        ag AS (
+          SELECT COUNT(*) AS n_sources, CAST(SUM(w) AS BIGINT) AS sw,
+            CAST(SUM(w * w) AS BIGINT) AS sww,
+            CAST(MAX(w) AS BIGINT) AS max_w
+          FROM w)
+        SELECT n_sources, sw, sww, max_w, sw * sw AS ess_num,
+          CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE) AS ess,
+          max_w * 1000000 // sw AS max_share_ppm
+        FROM ag""")),
+
     // ---- q270: Wilson lower bound — rate ranking that small samples
     //      can't game (a 1/1 success never outranks 80/100): the 95%
     //      Wilson score interval's lower endpoint per event_type over

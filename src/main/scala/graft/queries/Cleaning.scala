@@ -315,5 +315,78 @@ object Cleaning extends QueryPack {
           CAST(SUM(length(aug)) - SUM(length(norm)) AS BIGINT)
             AS marks_removed
         FROM norm GROUP BY 1""")),
+
+    // ---- q289: quantile normalization — align every source's
+    //      doc-length distribution onto the POOLED distribution by
+    //      rank (the batch-effect removal of bioinformatics, applied
+    //      to per-crawl score/length drift): a row at within-source
+    //      rank r maps to the pooled disc-quantile at relative
+    //      position ceil(r·N/n_s). Element-picking keeps everything
+    //      int64. The pooled CDF collapses to ≤ |value domain| rows
+    //      (n_chars spans a few hundred values — a DOMAIN bound, not
+    //      a data bound), collected and broadcast as two literal
+    //      arrays; the per-row lookup is element_at(vals,
+    //      #\{cum < k\} + 1) — an O(levels) codegen'd HOF, no join.
+    //      Output: per-source adjustment audit. ----
+    QueryDef(
+      "q289_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rows = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("x"))
+        val nTot = rows.count()
+        val levels = rows.groupBy("x").agg(count(lit(1)).as("c"))
+          .orderBy("x").collect()
+        val vals = levels.map(_.getLong(0)).toSeq
+        val cums = vals.indices
+          .map(i => levels.take(i + 1).map(_.getLong(1)).sum)
+        val w = Window.partitionBy("source")
+          .orderBy(col("x"), col("doc_id"))
+        val ns = rows.groupBy("source").agg(count(lit(1)).as("n_s"))
+        rows.withColumn("r", row_number().over(w).cast("long"))
+          .join(broadcast(ns), Seq("source"))
+          .withColumn("k", expr(s"(r * $nTot + n_s - 1) div n_s"))
+          .withColumn("q", element_at(typedLit(vals),
+            (size(filter(typedLit(cums), c => c < col("k"))) + 1)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("x") - col("q"))).as("total_shift"),
+            max(abs(col("x") - col("q"))).as("max_shift"),
+            sum(when(col("x") === col("q"), 1L).otherwise(0L))
+              .as("n_unchanged"))
+      },
+      Some("""
+        WITH rows_ AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS N FROM rows_),
+        ns AS (SELECT source, COUNT(*) AS n_s FROM rows_ GROUP BY 1),
+        rk AS (
+          SELECT source, doc_id, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY x, doc_id) AS BIGINT) AS r
+          FROM rows_),
+        kk AS (
+          SELECT rk.source, x, (r * N + n_s - 1) // n_s AS k
+          FROM rk JOIN ns ON rk.source = ns.source, tot),
+        lv AS (SELECT x AS v, COUNT(*) AS c FROM rows_ GROUP BY 1),
+        cdf AS (
+          SELECT v,
+            CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+            CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumprev
+          FROM lv),
+        qn AS (
+          SELECT kk.source, kk.x, cdf.v AS q
+          FROM kk JOIN cdf ON kk.k > cdf.cumprev AND kk.k <= cdf.cum)
+        SELECT source, COUNT(*) AS n,
+          CAST(SUM(abs(x - q)) AS BIGINT) AS total_shift,
+          CAST(MAX(abs(x - q)) AS BIGINT) AS max_shift,
+          CAST(SUM(CASE WHEN x = q THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unchanged
+        FROM qn GROUP BY 1""")),
   )
 }

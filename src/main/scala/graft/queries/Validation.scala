@@ -2328,6 +2328,69 @@ object Validation extends QueryPack {
           max_w * 1000000 // sw AS max_share_ppm
         FROM ag""")),
 
+    // ---- q290: split-conformal calibration — distribution-free
+    //      prediction intervals from a held-out calibration set: the
+    //      "model" is the per-type median, the conformity score is
+    //      |x − med|, q̂ is the calibration half's disc-quantile at
+    //      0.9 (element-picking → int64), and the EVAL half reports
+    //      achieved coverage in exact ppm. Split by event_id parity —
+    //      deterministic, disjoint, engine-agnostic. The conformal
+    //      guarantee says eval coverage ≈ 90% regardless of the
+    //      distribution; the audit row is how far reality lands from
+    //      it. Two grouped aggregates + broadcast join-backs. ----
+    QueryDef(
+      "q290_conformal_coverage",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("x"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+            .cast("long").as("med"))
+        val scored = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("resid", abs(col("x") - col("med")))
+          .withColumn("cal", col("event_id") % 2 === 0)
+        val qhat = scored.filter(col("cal"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_cal"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY resid)")
+              .cast("long").as("qhat"))
+        scored.filter(!col("cal"))
+          .join(broadcast(qhat), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_cal")).as("n_cal"),
+            max(col("qhat")).as("qhat"),
+            count(lit(1)).as("n_eval"),
+            sum(when(col("resid") <= col("qhat"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .withColumn("coverage_ppm",
+            expr("n_covered * 1000000 div n_eval"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS x
+          FROM events),
+        med AS (
+          SELECT event_type, quantile_disc(x, 0.5) AS med
+          FROM ev GROUP BY 1),
+        scored AS (
+          SELECT ev.event_type, abs(x - med) AS resid,
+            event_id % 2 = 0 AS cal
+          FROM ev JOIN med ON ev.event_type = med.event_type),
+        qh AS (
+          SELECT event_type, COUNT(*) AS n_cal,
+            quantile_disc(resid, 0.9) AS qhat
+          FROM scored WHERE cal GROUP BY 1)
+        SELECT s.event_type, MAX(n_cal) AS n_cal, MAX(qhat) AS qhat,
+          COUNT(*) AS n_eval,
+          CAST(SUM(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+          CAST(SUM(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS coverage_ppm
+        FROM scored s JOIN qh ON s.event_type = qh.event_type
+        WHERE NOT cal GROUP BY 1""")),
+
     // ---- q270: Wilson lower bound — rate ranking that small samples
     //      can't game (a 1/1 success never outranks 80/100): the 95%
     //      Wilson score interval's lower endpoint per event_type over

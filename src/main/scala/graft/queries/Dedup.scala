@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.t
 import graft.functions.TextFunctions._
+import graft.operators.PrefixFilterJoin
 
 /** Deduplication operators over `documents` (SURVEY §7.5): exact
   * hash-dedup, MinHash-LSH near-dedup, blocked n-gram Jaccard, SimHash.
@@ -1308,5 +1309,64 @@ object Dedup extends QueryPack {
           CAST(CASE WHEN COUNT(DISTINCT source) = 1
             AND COUNT(DISTINCT lang) = 1 THEN 1 ELSE 0 END AS BIGINT)
             AS auto_mergeable
-        FROM k GROUP BY fp HAVING COUNT(*) > 1""")))
+        FROM k GROUP BY fp HAVING COUNT(*) > 1""")),
+
+    // ---- q291: EXACT set-similarity self-join via prefix filtering
+    //      (AllPairs/PPJoin — Bayardo et al. WWW'07). The third point
+    //      of the dedup triangle: q21 is approximate (LSH recall),
+    //      q22 is heuristic (lang blocks miss cross-block pairs) —
+    //      this is exact AND global AND never all-pairs: candidates
+    //      come from an equi-join on each doc's rarest
+    //      sz − ceil(t·sz) + 1 tokens under one global df order
+    //      (the prefix-filter lemma guarantees completeness), the
+    //      length filter t·|y| ≤ |x| ≤ |y|/t prunes before the pair
+    //      dedup, and only surviving candidates re-attach token
+    //      arrays for the integer-exact verify (J ≥ 9/10 ⟺
+    //      10·inter ≥ 9·union — no float at the boundary). Domain:
+    //      3-gram shingle sets at t = 0.9 — the genuine near-dup
+    //      band, where the RESULT is linear in corpus size (planted
+    //      pairs); word-sets at t = 0.8 would make the output itself
+    //      quadratic on this corpus. Shuffle volume is ~(1−t)·Σ|doc|
+    //      prefix rows, not |D|². The ORACLE is the brute-force pair
+    //      join (quadratic by design, like q22/q40's) — hash equality
+    //      proves the filtered plan loses nothing.
+    //      PrefixFilterJoinSpec: brute-force parity on seeded random
+    //      sets at three thresholds, boundary exactness, no-cartesian
+    //      plan assert. ----
+    QueryDef(
+      "q291_setsim_join",
+      (s, d) =>
+        PrefixFilterJoin.selfJoin(
+          t(s, d, "documents")
+            .select(col("doc_id").as("id"),
+              wordShingles(col("text"), ShingleN).as("toks"))
+            .filter(size(col("toks")) > 0),
+          p = 9, q = 10)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("inter").cast("long").as("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"),
+          col("jaccard")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+          FROM t WHERE len(toks) >= 3),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.sh, b.sh)) AS inter,
+            len(a.sh) AS size_a, len(b.sh) AS size_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+          CAST(size_a AS BIGINT) AS size_a,
+          CAST(size_b AS BIGINT) AS size_b,
+          CAST(inter AS DOUBLE)
+            / CAST(size_a + size_b - inter AS DOUBLE) AS jaccard
+        FROM p
+        WHERE inter * 10 >= 9 * (size_a + size_b - inter)""")))
 }

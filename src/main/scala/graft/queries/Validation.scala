@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.t
+import graft.operators.PrefixScan
 
 /** Data-quality validation and physical-layout operators — the
   * pre-training gate a 100 TB pipeline runs before any corpus ships:
@@ -2428,5 +2429,197 @@ object Validation extends QueryPack {
                 + 3.8416 / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
             / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lb
         FROM ag""")),
+
+    // ---- q292: Gini decision stump — the single best binary split
+    //      "feature <= v" per feature, the feature-selection /
+    //      shallow-tree primitive a training pipeline runs to rank
+    //      signals against a label (here: event is a purchase).
+    //      Pipeline: melt 3 integer-exact features (value cents,
+    //      hour-of-day, day-of-week — all pure epoch-µs arithmetic,
+    //      no timezone functions), pre-aggregate to (feature, value)
+    //      grain, then ONE PrefixScan per feature gives every
+    //      candidate split's left-side (n_l, pos_l) without an
+    //      unpartitioned window — candidates per feature are distinct
+    //      values, and the banded scan keeps the sort parallel. The
+    //      split score minimizes n_l·Gini_L + n_r·Gini_R =
+    //      (n_l² − pos_l² − neg_l²)/n_l + (…R…) — one shared float
+    //      expression of exact integers (+,−,×,÷ are IEEE
+    //      correctly-rounded, so both engines produce identical
+    //      bits); argmin per feature is a struct-min aggregate,
+    //      deterministically tie-broken by threshold. The DuckDB
+    //      oracle is a plain global window over the same grain —
+    //      hash equality certifies the banded scan AND the stump
+    //      algebra at once. ----
+    QueryDef(
+      "q292_gini_stump",
+      (s, d) => {
+        val giniExpr =
+          "CAST(n_l*n_l - pos_l*pos_l - (n_l-pos_l)*(n_l-pos_l) AS DOUBLE)" +
+            " / CAST(n_l AS DOUBLE)" +
+            " + CAST(n_r*n_r - pos_r*pos_r - (n_r-pos_r)*(n_r-pos_r) AS DOUBLE)" +
+            " / CAST(n_r AS DOUBLE)"
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(
+            expr("CAST(floor(value * 100) AS BIGINT)").as("f_cents"),
+            expr("(ts div 3600000000) % 24").as("f_hour"),
+            expr("((ts div 86400000000) + 4) % 7").as("f_dow"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+        val features = Seq("cents", "hour", "dow")
+        val melted = features.zip(Seq("f_cents", "f_hour", "f_dow"))
+          .map { case (nm, c) =>
+            ev.select(lit(nm).as("feature"), col(c).as("x"), col("pos"))
+          }.reduce(_.unionByName(_))
+        val g = melted.groupBy("feature", "x")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p1"))
+          // composite order key: feature index in the high bits, so ONE
+          // banded scan serves all three features (3 scans = 3× the
+          // cuts/window/totals stage overhead for the same data); the
+          // feature offset is folded back out below. |x| < 2^41 by
+          // domain (cents of bounded doubles; hour/dow tiny).
+          .withColumn("fidx",
+            when(col("feature") === features(0), 0L)
+              .when(col("feature") === features(1), 1L).otherwise(2L))
+          .withColumn("k",
+            col("fidx") * lit(1L << 42) + col("x") + lit(1L << 41))
+          .persist()
+        val scanned = PrefixScan.runningSums(g, "k", Nil,
+          Seq("cnt" -> "cum_n", "p1" -> "cum_p")).drop("scan_band")
+        // per-feature exclusive offsets off the 3-row totals — the same
+        // bounded-collect fold PrefixScan applies to its band totals
+        val tot = g.groupBy("fidx", "feature")
+          .agg(sum(col("cnt")).as("n"), sum(col("p1")).as("pos"))
+        val totRows = tot.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1)
+        val offs = totRows.map(_._1).zip(
+          totRows.scanLeft((0L, 0L)) { case ((a, b), (_, _, n, p)) =>
+            (a + n, b + p) }.dropRight(1))
+        val (offN, offP) = offs.foldLeft((lit(0L), lit(0L))) {
+          case ((en, ep), (f, (on, op))) =>
+            (when(col("fidx") === f, lit(on)).otherwise(en),
+              when(col("fidx") === f, lit(op)).otherwise(ep))
+        }
+        val out = scanned
+          .withColumn("n_l", col("cum_n") - offN)
+          .withColumn("pos_l", col("cum_p") - offP)
+          .join(broadcast(tot.drop("fidx")), Seq("feature"))
+          .filter(col("n_l") < col("n"))
+          .withColumn("n_r", col("n") - col("n_l"))
+          .withColumn("pos_r", col("pos") - col("pos_l"))
+          .withColumn("impurity", expr(giniExpr))
+          .groupBy("feature")
+          .agg(min(struct(col("impurity"), col("x"), col("n_l"),
+            col("pos_l"), col("n_r"), col("pos_r"), col("n"),
+            col("pos"))).as("b"))
+          .select(col("feature"), col("b.x").as("best_thr"),
+            col("b.impurity").as("impurity"), col("b.n_l").as("n_l"),
+            col("b.pos_l").as("pos_l"), col("b.n_r").as("n_r"),
+            col("b.pos_r").as("pos_r"), col("b.n").as("n"),
+            col("b.pos").as("pos"))
+        // g stays cached through the caller's action (the totals
+        // collect above already materialized it; unpersisting here
+        // would force the final action to recompute the pre-agg) —
+        // Verify/Bench clearCache() per query.
+        out
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(floor("value" * 100) AS BIGINT) AS f_cents,
+            (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS f_dow,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events WHERE "value" IS NOT NULL),
+        m AS (
+          SELECT 'cents' AS feature, f_cents AS x, pos FROM e
+          UNION ALL SELECT 'hour', f_hour, pos FROM e
+          UNION ALL SELECT 'dow', f_dow, pos FROM e),
+        g AS (
+          SELECT feature, x, COUNT(*) AS cnt,
+            CAST(SUM(pos) AS BIGINT) AS p1
+          FROM m GROUP BY 1, 2),
+        c AS (
+          SELECT feature, x,
+            CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY x)
+              AS BIGINT) AS n_l,
+            CAST(SUM(p1) OVER (PARTITION BY feature ORDER BY x)
+              AS BIGINT) AS pos_l,
+            CAST(SUM(cnt) OVER (PARTITION BY feature) AS BIGINT) AS n,
+            CAST(SUM(p1) OVER (PARTITION BY feature) AS BIGINT) AS pos
+          FROM g),
+        cand AS (
+          SELECT feature, x AS best_thr, n, pos, n_l, pos_l,
+            n - n_l AS n_r, pos - pos_l AS pos_r
+          FROM c WHERE n_l < n),
+        scored AS (
+          SELECT *,
+            CAST(n_l*n_l - pos_l*pos_l - (n_l-pos_l)*(n_l-pos_l)
+                AS DOUBLE) / CAST(n_l AS DOUBLE)
+              + CAST(n_r*n_r - pos_r*pos_r - (n_r-pos_r)*(n_r-pos_r)
+                AS DOUBLE) / CAST(n_r AS DOUBLE) AS impurity
+          FROM cand)
+        SELECT feature, best_thr, impurity, n_l, pos_l, n_r, pos_r,
+          n, pos
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY feature
+          ORDER BY impurity, best_thr) = 1""")),
+
+    // ---- q293: chi-square contingency audit — per-cell
+    //      independence diagnostics for day-of-week × event_type.
+    //      Emits the full contingency table with margins and each
+    //      cell's chi-square contribution (n·O − r·c)²/(r·c·n):
+    //      the drill-down a drift monitor reads to see WHICH cell
+    //      breaks independence, not just that the statistic moved.
+    //      All counts are exact integers off one scan; margins are
+    //      two tiny broadcast joins plus a one-row total (the same
+    //      scalar-attach shape as q54); the contribution is one
+    //      shared float expression of exact integers — bit-identical
+    //      cross-engine. Per-cell rows deliberately avoid a
+    //      double-typed SUM across cells, which would be
+    //      partition-order-dependent. ----
+    QueryDef(
+      "q293_chi2_contingency",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(expr("((ts div 86400000000) + 4) % 7").as("dow"),
+            col("event_type"))
+        val o = e.groupBy("dow", "event_type")
+          .agg(count(lit(1)).as("obs")).persist()
+        val r = o.groupBy("dow").agg(sum(col("obs")).as("r_tot"))
+        val c = o.groupBy("event_type").agg(sum(col("obs")).as("c_tot"))
+        val n = o.agg(sum(col("obs")).as("n"))
+        val out = o.join(broadcast(r), Seq("dow"))
+          .join(broadcast(c), Seq("event_type"))
+          .crossJoin(broadcast(n))
+          .withColumn("contrib", expr(
+            "CAST(n*obs - r_tot*c_tot AS DOUBLE)" +
+              " * CAST(n*obs - r_tot*c_tot AS DOUBLE)" +
+              " / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)" +
+              " * CAST(n AS DOUBLE))"))
+          .select("dow", "event_type", "obs", "r_tot", "c_tot", "n",
+            "contrib")
+        o.unpersist()
+        out
+      },
+      Some("""
+        WITH e AS (
+          SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+            event_type
+          FROM events),
+        o AS (
+          SELECT dow, event_type, COUNT(*) AS obs FROM e GROUP BY 1, 2),
+        r AS (
+          SELECT dow, CAST(SUM(obs) AS BIGINT) AS r_tot
+          FROM o GROUP BY 1),
+        c AS (
+          SELECT event_type, CAST(SUM(obs) AS BIGINT) AS c_tot
+          FROM o GROUP BY 1),
+        t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+        SELECT o.dow, o.event_type, o.obs, r.r_tot, c.c_tot, t.n,
+          CAST(t.n*o.obs - r.r_tot*c.c_tot AS DOUBLE)
+            * CAST(t.n*o.obs - r.r_tot*c.c_tot AS DOUBLE)
+            / (CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+            * CAST(t.n AS DOUBLE)) AS contrib
+        FROM o JOIN r USING (dow) JOIN c USING (event_type)
+          CROSS JOIN t""")),
   )
 }

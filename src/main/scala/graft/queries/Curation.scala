@@ -2151,5 +2151,39 @@ object Curation extends QueryPack {
         FROM agg, LATERAL (VALUES
           (CAST(1 AS BIGINT), n1, t1), (2, n2, t2),
           (3, n3, t3), (4, n4, t4)) s(stage, n_surv, tokens_surv)""")),
+
+    // ---- q295: l-diversity audit — q104's k-anonymity gate counts
+    //      GROUP SIZE, but a size-5 group whose members all share one
+    //      sensitive value still leaks it (the homogeneity attack —
+    //      Machanavajjhala et al., ICDE'06). Per quasi-identifier
+    //      group (event_type × day-of-week — pure epoch-µs integer
+    //      arithmetic), count members AND distinct sensitive values
+    //      (spend band = floor(value/100) as the stand-in sensitive
+    //      attribute); a group passes only with >= l = 3 distinct
+    //      values. One QI-keyed aggregate with a combinable
+    //      count-distinct — grouped-key parallelism at any scale;
+    //      the pass flag is a pure integer comparison. ----
+    QueryDef(
+      "q295_l_diversity",
+      (s, d) =>
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 86400000000) + 4) % 7").as("dow"),
+            expr("CAST(floor(value / 100) AS BIGINT)").as("spend_band"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("grp_n"),
+            countDistinct(col("spend_band")).as("l_distinct"))
+          .withColumn("diverse",
+            when(col("l_distinct") >= 3, 1L).otherwise(0L)),
+      Some("""
+        SELECT event_type,
+          ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+          COUNT(*) AS grp_n,
+          CAST(COUNT(DISTINCT CAST(floor("value" / 100) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+          CAST(CASE WHEN COUNT(DISTINCT CAST(floor("value" / 100)
+            AS BIGINT)) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+        FROM events WHERE "value" IS NOT NULL
+        GROUP BY 1, 2""")),
   )
 }

@@ -366,6 +366,49 @@ object Relational extends QueryPack {
         FROM pairs p
         JOIN sup sa ON sa.l_partkey = p.p1
         JOIN sup sb ON sb.l_partkey = p.p2
-        CROSS JOIN n"""))
+        CROSS JOIN n""")),
+
+    // ---- q294: incremental JOIN maintenance — the delta algebra for
+    //      a materialized equi-join under inserts on BOTH sides:
+    //      J_new = J_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (disjoint by
+    //      construction for insert-only deltas). The join-side
+    //      complement of q149/q169's AGGREGATE maintenance: a 100 TB
+    //      pipeline never re-joins the full fact table for a 0.1%
+    //      delta — the three delta joins ship only delta-keyed rows
+    //      against the old snapshots. Here J_old is recomputed
+    //      because registered queries are standalone; in production
+    //      it is the materialized table read back. The ORACLE is
+    //      asymmetric by design: DuckDB joins A_new⋈B_new from
+    //      scratch — hash equality of the per-nation rollup (exact
+    //      decimal revenue) proves the four-piece union loses and
+    //      duplicates nothing. Deltas: every 10th order, every 7th
+    //      customer. ----
+    QueryDef(
+      "q294_join_maintenance",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+        val oNew = o.filter(col("o_orderkey") % 10 === 0)
+        val cOld = c.filter(col("c_custkey") % 7 =!= 0)
+        val cNew = c.filter(col("c_custkey") % 7 === 0)
+        val on = col("o_custkey") === col("c_custkey")
+        val jOld = oOld.join(cOld, on)
+        val d1 = oNew.join(cOld, on)
+        val d2 = oOld.join(cNew, on)
+        val d3 = oNew.join(cNew, on)
+        jOld.unionByName(d1).unionByName(d2).unionByName(d3)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumDec(col("o_totalprice")).as("revenue"))
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey"""))
   )
 }

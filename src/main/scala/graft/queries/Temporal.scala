@@ -3403,5 +3403,78 @@ object Temporal extends QueryPack {
               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
         FROM st""")),
+
+    // ---- q296: pinball-loss forecast evaluation — the proper
+    //      scoring rule for QUANTILE forecasts (pinball/quantile
+    //      loss; Koenker & Bassett 1978): a τ-quantile prediction ŷ
+    //      scores τ·(y−ŷ) when under, (1−τ)·(ŷ−y) when over. Train
+    //      split (event_id % 5 < 4) fits per-type q50/q90 spend
+    //      quantiles (percentile_disc over integer cents, CAST LONG —
+    //      the q153 lesson: Spark types the aggregate DOUBLE even
+    //      over integers); the held-out fifth scores them. τ ∈
+    //      {1/2, 9/10} makes 10× the loss an exact integer (5·|δ| or
+    //      9δ⁺/1δ⁻), so the per-type loss SUMS are integer-exact
+    //      cross-engine and the mean is one shared IEEE division.
+    //      The tiny train-quantile table broadcasts onto the test
+    //      scan — two passes, no fact-sized shuffle at any scale. ----
+    QueryDef(
+      "q296_pinball_loss",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val train = ev.filter(col("event_id") % 5 < 4)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+              .cast("long").as("q50_cents"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+              .cast("long").as("q90_cents"))
+        ev.filter(col("event_id") % 5 >= 4)
+          .join(broadcast(train), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_test"),
+            min(col("q50_cents")).as("q50_cents"),
+            min(col("q90_cents")).as("q90_cents"),
+            sum(when(col("cents") >= col("q50_cents"),
+              (col("cents") - col("q50_cents")) * 5)
+              .otherwise((col("q50_cents") - col("cents")) * 5))
+              .as("pinball50_x10"),
+            sum(when(col("cents") >= col("q90_cents"),
+              (col("cents") - col("q90_cents")) * 9)
+              .otherwise(col("q90_cents") - col("cents")))
+              .as("pinball90_x10"))
+          .withColumn("mean_pinball90",
+            expr("CAST(pinball90_x10 AS DOUBLE)" +
+              " / (10.0 * CAST(n_test AS DOUBLE))"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+            CAST(floor("value" * 100) AS BIGINT) AS cents
+          FROM events WHERE "value" IS NOT NULL),
+        train AS (
+          SELECT event_type,
+            quantile_disc(cents, 0.5) AS q50_cents,
+            quantile_disc(cents, 0.9) AS q90_cents
+          FROM ev WHERE event_id % 5 < 4 GROUP BY 1)
+        SELECT e.event_type, COUNT(*) AS n_test,
+          MIN(t.q50_cents) AS q50_cents,
+          MIN(t.q90_cents) AS q90_cents,
+          CAST(SUM(CASE WHEN e.cents >= t.q50_cents
+            THEN (e.cents - t.q50_cents) * 5
+            ELSE (t.q50_cents - e.cents) * 5 END) AS BIGINT)
+            AS pinball50_x10,
+          CAST(SUM(CASE WHEN e.cents >= t.q90_cents
+            THEN (e.cents - t.q90_cents) * 9
+            ELSE t.q90_cents - e.cents END) AS BIGINT)
+            AS pinball90_x10,
+          CAST(CAST(SUM(CASE WHEN e.cents >= t.q90_cents
+            THEN (e.cents - t.q90_cents) * 9
+            ELSE t.q90_cents - e.cents END) AS BIGINT) AS DOUBLE)
+            / (10.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_pinball90
+        FROM ev e JOIN train t USING (event_type)
+        WHERE e.event_id % 5 >= 4
+        GROUP BY e.event_type""")),
   )
 }

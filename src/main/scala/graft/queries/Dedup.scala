@@ -1368,5 +1368,77 @@ object Dedup extends QueryPack {
           CAST(inter AS DOUBLE)
             / CAST(size_a + size_b - inter AS DOUBLE) AS jaccard
         FROM p
-        WHERE inter * 10 >= 9 * (size_a + size_b - inter)""")))
+        WHERE inter * 10 >= 9 * (size_a + size_b - inter)""")),
+
+    // ---- q298: typo-pair detection via Jaro-Winkler — the
+    //      STRING-metric member of the fuzzy-match family (q140 is
+    //      edit-distance-1 via deletion neighborhoods; this is the
+    //      graded similarity entity-resolution scorers use). The JW
+    //      kernel is the graft `jaro_winkler` codegen'd expression,
+    //      pinned bit-for-bit to DuckDB's implementation (4000-pair
+    //      fuzz during development + this oracle continuously), so
+    //      the raw doubles hash-compare exactly — no rounding seam.
+    //      Candidates come from a (first-char, length) block
+    //      equi-join over the df ≥ 5 vocabulary — vocabulary-sized,
+    //      never corpus-sized, and the block key is stated semantics
+    //      (same-length initial-preserving typos), not silent recall
+    //      loss: the oracle applies the identical blocks. The
+    //      synthetic corpus has no natural misspellings, so typo
+    //      variants are PLANTED deterministically (q128/q238
+    //      precedent): every ≥6-char vocab token contributes its
+    //      3↔4 adjacent-transposition twin — the MARTHA/MARHTA
+    //      shape, jw ≥ 0.94 by construction. ----
+    QueryDef(
+      "q298_jaro_winkler_pairs",
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+"))
+            .as("tok"))
+          .filter(col("tok").rlike("^[a-z]{4,12}$"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 5)
+          .select("tok")
+        val typos = vocab
+          .filter(length(col("tok")) >= 6 &&
+            substring(col("tok"), 3, 1) =!= substring(col("tok"), 4, 1))
+          .select(expr("concat(substring(tok, 1, 2), substring(tok, 4, 1)," +
+            " substring(tok, 3, 1), substring(tok, 5))").as("tok"))
+        val toks = vocab.unionByName(typos).distinct()
+          .select(col("tok"), length(col("tok")).as("len"),
+            substring(col("tok"), 1, 1).as("c1"))
+        toks.select(col("c1"), col("len"), col("tok").as("tok_a"))
+          .join(toks.select(col("c1"), col("len"), col("tok").as("tok_b")),
+            Seq("c1", "len"))
+          .filter(col("tok_a") < col("tok_b"))
+          .withColumn("jw", graft.functions.StringSimilarity
+            .jaroWinkler(col("tok_a"), col("tok_b")))
+          .filter(col("jw") >= 0.88)
+          .select(col("tok_a"), col("tok_b"),
+            col("len").cast("long").as("len"), col("jw"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)),
+            '\s+')) AS tok
+          FROM documents),
+        v AS (
+          SELECT tok FROM tk
+          WHERE regexp_matches(tok, '^[a-z]{4,12}$')
+          GROUP BY 1 HAVING COUNT(*) >= 5),
+        aug AS (
+          SELECT tok FROM v
+          UNION
+          SELECT concat(substring(tok, 1, 2), substring(tok, 4, 1),
+            substring(tok, 3, 1), substring(tok, 5)) AS tok
+          FROM v WHERE length(tok) >= 6
+            AND substring(tok, 3, 1) <> substring(tok, 4, 1)),
+        d AS (
+          SELECT tok, length(tok) AS len, substring(tok, 1, 1) AS c1
+          FROM aug)
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+          CAST(a.len AS BIGINT) AS len,
+          jaro_winkler_similarity(a.tok, b.tok) AS jw
+        FROM d a JOIN d b
+          ON a.c1 = b.c1 AND a.len = b.len AND a.tok < b.tok
+        WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.88""")))
 }

@@ -1315,5 +1315,40 @@ object Reports extends QueryPack {
           WHERE rk = 1)
         SELECT su.dim, n_values, sum_abs_delta, top_value, top_delta
         FROM su JOIN tp ON su.dim = tp.dim""")),
+
+    // ---- q297: per-group top-k via the mergeable TopK Aggregator —
+    //      the bounded-memory path where q63/q10's rank window ships
+    //      EVERY row of every group through the exchange. The O(k)
+    //      typed buffer combines map-side (ObjectHashAggregate
+    //      partial/final — plan-asserted in TopKSpec along with
+    //      window-parity on adversarial ties), so only ≤ k rows per
+    //      group per partition are shuffled: at 100 TB the difference
+    //      between moving the fact table and moving k·|groups| rows.
+    //      Deterministic (value DESC, id ASC) order makes the result
+    //      oracle-exact: DuckDB replays the same ORDER BY in a rank
+    //      window. Top-5 spend events per event type. ----
+    QueryDef(
+      "q297_topk_aggregator",
+      (s, d) =>
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type")
+          .agg(graft.functions.TopK
+            .topkLong(col("cents"), col("event_id"), 5).as("tk"))
+          .select(col("event_type"), posexplode(col("tk")))
+          .select(col("event_type"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col._1").as("cents"), col("col._2").as("event_id")),
+      Some("""
+        SELECT event_type, CAST(rk AS BIGINT) AS rank, cents, event_id
+        FROM (
+          SELECT event_type, event_id,
+            CAST(floor("value" * 100) AS BIGINT) AS cents,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(floor("value" * 100) AS BIGINT) DESC,
+                event_id) AS rk
+          FROM events WHERE "value" IS NOT NULL)
+        WHERE rk <= 5""")),
   )
 }

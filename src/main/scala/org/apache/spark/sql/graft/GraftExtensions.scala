@@ -114,6 +114,11 @@ object GraftExtensions {
         "graft_nfc(str) - Unicode NFC canonical composition"),
       arity("graft_nfc", 1)(args =>
         graft.functions.NfcNormalize(args(0)))),
+    "graft_jaro_winkler" -> (
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      arity("graft_jaro_winkler", 2)(args =>
+        graft.functions.JaroWinkler(args(0), args(1)))),
     "graft_to_avro" -> (
       info("graft_to_avro", "graft_to_avro(struct) - avro-encode"),
       arity("graft_to_avro", 1)(args => ToAvro(args(0)))),
@@ -138,5 +143,10 @@ object GraftExtensions {
     spark.udf.register("graft_heavy_hitters16",
       org.apache.spark.sql.functions.udaf(
         new graft.functions.MisraGries(16)))
+    spark.udf.register("graft_topk8",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKLongPairs(8),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Long)]()))
   }
 }

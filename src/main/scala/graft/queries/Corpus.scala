@@ -766,5 +766,73 @@ object Corpus extends QueryPack {
           CAST(SUM(gain) AS BIGINT) AS gain_total,
           MAX(tok) * COUNT(*) AS effective_tokens
         FROM granted GROUP BY 1""")),
+
+    // ---- q299: variance-proportional stratified allocation with
+    //      exact largest-remainder rounding — the Neyman-style sample
+    //      design step: given a 10,000-row budget, how many samples
+    //      does each stratum (event_type) get if allocation is
+    //      proportional to its spread? Weights are the exact integer
+    //      variance numerators n_h·Σx² − (Σx)² (cents), quantized by
+    //      a shared 2^20 divisor so 10000·w stays in int64 (the
+    //      quantization is part of the stated semantics — both
+    //      engines apply it identically, so allocation is
+    //      deterministic). Floor division allocates, and the
+    //      leftover 10000 − Σfloor goes to the largest remainders —
+    //      ranked WITHOUT an unpartitioned window via the bounded
+    //      collect idiom (q106: ≤|strata| rows, sort_array,
+    //      posexplode). Every output column is an exact integer. ----
+    QueryDef(
+      "q299_neyman_allocation",
+      (s, d) => {
+        val g = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
+            sum(expr("x * x")).as("s2"))
+          .withColumn("w", expr("(n_h * s2 - s1 * s1) div 1048576"))
+        val tot = g.agg(sum(col("w")).as("bigw")).filter(col("bigw") > 0)
+        val alloc = g.crossJoin(broadcast(tot))
+          .withColumn("n_floor", expr("(10000 * w) div bigw"))
+          .withColumn("rem", expr("(10000 * w) % bigw"))
+        val ranked = alloc
+          .agg(collect_list(struct((-col("rem")).as("nr"),
+            col("event_type"))).as("l"),
+            sum(col("n_floor")).as("fsum"))
+          .select(col("fsum"), posexplode(sort_array(col("l"))))
+          .select(col("col.event_type").as("event_type"),
+            (col("pos") + 1).cast("long").as("rk"), col("fsum"))
+        alloc.join(ranked, Seq("event_type"))
+          .select(col("event_type"), col("n_h"), col("w"),
+            col("n_floor"), col("rem"),
+            (col("n_floor") + when(col("rk") <= lit(10000L) - col("fsum"),
+              1L).otherwise(0L)).as("n_alloc"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            CAST(floor("value" * 100) AS BIGINT) AS x
+          FROM events WHERE "value" IS NOT NULL),
+        g AS (
+          SELECT event_type, COUNT(*) AS n_h,
+            CAST(SUM(x) AS BIGINT) AS s1,
+            CAST(SUM(x * x) AS BIGINT) AS s2
+          FROM e GROUP BY 1),
+        w AS (
+          SELECT *, (n_h * s2 - s1 * s1) // 1048576 AS w FROM g),
+        t AS (SELECT CAST(SUM(w) AS BIGINT) AS bigw FROM w),
+        a AS (
+          SELECT w.*, (10000 * w) // bigw AS n_floor,
+            (10000 * w) % bigw AS rem
+          FROM w, t WHERE bigw > 0),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
+              AS rk,
+            CAST(SUM(n_floor) OVER () AS BIGINT) AS fsum
+          FROM a)
+        SELECT event_type, n_h, w, n_floor, rem,
+          n_floor + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END
+            AS n_alloc
+        FROM r""")),
   )
 }

@@ -2621,5 +2621,62 @@ object Validation extends QueryPack {
             * CAST(t.n AS DOUBLE)) AS contrib
         FROM o JOIN r USING (dow) JOIN c USING (event_type)
           CROSS JOIN t""")),
+
+    // ---- q300: exact global ROC-AUC via the rank identity — AUC of
+    //      "does spend predict purchase" computed without
+    //      approximation: AUC = U/(n⁺·n⁻) with
+    //      U = Σranks⁺ − n⁺(n⁺+1)/2 (Mann-Whitney), using AVERAGE
+    //      ranks for ties so the estimate is the proper tie-corrected
+    //      one. Twice the tied-average rank of a score block is the
+    //      integer 2·cum_n − cnt + 1, so 2·Σranks⁺ (and hence
+    //      u2 = 2U) is an exact int64 — the only float is the final
+    //      shared division. The global rank comes from ONE PrefixScan
+    //      over the (score → count, positives) pre-aggregate: banded,
+    //      never a single-partition window, candidates = distinct
+    //      scores regardless of corpus size. ----
+    QueryDef(
+      "q300_exact_auc",
+      (s, d) => {
+        val g = t(s, d, "events").filter(col("value").isNotNull)
+          .select(expr("CAST(floor(value * 100) AS BIGINT)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p1"))
+        PrefixScan.runningSums(g, "score", Nil,
+          Seq("cnt" -> "cum_n", "p1" -> "cum_p")).drop("scan_band")
+          .agg(sum(col("p1")).as("n_pos"),
+            sum(col("cnt") - col("p1")).as("n_neg"),
+            sum(expr("p1 * (2 * cum_n - cnt + 1)")).as("ranks2_pos"))
+          .withColumn("u2", expr("ranks2_pos - n_pos * (n_pos + 1)"))
+          .withColumn("auc", expr("CAST(u2 AS DOUBLE)" +
+            " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"))
+          .select("n_pos", "n_neg", "u2", "auc")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(floor("value" * 100) AS BIGINT) AS score,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events WHERE "value" IS NOT NULL),
+        g AS (
+          SELECT score, COUNT(*) AS cnt,
+            CAST(SUM(pos) AS BIGINT) AS p1
+          FROM e GROUP BY 1),
+        c AS (
+          SELECT *, CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT)
+            AS cum_n
+          FROM g),
+        a AS (
+          SELECT CAST(SUM(p1) AS BIGINT) AS n_pos,
+            CAST(SUM(cnt - p1) AS BIGINT) AS n_neg,
+            CAST(SUM(p1 * (2 * cum_n - cnt + 1)) AS BIGINT)
+              AS ranks2_pos
+          FROM c)
+        SELECT n_pos, n_neg,
+          ranks2_pos - n_pos * (n_pos + 1) AS u2,
+          CAST(ranks2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+            / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+            AS auc
+        FROM a""")),
   )
 }

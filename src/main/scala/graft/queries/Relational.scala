@@ -409,6 +409,58 @@ object Relational extends QueryPack {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_nationkey"""))
+        GROUP BY c_nationkey""")),
+
+    // ---- q302: composed EXISTS / NOT EXISTS (the TPC-H Q21 shape,
+    //      adapted to this schema's columns: "late" = shipped more
+    //      than 60 days after the order date). Per supplier: on how
+    //      many multi-supplier orders were they the ONLY late
+    //      shipper? Spark-first this is NOT a correlated subquery —
+    //      it decorrelates to one per-order aggregate
+    //      (distinct-supplier and distinct-late-supplier counts)
+    //      joined back to the late rows: one keyed shuffle instead
+    //      of two correlated probes per row. The ORACLE deliberately
+    //      keeps the textbook correlated EXISTS + NOT EXISTS form —
+    //      hash equality proves the decorrelated rewrite IS that
+    //      query. ----
+    QueryDef(
+      "q302_only_late_supplier",
+      (s, d) => {
+        val late = expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS")
+        val j = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late", when(late, 1L).otherwise(0L))
+        val perOrder = j.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late") === 1, col("l_suppkey")))
+              .as("n_late_supp"))
+        j.filter(col("late") === 1)
+          .select("l_orderkey", "l_suppkey").distinct()
+          .join(perOrder, Seq("l_orderkey"))
+          .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""
+        WITH l1 AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT l1.l_suppkey, COUNT(*) AS numwait
+        FROM l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1"""))
   )
 }

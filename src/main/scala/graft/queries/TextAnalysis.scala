@@ -827,7 +827,73 @@ object TextAnalysis extends QueryPack {
           SELECT cpt_ppm AS en_cpt_ppm FROM w WHERE lang = 'en')
         SELECT lang, n_docs, sum_chars, sum_toks, cpt_ppm,
           en_cpt_ppm, cpt_ppm * 1000000 // en_cpt_ppm AS vs_en_ppm
-        FROM w, en""")))
+        FROM w, en""")),
+
+    // ---- q301: RAKE keyword statistics (Rose et al. 2010) — word
+    //      freq and co-occurrence DEGREE over stopword-delimited
+    //      candidate phrases, the keyword-extraction primitive:
+    //      degree(w) = Σ over w's phrase occurrences of the phrase
+    //      length (self included), freq(w) = occurrence count; the
+    //      RAKE score is degree/freq, emitted here as its two exact
+    //      integer components (the division is the reader's — a
+    //      float ratio column would be the only inexact thing in the
+    //      row). Phrase segmentation: tokens break at a fixed 10-word
+    //      stopword set; run ids come from a stopword-prefix-count
+    //      window PARTITIONED BY doc (never global). The phrase
+    //      aggregate keys on (doc, run) — combinable, corpus-wide
+    //      parallelism. ----
+    QueryDef(
+      "q301_rake_scores",
+      (s, d) => {
+        val stops = Seq("the", "of", "and", "a", "to", "in", "is",
+          "it", "for", "on")
+        val stopSet = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val toksPos = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+          .withColumn("stop",
+            expr(s"CASE WHEN tok IN $stopSet THEN 1 ELSE 0 END"))
+          .withColumn("run", sum(col("stop")).over(w))
+          .filter(col("stop") === 0)
+        val phrases = toksPos.groupBy("doc_id", "run")
+          .agg(count(lit(1)).as("plen"))
+        toksPos.join(phrases, Seq("doc_id", "run"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+          .filter(col("freq") >= 5)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        z AS (
+          SELECT doc_id,
+            unnest(generate_series(1, len(tk))) AS pos,
+            unnest(tk) AS tok
+          FROM d),
+        f AS (
+          SELECT doc_id, pos, tok,
+            CASE WHEN tok IN ('the','of','and','a','to','in','is',
+              'it','for','on') THEN 1 ELSE 0 END AS stop
+          FROM z),
+        r AS (
+          SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS run
+          FROM f),
+        nw AS (SELECT * FROM r WHERE stop = 0),
+        ph AS (
+          SELECT doc_id, run, COUNT(*) AS plen
+          FROM nw GROUP BY 1, 2)
+        SELECT tok, COUNT(*) AS freq,
+          CAST(SUM(plen) AS BIGINT) AS degree
+        FROM nw JOIN ph USING (doc_id, run)
+        GROUP BY tok HAVING COUNT(*) >= 5""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -3476,5 +3476,79 @@ object Temporal extends QueryPack {
         FROM ev e JOIN train t USING (event_type)
         WHERE e.event_id % 5 >= 4
         GROUP BY e.event_type""")),
+
+    // ---- q303: linear interpolation of masked readings — the
+    //      two-sided imputation q170's LOCF and q199's median-fill
+    //      don't give: ŷ = v_prev + (t−t_prev)·(v_next−v_prev) /
+    //      (t_next−t_prev) between the nearest OBSERVED neighbors.
+    //      Planted mask: every 7th event's value is hidden and
+    //      reconstructed. Neighbor lookup is two IGNORE-NULLS window
+    //      scans per user (prev: unbounded..−1, next: +1..unbounded)
+    //      with the neighbor's timestamp carried through the same
+    //      null mask — user-partitioned windows, no global sort. The
+    //      numerator (t−tp)·(vn−vp) stays in int64 (µs-span ×
+    //      cent-delta < 2^63); ŷ is one shared float expression of
+    //      those exact integers. Rows lacking a neighbor on either
+    //      side, or with a zero time span, are excluded by stated
+    //      semantics. ----
+    QueryDef(
+      "q303_linear_interpolate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("v",
+            when(col("event_id") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("cents")))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val next = ord.rowsBetween(1, Window.unboundedFollowing)
+        e.withColumn("vp", last(col("v"), ignoreNulls = true).over(prev))
+          .withColumn("tp", last(when(col("v").isNotNull, col("ts")),
+            ignoreNulls = true).over(prev))
+          .withColumn("vn", first(col("v"), ignoreNulls = true).over(next))
+          .withColumn("tn", first(when(col("v").isNotNull, col("ts")),
+            ignoreNulls = true).over(next))
+          .filter(col("event_id") % 7 === 0 &&
+            col("vp").isNotNull && col("vn").isNotNull &&
+            col("tn") > col("tp"))
+          .withColumn("yhat", expr("CAST(vp AS DOUBLE)" +
+            " + CAST((ts - tp) * (vn - vp) AS DOUBLE)" +
+            " / CAST(tn - tp AS DOUBLE)"))
+          .select("event_id", "user_id", "cents", "vp", "vn", "yhat")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts,
+            CAST(floor("value" * 100) AS BIGINT) AS cents,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor("value" * 100) AS BIGINT) END AS v
+          FROM events WHERE "value" IS NOT NULL),
+        w AS (
+          SELECT *,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+            last_value(CASE WHEN v IS NOT NULL THEN ts END
+              IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+            first_value(CASE WHEN v IS NOT NULL THEN ts END
+              IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn
+          FROM e)
+        SELECT event_id, user_id, cents, vp, vn,
+          CAST(vp AS DOUBLE)
+            + CAST((ts - tp) * (vn - vp) AS DOUBLE)
+            / CAST(tn - tp AS DOUBLE) AS yhat
+        FROM w
+        WHERE event_id % 7 = 0 AND vp IS NOT NULL AND vn IS NOT NULL
+          AND tn > tp""")),
   )
 }

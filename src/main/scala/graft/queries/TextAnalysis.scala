@@ -893,7 +893,67 @@ object TextAnalysis extends QueryPack {
         SELECT tok, COUNT(*) AS freq,
           CAST(SUM(plen) AS BIGINT) AS degree
         FROM nw JOIN ph USING (doc_id, run)
-        GROUP BY tok HAVING COUNT(*) >= 5""")))
+        GROUP BY tok HAVING COUNT(*) >= 5""")),
+
+    // ---- q304: skip-gram co-occurrence counts — the (center,
+    //      context) pair table a word2vec-style embedding trainer
+    //      consumes, window ±2 (q155's PMI is ADJACENT bigrams only;
+    //      context windows are the general shape). Spark-first the
+    //      window predicate is NOT a range join: for each offset
+    //      k ∈ {1, 2} the pair generator is a plain equi-join on
+    //      (doc_id, pos + k), so shuffle keys stay composite integers
+    //      and no inequality join ever plans; both directions emit
+    //      from the same join. Counts are exact integers; the
+    //      cnt ≥ 20 support floor bounds output like q185's. ----
+    QueryDef(
+      "q304_skipgram_counts",
+      (s, d) => {
+        val tokpos = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val pairs = Seq(1, 2).map { k =>
+          val a = tokpos.select(col("doc_id"), col("pos"),
+            col("tok").as("tok_a"))
+          val b = tokpos.select(col("doc_id"),
+            (col("pos") - k).as("pos"), col("tok").as("tok_b"))
+          val j = a.join(b, Seq("doc_id", "pos"))
+          j.select(col("tok_a").as("center"), col("tok_b").as("context"))
+            .unionByName(j.select(col("tok_b").as("center"),
+              col("tok_a").as("context")))
+        }.reduce(_.unionByName(_))
+        pairs.groupBy("center", "context")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 20)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        z AS (
+          SELECT doc_id,
+            unnest(generate_series(1, len(tk))) AS pos,
+            unnest(tk) AS tok
+          FROM d),
+        p AS (
+          SELECT a.tok AS center, b.tok AS context
+          FROM z a JOIN z b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          UNION ALL
+          SELECT b.tok, a.tok
+          FROM z a JOIN z b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          UNION ALL
+          SELECT a.tok, b.tok
+          FROM z a JOIN z b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+          UNION ALL
+          SELECT b.tok, a.tok
+          FROM z a JOIN z b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 2)
+        SELECT center, context, COUNT(*) AS cnt
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 20""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

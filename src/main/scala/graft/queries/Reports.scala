@@ -1350,5 +1350,106 @@ object Reports extends QueryPack {
                 event_id) AS rk
           FROM events WHERE "value" IS NOT NULL)
         WHERE rk <= 5""")),
+
+    // ---- q306: empirical removal-effect attribution — the
+    //      counterfactual complement of q193's positional and q223's
+    //      last-non-direct credit: for each touch channel, what
+    //      fraction of converting users would NOT have converted-by-
+    //      this-path if the channel were removed, i.e. how many
+    //      converting paths CONTAIN it (a converting path without c
+    //      survives c's removal). Per-user channel sets collapse to
+    //      distinct (user, channel) pairs before the per-channel
+    //      count — combinable, never a path explosion; the
+    //      converting-user total rides a one-row broadcast. Exact
+    //      integer counts + one shared division. ----
+    QueryDef(
+      "q306_removal_effect",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        val tot = conv.agg(count(lit(1)).as("total_conv"))
+        ev.filter(col("event_type") =!= "purchase")
+          .join(conv, Seq("user_id"))
+          .select(col("user_id"), col("event_type").as("channel"))
+          .distinct()
+          .groupBy("channel")
+          .agg(count(lit(1)).as("conv_with"))
+          .crossJoin(broadcast(tot))
+          .withColumn("conv_without", col("total_conv") - col("conv_with"))
+          .withColumn("removal_effect", expr(
+            "CAST(conv_with AS DOUBLE) / CAST(total_conv AS DOUBLE)"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+        t AS (SELECT COUNT(*) AS total_conv FROM conv),
+        pairs AS (
+          SELECT DISTINCT e.user_id, e.event_type AS channel
+          FROM events e JOIN conv USING (user_id)
+          WHERE e.event_type <> 'purchase'),
+        g AS (
+          SELECT channel, COUNT(*) AS conv_with FROM pairs GROUP BY 1)
+        SELECT channel, conv_with, total_conv,
+          total_conv - conv_with AS conv_without,
+          CAST(conv_with AS DOUBLE) / CAST(total_conv AS DOUBLE)
+            AS removal_effect
+        FROM g, t""")),
+
+    // ---- q307: arc price elasticity, integer-exact — per part,
+    //      consecutive-month (q, p) pairs scored with the midpoint
+    //      formula ((q2−q1)/(q2+q1)) / ((p2−p1)/(p2+p1)). With
+    //      integer quantities and cent-exact revenue sums the unit
+    //      prices are rationals c_i/q_i, and cross-multiplying
+    //      cancels the denominators: num = (q2−q1)·(c1·q2 + c2·q1),
+    //      den = (q2+q1)·(c2·q1 − c1·q2) — both exact int64 (revenue
+    //      cents ~1e7 × quantity ~1e3 × quantity-sum ~1e3 ≪ 2^63).
+    //      The month pairing is an equi-join on (part, mkey+1) —
+    //      never a range join. Rows with den = 0 (equal unit price)
+    //      are excluded by stated semantics. ----
+    QueryDef(
+      "q307_arc_elasticity",
+      (s, d) => {
+        val pm = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("year(l_shipdate) * 12 + month(l_shipdate)").as("mkey"),
+            expr("CAST(l_quantity AS BIGINT)").as("q"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"))
+          .groupBy("l_partkey", "mkey")
+          .agg(sum(col("q")).as("q"), sum(col("cents")).as("c"))
+        val a = pm.select(col("l_partkey"), col("mkey"),
+          col("q").as("q1"), col("c").as("c1"))
+        val b = pm.select(col("l_partkey"), (col("mkey") - 1).as("mkey"),
+          col("q").as("q2"), col("c").as("c2"))
+        a.join(b, Seq("l_partkey", "mkey"))
+          .withColumn("num", expr("(q2 - q1) * (c1 * q2 + c2 * q1)"))
+          .withColumn("den", expr("(q2 + q1) * (c2 * q1 - c1 * q2)"))
+          .filter(col("den") =!= 0)
+          .withColumn("elasticity",
+            expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+          .select(col("l_partkey"), col("mkey"), col("q1"), col("q2"),
+            col("c1"), col("c2"), col("num"), col("den"),
+            col("elasticity"))
+      },
+      Some("""
+        WITH pm AS (
+          SELECT l_partkey,
+            year(l_shipdate) * 12 + month(l_shipdate) AS mkey,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT a.l_partkey, a.mkey, a.q AS q1, b.q AS q2,
+          a.c AS c1, b.c AS c2,
+          (b.q - a.q) * (a.c * b.q + b.c * a.q) AS num,
+          (b.q + a.q) * (b.c * a.q - a.c * b.q) AS den,
+          CAST((b.q - a.q) * (a.c * b.q + b.c * a.q) AS DOUBLE)
+            / CAST((b.q + a.q) * (b.c * a.q - a.c * b.q) AS DOUBLE)
+            AS elasticity
+        FROM pm a JOIN pm b
+          ON a.l_partkey = b.l_partkey AND b.mkey = a.mkey + 1
+        WHERE (b.q + a.q) * (b.c * a.q - a.c * b.q) <> 0""")),
   )
 }

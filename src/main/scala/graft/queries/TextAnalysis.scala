@@ -953,7 +953,64 @@ object TextAnalysis extends QueryPack {
           FROM z a JOIN z b
             ON a.doc_id = b.doc_id AND b.pos = a.pos + 2)
         SELECT center, context, COUNT(*) AS cnt
-        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 20""")))
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 20""")),
+
+    // ---- q305: term burstiness — the Fano factor var/mean of a
+    //      term's PER-DOCUMENT count, zeros included (Church & Gale
+    //      1995: content words are bursty, Fano ≫ 1; function words
+    //      are Poisson-ish, Fano ≈ 1) — the corpus statistic that
+    //      separates topical terms from background for stopword
+    //      induction and keyword weighting. With N docs, total count
+    //      T and per-doc sum of squares S2 (absent docs contribute 0
+    //      to both), population var/mean = (N·S2 − T²)/(N·T) — so
+    //      the Fano NUMERATOR and DENOMINATOR are exact int64 off
+    //      one (term, doc) aggregate, and the ratio is the single
+    //      shared division. df ≥ 10 bounds output; N rides a one-row
+    //      broadcast. ----
+    QueryDef(
+      "q305_term_burstiness",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .groupBy("tok", "doc_id")
+          .agg(count(lit(1)).as("c"))
+        perDoc.groupBy("tok")
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+            sum(expr("c * c")).as("sum_sq"))
+          .filter(col("df") >= 10)
+          .crossJoin(broadcast(n))
+          .withColumn("fano_num",
+            expr("n_docs * sum_sq - total * total"))
+          .withColumn("fano_den", expr("n_docs * total"))
+          .withColumn("fano", expr(
+            "CAST(n_docs * sum_sq - total * total AS DOUBLE)" +
+              " / CAST(n_docs * total AS DOUBLE)"))
+          .select("tok", "df", "total", "sum_sq", "fano_num",
+            "fano_den", "fano")
+      },
+      Some("""
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        pd AS (
+          SELECT tok, doc_id, COUNT(*) AS c FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)),
+                '\s+')) AS tok
+            FROM documents)
+          GROUP BY 1, 2),
+        g AS (
+          SELECT tok, COUNT(*) AS df,
+            CAST(SUM(c) AS BIGINT) AS total,
+            CAST(SUM(c * c) AS BIGINT) AS sum_sq
+          FROM pd GROUP BY 1 HAVING COUNT(*) >= 10)
+        SELECT tok, df, total, sum_sq,
+          n_docs * sum_sq - total * total AS fano_num,
+          n_docs * total AS fano_den,
+          CAST(n_docs * sum_sq - total * total AS DOUBLE)
+            / CAST(n_docs * total AS DOUBLE) AS fano
+        FROM g, n""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

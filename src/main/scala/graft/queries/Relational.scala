@@ -461,6 +461,45 @@ object Relational extends QueryPack {
             WHERE l3.l_orderkey = l1.l_orderkey
               AND l3.l_suppkey <> l1.l_suppkey
               AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- q308: correlated SCALAR subquery (the TPC-H Q17 shape) —
+    //      revenue from line items whose quantity is below 20% of
+    //      their part's average order quantity. Spark-first the
+    //      correlated aggregate decorrelates to one per-part
+    //      (count, Σq) aggregate joined back; the threshold
+    //      q < 0.2·avg is the integer cross-multiplication
+    //      5·q·n < Σq — no float at the boundary. The ORACLE keeps
+    //      both correlated scalar subqueries in textbook form, so
+    //      hash equality proves the rewrite (q302's companion: that
+    //      one is correlated EXISTS, this is correlated scalar
+    //      aggregate). Revenue is the decimal-exact sum; the only
+    //      floats are the final cast and one shared /7.0. ----
+    QueryDef(
+      "q308_below_avg_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          col("l_extendedprice"))
+        val stats = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        li.join(stats, Seq("l_partkey"))
+          .filter(expr("5 * q * n < sq"))
+          .agg(count(lit(1)).as("n_rows"),
+            sumDec(col("l_extendedprice")).as("revenue"))
+          .withColumn("avg_yearly", expr("revenue / 7.0"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS avg_yearly
+        FROM lineitem l
+        WHERE 5 * CAST(l_quantity AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
   )
 }

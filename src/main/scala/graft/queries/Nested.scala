@@ -191,5 +191,40 @@ object Nested extends QueryPack {
         SELECT user_id, nobs,
           CAST(unnest(range(1, len(cvalue) + 1)) AS BIGINT) AS pos,
           unnest(cvalue) AS value
-        FROM merged""")))
+        FROM merged""")),
+
+    // ---- q310: VariantType extraction — the Spark 4 semi-structured
+    //      path (q27 is the classic string-walking get_json_object):
+    //      `parse_json` decodes each props payload ONCE into the
+    //      binary variant encoding, then `variant_get` navigates it
+    //      with a typed path — the shredding-friendly representation
+    //      a 100 TB pipeline wants when many fields are read from one
+    //      JSON column (parse once, extract N times, no re-tokenizing
+    //      per field). The variant itself never reaches the output
+    //      (aggregated away — driver compare is primitive-only);
+    //      invalid-path rows surface as NULLs via try_variant_get and
+    //      are counted. Oracle: DuckDB's native JSON extraction. ----
+    QueryDef(
+      "q310_variant_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("v", expr("parse_json(props)"))
+          .select(col("event_type"),
+            expr("try_variant_get(v, '$.k', 'long')").as("k"),
+            expr("try_variant_get(v, '$.missing', 'long')").as("miss"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_k"),
+            count(col("miss")).as("n_miss"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+          COUNT(CAST(props->>'$.missing' AS BIGINT)) AS n_miss,
+          CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+          MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY 1""")))
 }

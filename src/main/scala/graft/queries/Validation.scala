@@ -21,6 +21,28 @@ import graft.operators.PrefixScan
   */
 object Validation extends QueryPack {
 
+  /** q309's Cramer expressions over the nine OLS sufficient
+    * statistics. Leading multipliers (`nd`/`sx1d`/`sx2d`/`syd`) are
+    * double casts of exact int64 sums: the INNER 2x2 minors stay
+    * exact int64 (≤ ~1e16 under the shifted regressor domains), while
+    * the degree-4 outer products — past int64 at this n — ride
+    * correctly-rounded double math, identical bits in both engines.
+    * OlsSpec pins the algebra on planted data where every product is
+    * < 2^53 and the recovered coefficients are exact.
+    */
+  val OlsDet: String =
+    "(nd * (s11 * s22 - s12 * s12) - sx1d * (sx1 * s22 - s12 * sx2)" +
+      " + sx2d * (sx1 * s12 - s11 * sx2))"
+  val OlsB0n: String =
+    "(syd * (s11 * s22 - s12 * s12) - sx1d * (s1y * s22 - s12 * s2y)" +
+      " + sx2d * (s1y * s12 - s11 * s2y))"
+  val OlsB1n: String =
+    "(nd * (s1y * s22 - s12 * s2y) - syd * (sx1 * s22 - s12 * sx2)" +
+      " + sx2d * (sx1 * s2y - s1y * sx2))"
+  val OlsB2n: String =
+    "(nd * (s11 * s2y - s1y * s12) - sx1d * (sx1 * s2y - s1y * sx2)" +
+      " + syd * (sx1 * s12 - s11 * sx2))"
+
   /** Interleave the low `bits` of x (even positions) and y (odd
     * positions) — the Morton / z-order curve key. Built from codegen'd
     * shift/mask built-ins only.
@@ -2678,5 +2700,94 @@ object Validation extends QueryPack {
             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
             AS auc
         FROM a""")),
+
+    // ---- q309: per-group multivariate OLS via Cramer's rule —
+    //      two regressors + intercept (spend ~ hour-of-day +
+    //      day-of-week per event type), q181's simple-regression
+    //      big sibling. The nine sufficient statistics (n, Σx1, Σx2,
+    //      Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y) are exact int64 off
+    //      ONE combinable aggregate (regressors shifted to hour−12 /
+    //      dow−3 for headroom); the 3×3 normal-equation determinants
+    //      are degree-4 in those sums — past int64 at this n — so
+    //      they ride ONE shared float expression tree (the q270
+    //      discipline: +,−,× on exact integers are correctly rounded
+    //      and bit-identical cross-engine). OlsSpec pins the algebra
+    //      on planted y = 3 + 2·x1 − x2 data, where every Cramer
+    //      product is < 2^53 and the recovered coefficients are
+    //      exact. ----
+    QueryDef(
+      "q309_group_ols2",
+      (s, d) => {
+        import Validation.{OlsDet => det, OlsB0n => b0n,
+          OlsB1n => b1n, OlsB2n => b2n}
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("(ts div 3600000000) % 24 - 12").as("x1"),
+            expr("((ts div 86400000000) + 4) % 7 - 3").as("x2"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+            sum(expr("x1 * x1")).as("s11"),
+            sum(expr("x2 * x2")).as("s22"),
+            sum(expr("x1 * x2")).as("s12"),
+            sum(col("y")).as("sy"),
+            sum(expr("x1 * y")).as("s1y"),
+            sum(expr("x2 * y")).as("s2y"))
+          .withColumn("nd", expr("CAST(n AS DOUBLE)"))
+          .withColumn("sx1d", expr("CAST(sx1 AS DOUBLE)"))
+          .withColumn("sx2d", expr("CAST(sx2 AS DOUBLE)"))
+          .withColumn("syd", expr("CAST(sy AS DOUBLE)"))
+          .withColumn("det", expr(det))
+          .withColumn("b0", expr(s"$b0n / $det"))
+          .withColumn("b1", expr(s"$b1n / $det"))
+          .withColumn("b2", expr(s"$b2n / $det"))
+          .select("event_type", "n", "sx1", "sx2", "s11", "s22", "s12",
+            "sy", "s1y", "s2y", "det", "b0", "b1", "b2")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            (epoch_us(ts) // 3600000000) % 24 - 12 AS x1,
+            ((epoch_us(ts) // 86400000000) + 4) % 7 - 3 AS x2,
+            CAST(floor("value" * 100) AS BIGINT) AS y
+          FROM events WHERE "value" IS NOT NULL),
+        g AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x1) AS BIGINT) AS sx1,
+            CAST(SUM(x2) AS BIGINT) AS sx2,
+            CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+            CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+            CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+            CAST(SUM(x2 * y) AS BIGINT) AS s2y
+          FROM e GROUP BY 1),
+        w AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+          CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+          CAST(sy AS DOUBLE) AS syd FROM g)
+        SELECT event_type, n, sx1, sx2, s11, s22, s12, sy, s1y, s2y,
+          (nd * (s11 * s22 - s12 * s12)
+            - sx1d * (sx1 * s22 - s12 * sx2)
+            + sx2d * (sx1 * s12 - s11 * sx2)) AS det,
+          (syd * (s11 * s22 - s12 * s12)
+            - sx1d * (s1y * s22 - s12 * s2y)
+            + sx2d * (s1y * s12 - s11 * s2y))
+            / (nd * (s11 * s22 - s12 * s12)
+              - sx1d * (sx1 * s22 - s12 * sx2)
+              + sx2d * (sx1 * s12 - s11 * sx2)) AS b0,
+          (nd * (s1y * s22 - s12 * s2y)
+            - syd * (sx1 * s22 - s12 * sx2)
+            + sx2d * (sx1 * s2y - s1y * sx2))
+            / (nd * (s11 * s22 - s12 * s12)
+              - sx1d * (sx1 * s22 - s12 * sx2)
+              + sx2d * (sx1 * s12 - s11 * sx2)) AS b1,
+          (nd * (s11 * s2y - s1y * s12)
+            - sx1d * (sx1 * s2y - s1y * sx2)
+            + syd * (sx1 * s12 - s11 * sx2))
+            / (nd * (s11 * s22 - s12 * s12)
+              - sx1d * (sx1 * s22 - s12 * sx2)
+              + sx2d * (sx1 * s12 - s11 * sx2)) AS b2
+        FROM w""")),
   )
 }

@@ -2789,5 +2789,129 @@ object Validation extends QueryPack {
               - sx1d * (sx1 * s22 - s12 * sx2)
               + sx2d * (sx1 * s12 - s11 * sx2)) AS b2
         FROM w""")),
+
+    // ---- q311: calibration monotonicity audit — is conversion rate
+    //      nondecreasing in spend decile? The sanity check behind any
+    //      "score predicts outcome" claim (q300's AUC says HOW MUCH,
+    //      this says WHERE the ordering breaks). Deciles come from
+    //      one disc-percentile cut row broadcast onto the scan
+    //      (q207's quintile idiom, at 10 bands); adjacent bands pair
+    //      by an equi-join on band+1 over ≤10 rows; the violation
+    //      test is the exact integer cross-multiplication
+    //      pos_lo·n_hi > pos_hi·n_lo — no rate floats anywhere, the
+    //      emitted rates are shared single divisions. ----
+    QueryDef(
+      "q311_calibration_monotonicity",
+      (s, d) => {
+        val e = t(s, d, "events").filter(col("value").isNotNull)
+          .select(expr("CAST(floor(value * 100) AS BIGINT)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+        val cuts = e.agg(array((1 to 9).map(i =>
+          expr(s"percentile_disc(0.${i}) WITHIN GROUP (ORDER BY score)")
+            .cast("long")): _*).as("cuts"))
+        val banded = e.crossJoin(broadcast(cuts))
+          .withColumn("band",
+            (size(filter(col("cuts"), c => col("score") > c)) + 1)
+              .cast("long"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        banded.select(col("band"), col("n").as("n_lo"), col("p").as("p_lo"))
+          .join(banded.select((col("band") - 1).as("band"),
+            col("n").as("n_hi"), col("p").as("p_hi")), Seq("band"))
+          .withColumn("viol",
+            when(expr("p_lo * n_hi > p_hi * n_lo"), 1L).otherwise(0L))
+          .withColumn("rate_lo",
+            expr("CAST(p_lo AS DOUBLE) / CAST(n_lo AS DOUBLE)"))
+          .withColumn("rate_hi",
+            expr("CAST(p_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)"))
+          .select("band", "n_lo", "p_lo", "n_hi", "p_hi", "viol",
+            "rate_lo", "rate_hi")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(floor("value" * 100) AS BIGINT) AS score,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events WHERE "value" IS NOT NULL),
+        c AS (
+          SELECT [quantile_disc(score, 0.1), quantile_disc(score, 0.2),
+            quantile_disc(score, 0.3), quantile_disc(score, 0.4),
+            quantile_disc(score, 0.5), quantile_disc(score, 0.6),
+            quantile_disc(score, 0.7), quantile_disc(score, 0.8),
+            quantile_disc(score, 0.9)] AS cuts
+          FROM e),
+        b AS (
+          SELECT CAST(len(list_filter(cuts, x -> score > x)) + 1
+              AS BIGINT) AS band,
+            COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p
+          FROM e, c GROUP BY 1)
+        SELECT lo.band, lo.n AS n_lo, lo.p AS p_lo,
+          hi.n AS n_hi, hi.p AS p_hi,
+          CAST(CASE WHEN lo.p * hi.n > hi.p * lo.n
+            THEN 1 ELSE 0 END AS BIGINT) AS viol,
+          CAST(lo.p AS DOUBLE) / CAST(lo.n AS DOUBLE) AS rate_lo,
+          CAST(hi.p AS DOUBLE) / CAST(hi.n AS DOUBLE) AS rate_hi
+        FROM b lo JOIN b hi ON hi.band = lo.band + 1""")),
+
+    // ---- q312: Simpson's-paradox stratification audit — does the
+    //      weekend-vs-weekday conversion association keep its sign
+    //      inside every hour-of-day stratum? The classic aggregation
+    //      trap a metrics platform must surface before anyone reads
+    //      the marginal table. One scan → (stratum × exposure)
+    //      integer counts; the association sign per stratum is the
+    //      exact cross-multiplication sign(conv_e·n_u − conv_u·n_e);
+    //      the marginal rides in as stratum = −1 via a union of the
+    //      same aggregate, so the paradox is a single scan down one
+    //      integer column. ----
+    QueryDef(
+      "q312_simpson_audit",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(expr("(ts div 3600000000) % 24 div 6").as("stratum"),
+            expr("CAST(CASE WHEN ((ts div 86400000000) + 4) % 7 IN (0, 6)" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("exposed"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+        def cells(g: org.apache.spark.sql.DataFrame) = g
+          .groupBy("stratum")
+          .agg(sum(when(col("exposed") === 1, 1L).otherwise(0L)).as("n_e"),
+            sum(when(col("exposed") === 1, col("pos")).otherwise(0L))
+              .as("p_e"),
+            sum(when(col("exposed") === 0, 1L).otherwise(0L)).as("n_u"),
+            sum(when(col("exposed") === 0, col("pos")).otherwise(0L))
+              .as("p_u"))
+        cells(e)
+          .unionByName(cells(e.withColumn("stratum", lit(-1L))))
+          .withColumn("assoc_sign", expr(
+            "CAST(sign(p_e * n_u - p_u * n_e) AS BIGINT)"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts) // 3600000000) % 24 // 6 AS stratum,
+            CASE WHEN ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS exposed,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events),
+        g AS (
+          SELECT stratum,
+            CAST(SUM(CASE WHEN exposed = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_e,
+            CAST(SUM(CASE WHEN exposed = 1 THEN pos ELSE 0 END)
+              AS BIGINT) AS p_e,
+            CAST(SUM(CASE WHEN exposed = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_u,
+            CAST(SUM(CASE WHEN exposed = 0 THEN pos ELSE 0 END)
+              AS BIGINT) AS p_u
+          FROM e GROUP BY 1
+          UNION ALL
+          SELECT -1,
+            CAST(SUM(CASE WHEN exposed = 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN exposed = 1 THEN pos ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN exposed = 0 THEN pos ELSE 0 END) AS BIGINT)
+          FROM e)
+        SELECT stratum, n_e, p_e, n_u, p_u,
+          CAST(sign(p_e * n_u - p_u * n_e) AS BIGINT) AS assoc_sign
+        FROM g""")),
   )
 }

@@ -2913,5 +2913,74 @@ object Validation extends QueryPack {
         SELECT stratum, n_e, p_e, n_u, p_u,
           CAST(sign(p_e * n_u - p_u * n_e) AS BIGINT) AS assoc_sign
         FROM g""")),
+
+    // ---- q313: whole-catalog datasheet — ONE query auditing every
+    //      table in the lake: row count, declared-key cardinality and
+    //      a uniqueness flag per table (q131 profiles one table's
+    //      columns; this is the cross-table inventory a catalog UI
+    //      reads). Each arm is an independent single-scan aggregate —
+    //      they parallelize as separate stages and union to 10 rows;
+    //      lineitem's composite key packs into one integer
+    //      (linenumber < 10 in this schema). All integers. ----
+    QueryDef(
+      "q313_catalog_audit",
+      (s, d) => {
+        def arm(tbl: String, keyExpr: String) =
+          t(s, d, tbl).agg(count(lit(1)).as("n_rows"),
+            countDistinct(expr(keyExpr)).as("n_keys"))
+            .select(lit(tbl).as("tbl"), col("n_rows"), col("n_keys"),
+              when(col("n_rows") === col("n_keys"), 1L).otherwise(0L)
+                .as("key_unique"))
+        Seq(
+          arm("region", "r_regionkey"), arm("nation", "n_nationkey"),
+          arm("customer", "c_custkey"), arm("supplier", "s_suppkey"),
+          arm("part", "p_partkey"), arm("orders", "o_orderkey"),
+          arm("lineitem", "l_orderkey * 10 + l_linenumber"),
+          arm("events", "event_id"), arm("documents", "doc_id"),
+          arm("embeddings", "vec_id")).reduce(_.unionByName(_))
+      },
+      Some("""
+        SELECT 'region' AS tbl, COUNT(*) AS n_rows,
+          CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) AS n_keys,
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT r_regionkey)
+            THEN 1 ELSE 0 END AS BIGINT) AS key_unique FROM region
+        UNION ALL SELECT 'nation', COUNT(*),
+          CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT n_nationkey)
+            THEN 1 ELSE 0 END AS BIGINT) FROM nation
+        UNION ALL SELECT 'customer', COUNT(*),
+          CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT c_custkey)
+            THEN 1 ELSE 0 END AS BIGINT) FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*),
+          CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT s_suppkey)
+            THEN 1 ELSE 0 END AS BIGINT) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*),
+          CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT p_partkey)
+            THEN 1 ELSE 0 END AS BIGINT) FROM part
+        UNION ALL SELECT 'orders', COUNT(*),
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey)
+            THEN 1 ELSE 0 END AS BIGINT) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*),
+          CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+            AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT
+            l_orderkey * 10 + l_linenumber) THEN 1 ELSE 0 END
+            AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*),
+          CAST(COUNT(DISTINCT event_id) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT event_id)
+            THEN 1 ELSE 0 END AS BIGINT) FROM events
+        UNION ALL SELECT 'documents', COUNT(*),
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT doc_id)
+            THEN 1 ELSE 0 END AS BIGINT) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*),
+          CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+          CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT vec_id)
+            THEN 1 ELSE 0 END AS BIGINT) FROM embeddings""")),
   )
 }

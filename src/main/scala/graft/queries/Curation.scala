@@ -2185,5 +2185,77 @@ object Curation extends QueryPack {
             AS BIGINT)) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         FROM events WHERE "value" IS NOT NULL
         GROUP BY 1, 2""")),
+
+    // ---- q314: point-in-time training-set construction — for every
+    //      event, the user's features STRICTLY BEFORE it (prior event
+    //      count, prior spend, recency) and a label STRICTLY AFTER it
+    //      (any purchase within the next 3 days) — the feature-store
+    //      join that makes supervised data leakage-free: no feature
+    //      reads the future, no label reads the present. Priors ride
+    //      a ROWS unbounded..−1 frame under the deterministic
+    //      (ts, event_id) order; the label rides a VALUE-based RANGE
+    //      (1 .. 3d µs) frame on ts alone, so timestamp ties cannot
+    //      flip it. Rows within 3 days of the stream's end are
+    //      dropped (right-censored labels, fixed literal cutoff).
+    //      All windows user-partitioned; every column exact int64. ----
+    QueryDef(
+      "q314_pit_training_set",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val horizon = 259200000000L // 3 days in µs
+        val censor = 1706400000000000L // 2024-01-28T00:00Z
+        val wRows = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wLag = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val wRange = Window.partitionBy("user_id").orderBy(col("ts"))
+          .rangeBetween(1L, horizon)
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+          .withColumn("n_prior", count(lit(1)).over(wRows))
+          .withColumn("spend_prior",
+            coalesce(sum(col("cents")).over(wRows), lit(0L)))
+          .withColumn("recency_us", col("ts") - lag(col("ts"), 1).over(wLag))
+          .withColumn("future_purchases",
+            coalesce(sum(col("pos")).over(wRange), lit(0L)))
+          .filter(col("ts") < censor)
+          .select(col("event_id"), col("user_id"), col("n_prior"),
+            col("spend_prior"), col("recency_us"),
+            col("future_purchases"),
+            when(col("future_purchases") > 0, 1L).otherwise(0L)
+              .as("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts,
+            CAST(floor("value" * 100) AS BIGINT) AS cents,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events WHERE "value" IS NOT NULL),
+        w AS (
+          SELECT event_id, user_id, ts,
+            COUNT(*) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS n_prior,
+            COALESCE(CAST(SUM(cents) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS spend_prior,
+            ts - lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS recency_us,
+            COALESCE(CAST(SUM(pos) OVER (PARTITION BY user_id
+              ORDER BY ts
+              RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING)
+              AS BIGINT), 0) AS future_purchases
+          FROM e)
+        SELECT event_id, user_id, n_prior, spend_prior, recency_us,
+          future_purchases,
+          CAST(CASE WHEN future_purchases > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS label
+        FROM w WHERE ts < 1706400000000000""")),
   )
 }

@@ -1269,6 +1269,69 @@ object Similarity extends QueryPack {
           CAST(SUM(CASE WHEN la = lc THEN 1 ELSE 0 END) AS BIGINT)
             * 1000000 // COUNT(*) AS collision_ppm
         FROM r WHERE rn <= 4 GROUP BY bkt""")),
+
+    // ---- q315: matryoshka truncation audit — how much of the
+    //      corpus's embedding energy lives in the first k dimensions
+    //      (k ∈ {8, 16, 32, 64})? The dimension-budget question MRL
+    //      training (Kusupati et al. 2022) answers by construction
+    //      and a storage planner asks before truncating an index.
+    //      Repo integer discipline: coordinates quantize to
+    //      floor(x·2^20 + 0.5) (exact IEEE ops), per-row prefix
+    //      energies are int64 HOF folds over the quantized array
+    //      (never an explode), the corpus-level fraction is the
+    //      ratio of two exact integer sums, and the per-row "≥ 90%
+    //      in-prefix" census is the cross-multiplication
+    //      10·e_k ≥ 9·e_64. The four budget arms re-project the
+    //      quantized column independently (embeddings are the lake's
+    //      smallest table; at larger scale the quantized projection
+    //      would persist once, q21's pattern). ----
+    QueryDef(
+      "q315_matryoshka_energy",
+      (s, d) => {
+        val q = emb(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+            " * 1048576.0 + 0.5) AS BIGINT))").as("q"))
+          .withColumn("e64",
+            expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+        Seq(8, 16, 32, 64).map { k =>
+          q.withColumn("ek",
+            expr(s"aggregate(slice(q, 1, $k), 0L, (a, x) -> a + x * x)"))
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(col("ek")).as("energy_k"),
+              sum(col("e64")).as("energy_full"),
+              sum(when(expr("10 * ek >= 9 * e64"), 1L).otherwise(0L))
+                .as("n_ge90"))
+            .select(lit(k.toLong).as("k"), col("n_vecs"),
+              col("energy_k"), col("energy_full"), col("n_ge90"),
+              expr("CAST(energy_k AS DOUBLE)" +
+                " / CAST(energy_full AS DOUBLE)").as("energy_frac"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+              * 1048576.0 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, q,
+            CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+              AS e64
+          FROM q),
+        ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+        per AS (
+          SELECT ks.k, e.vec_id, e.e64,
+            CAST(list_sum(list_transform(e.q[1:ks.k], x -> x * x))
+              AS BIGINT) AS ek
+          FROM e, ks)
+        SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_vecs,
+          CAST(SUM(ek) AS BIGINT) AS energy_k,
+          CAST(SUM(e64) AS BIGINT) AS energy_full,
+          CAST(SUM(CASE WHEN 10 * ek >= 9 * e64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge90,
+          CAST(CAST(SUM(ek) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(e64) AS BIGINT) AS DOUBLE) AS energy_frac
+        FROM per GROUP BY k""")),
   )
 
   /** Per-vector symmetric int8 quantization (array-valued API): scale =

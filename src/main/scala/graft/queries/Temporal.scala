@@ -3550,5 +3550,94 @@ object Temporal extends QueryPack {
         FROM w
         WHERE event_id % 7 = 0 AND vp IS NOT NULL AND vn IS NOT NULL
           AND tn > tp""")),
+
+    // ---- q316: censoring-aware discrete survival (Nelson-Aalen) —
+    //      q220's conversion table treats never-converters as an
+    //      undifferentiated tail; proper survival analysis
+    //      RIGHT-CENSORS them at end-of-observation so late signups
+    //      don't bias the hazard down. Per day k ∈ [0, 14): risk set
+    //      n_k (observation time ≥ k), events d_k (first purchase at
+    //      exactly k), censored c_k; the discrete hazard quantizes to
+    //      d·10⁶ div n ppm (exact integer, q299's quantization
+    //      discipline) and the Nelson-Aalen cumulative hazard is its
+    //      running sum — folded window-free through the k' ≤ k
+    //      triangle join over the 14-row day spine (bounded by the
+    //      horizon, never by the data). ----
+    QueryDef(
+      "q316_nelson_aalen",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val CensorUs = 1706659200000000L // 2024-01-31T00:00Z end of data
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+        val users = su
+          .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")),
+            Seq("user_id"), "left")
+          .groupBy("user_id", "s_ts")
+          .agg(min(when(col("p_ts") >= col("s_ts"), col("p_ts")))
+            .as("first_p"))
+          .select(
+            when(col("first_p").isNotNull,
+              expr(s"(first_p - s_ts) div $DayUs"))
+              .otherwise(expr(s"($CensorUs - s_ts) div $DayUs"))
+              .as("obs_day"),
+            col("first_p").isNotNull.cast("long").as("event"))
+        val ks = ev.sparkSession.range(0, 14).select(col("id").as("k"))
+        val table = users.crossJoin(broadcast(ks))
+          .groupBy("k")
+          .agg(
+            sum((col("obs_day") >= col("k")).cast("long")).as("n_risk"),
+            sum((col("obs_day") === col("k") && col("event") === 1)
+              .cast("long")).as("d_k"),
+            sum((col("obs_day") === col("k") && col("event") === 0)
+              .cast("long")).as("c_k"))
+          .filter(col("n_risk") > 0)
+          .withColumn("hazard_ppm", expr("d_k * 1000000 div n_risk"))
+        table.select(col("k"), col("n_risk"), col("d_k"), col("c_k"),
+          col("hazard_ppm"))
+          .join(table.select(col("k").as("j"),
+            col("hazard_ppm").as("h_j")), col("j") <= col("k"))
+          .groupBy("k", "n_risk", "d_k", "c_k", "hazard_ppm")
+          .agg(sum(col("h_j")).as("cum_hazard_ppm"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        su AS (
+          SELECT user_id, MIN(ts) AS s_ts FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+        u AS (
+          SELECT su.user_id, su.s_ts,
+            MIN(CASE WHEN p.ts >= su.s_ts THEN p.ts END) AS first_p
+          FROM su LEFT JOIN ev p
+            ON p.user_id = su.user_id AND p.event_type = 'purchase'
+          GROUP BY 1, 2),
+        obs AS (
+          SELECT CASE WHEN first_p IS NOT NULL
+              THEN (first_p - s_ts) // 86400000000
+              ELSE (1706659200000000 - s_ts) // 86400000000 END
+              AS obs_day,
+            CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM u),
+        ks AS (SELECT unnest(generate_series(0, 13)) AS k),
+        tab AS (
+          SELECT k,
+            CAST(SUM(CASE WHEN obs_day >= k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_risk,
+            CAST(SUM(CASE WHEN obs_day = k AND event = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS d_k,
+            CAST(SUM(CASE WHEN obs_day = k AND event = 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS c_k
+          FROM obs, ks GROUP BY 1),
+        h AS (
+          SELECT *, d_k * 1000000 // n_risk AS hazard_ppm
+          FROM tab WHERE n_risk > 0)
+        SELECT k, n_risk, d_k, c_k, hazard_ppm,
+          CAST(SUM(hazard_ppm) OVER (ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_ppm
+        FROM h""")),
   )
 }

@@ -2982,5 +2982,133 @@ object Validation extends QueryPack {
           CAST(COUNT(DISTINCT vec_id) AS BIGINT),
           CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT vec_id)
             THEN 1 ELSE 0 END AS BIGINT) FROM embeddings""")),
+
+    // ---- q317: stratified-matching treatment-effect table — the
+    //      matching-estimator companion to q245's IPW and q312's sign
+    //      audit: compare weekend (treated) vs weekday (control)
+    //      spend WITHIN hour-of-day strata, so the time-of-day
+    //      confounder can't leak into the contrast. Per stratum:
+    //      cell sizes, cent-exact outcome sums, and the mean
+    //      difference as the cross-multiplied integer pair
+    //      diff_num = sum_t·n_c − sum_c·n_t over den = n_t·n_c — the
+    //      per-stratum ATT is one shared division, and no
+    //      order-dependent float sum exists anywhere. One scan, one
+    //      grouped aggregate. ----
+    QueryDef(
+      "q317_stratified_matching",
+      (s, d) =>
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(expr("(ts div 3600000000) % 24 div 6").as("stratum"),
+            expr("CAST(CASE WHEN ((ts div 86400000000) + 4) % 7 IN (0, 6)" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("treated"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("y"))
+          .groupBy("stratum")
+          .agg(
+            sum(col("treated")).as("n_t"),
+            sum(lit(1L) - col("treated")).as("n_c"),
+            sum(when(col("treated") === 1, col("y")).otherwise(0L))
+              .as("sum_t"),
+            sum(when(col("treated") === 0, col("y")).otherwise(0L))
+              .as("sum_c"))
+          .filter(col("n_t") > 0 && col("n_c") > 0)
+          .withColumn("diff_num", expr("sum_t * n_c - sum_c * n_t"))
+          .withColumn("den", expr("n_t * n_c"))
+          .withColumn("att_cents", expr(
+            "CAST(sum_t * n_c - sum_c * n_t AS DOUBLE)" +
+              " / CAST(n_t * n_c AS DOUBLE)")),
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts) // 3600000000) % 24 // 6 AS stratum,
+            CASE WHEN ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS treated,
+            CAST(floor("value" * 100) AS BIGINT) AS y
+          FROM events WHERE "value" IS NOT NULL),
+        g AS (
+          SELECT stratum,
+            CAST(SUM(treated) AS BIGINT) AS n_t,
+            CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+            CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END)
+              AS BIGINT) AS sum_t,
+            CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END)
+              AS BIGINT) AS sum_c
+          FROM e GROUP BY 1)
+        SELECT stratum, n_t, n_c, sum_t, sum_c,
+          sum_t * n_c - sum_c * n_t AS diff_num,
+          n_t * n_c AS den,
+          CAST(sum_t * n_c - sum_c * n_t AS DOUBLE)
+            / CAST(n_t * n_c AS DOUBLE) AS att_cents
+        FROM g WHERE n_t > 0 AND n_c > 0""")),
+
+    // ---- q318: temporal cold-start coverage — after a time split
+    //      (train: before 2024-01-21, test: after), what fraction of
+    //      the entities the test period touches were NEVER seen in
+    //      training? The deployment-readiness number for any
+    //      entity-keyed model (an unseen user hits the cold-start
+    //      path; an unseen item gets no collaborative signal). One
+    //      arm per entity axis (users, event types, spend bands),
+    //      each a distinct-set anti-join — test-distinct LEFT ANTI
+    //      train-distinct, ids only — unioned to 3 rows; the ppm is
+    //      integer floor division. ----
+    QueryDef(
+      "q318_coldstart_coverage",
+      (s, d) => {
+        val cut = 1705795200000000L // 2024-01-21T00:00Z
+        val e = t(s, d, "events").filter(col("value").isNotNull)
+        def arm(name: String, keyExpr: String) = {
+          val tr = e.filter(col("ts") < cut)
+            .select(expr(keyExpr).as("k")).distinct()
+          val te = e.filter(col("ts") >= cut)
+            .select(expr(keyExpr).as("k")).distinct()
+          val unseen = te.join(tr, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_unseen"))
+          te.agg(count(lit(1)).as("n_test"))
+            .crossJoin(unseen)
+            .select(lit(name).as("axis"), col("n_test"), col("n_unseen"),
+              expr("n_unseen * 1000000 div n_test").as("unseen_ppm"))
+        }
+        Seq(arm("user", "user_id"),
+          arm("event_type", "event_type"),
+          arm("spend_band", "CAST(floor(value / 50) AS BIGINT)"))
+          .reduce(_.unionByName(_))
+      },
+      Some("""
+        WITH e AS (
+          SELECT *, epoch_us(ts) AS tu FROM events
+          WHERE "value" IS NOT NULL),
+        arms AS (
+          SELECT 'user' AS axis,
+            (SELECT COUNT(DISTINCT user_id) FROM e
+             WHERE tu >= 1705795200000000) AS n_test,
+            (SELECT COUNT(*) FROM
+              (SELECT DISTINCT user_id FROM e
+               WHERE tu >= 1705795200000000) t
+             WHERE t.user_id NOT IN
+              (SELECT DISTINCT user_id FROM e
+               WHERE tu < 1705795200000000)) AS n_unseen
+          UNION ALL
+          SELECT 'event_type',
+            (SELECT COUNT(DISTINCT event_type) FROM e
+             WHERE tu >= 1705795200000000),
+            (SELECT COUNT(*) FROM
+              (SELECT DISTINCT event_type FROM e
+               WHERE tu >= 1705795200000000) t
+             WHERE t.event_type NOT IN
+              (SELECT DISTINCT event_type FROM e
+               WHERE tu < 1705795200000000))
+          UNION ALL
+          SELECT 'spend_band',
+            (SELECT COUNT(DISTINCT CAST(floor("value" / 50) AS BIGINT))
+             FROM e WHERE tu >= 1705795200000000),
+            (SELECT COUNT(*) FROM
+              (SELECT DISTINCT CAST(floor("value" / 50) AS BIGINT) AS b
+               FROM e WHERE tu >= 1705795200000000) t
+             WHERE t.b NOT IN
+              (SELECT DISTINCT CAST(floor("value" / 50) AS BIGINT)
+               FROM e WHERE tu < 1705795200000000)))
+        SELECT axis, CAST(n_test AS BIGINT) AS n_test,
+          CAST(n_unseen AS BIGINT) AS n_unseen,
+          CAST(n_unseen AS BIGINT) * 1000000 // CAST(n_test AS BIGINT)
+            AS unseen_ppm
+        FROM arms""")),
   )
 }

@@ -1451,5 +1451,180 @@ object Reports extends QueryPack {
         FROM pm a JOIN pm b
           ON a.l_partkey = b.l_partkey AND b.mkey = a.mkey + 1
         WHERE (b.q + a.q) * (b.c * a.q - a.c * b.q) <> 0""")),
+
+    // ---- q319: TOPSIS multi-criteria ranking (Hwang & Yoon 1981) —
+    //      rank suppliers by closeness to the ideal point across
+    //      three criteria at once (revenue ↑, order breadth ↑,
+    //      return rate ↓): the multi-criteria decision table behind
+    //      vendor scorecards, where a single-metric sort (q13) or a
+    //      Pareto frontier (q206) can't give a total order. Exactness
+    //      discipline: the three criteria are exact integers per
+    //      supplier; vector-normalization denominators are corpus
+    //      sqrt-of-sum-of-squares off ONE broadcast row; every
+    //      distance/closeness double is the SAME fixed op chain
+    //      (cast, /, ·, sqrt) from exact integers — bit-identical
+    //      cross-engine, so even the final closeness ORDER matches.
+    //      Ideal/anti-ideal points also ride the broadcast row
+    //      (benefit criteria: max/min of exact integers scaled by
+    //      the shared denominators). ----
+    QueryDef(
+      "q319_topsis_ranking",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(
+            expr("SUM(CAST(round(l_extendedprice * 100) AS BIGINT))" +
+              " div 100").as("rev"),
+            countDistinct(col("l_orderkey")).as("brd"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+              .as("ret"))
+        val denoms = per.agg(
+          sum(expr("rev * rev")).as("d_rev2"),
+          sum(expr("brd * brd")).as("d_brd2"),
+          sum(expr("ret * ret")).as("d_ret2"),
+          max(col("rev")).as("rev_hi"), min(col("rev")).as("rev_lo"),
+          max(col("brd")).as("brd_hi"), min(col("brd")).as("brd_lo"),
+          max(col("ret")).as("ret_hi"), min(col("ret")).as("ret_lo"))
+        // normalized coordinate: x / sqrt(Σx²); ideal = hi for benefit
+        // criteria (rev, brd), lo for the cost criterion (ret)
+        def nrm(x: String, d2: String) =
+          s"CAST($x AS DOUBLE) / sqrt(CAST($d2 AS DOUBLE))"
+        val dPos = "sqrt(" +
+          s"(${nrm("rev", "d_rev2")} - ${nrm("rev_hi", "d_rev2")}) * " +
+          s"(${nrm("rev", "d_rev2")} - ${nrm("rev_hi", "d_rev2")}) + " +
+          s"(${nrm("brd", "d_brd2")} - ${nrm("brd_hi", "d_brd2")}) * " +
+          s"(${nrm("brd", "d_brd2")} - ${nrm("brd_hi", "d_brd2")}) + " +
+          s"(${nrm("ret", "d_ret2")} - ${nrm("ret_lo", "d_ret2")}) * " +
+          s"(${nrm("ret", "d_ret2")} - ${nrm("ret_lo", "d_ret2")}))"
+        val dNeg = "sqrt(" +
+          s"(${nrm("rev", "d_rev2")} - ${nrm("rev_lo", "d_rev2")}) * " +
+          s"(${nrm("rev", "d_rev2")} - ${nrm("rev_lo", "d_rev2")}) + " +
+          s"(${nrm("brd", "d_brd2")} - ${nrm("brd_lo", "d_brd2")}) * " +
+          s"(${nrm("brd", "d_brd2")} - ${nrm("brd_lo", "d_brd2")}) + " +
+          s"(${nrm("ret", "d_ret2")} - ${nrm("ret_hi", "d_ret2")}) * " +
+          s"(${nrm("ret", "d_ret2")} - ${nrm("ret_hi", "d_ret2")}))"
+        per.crossJoin(broadcast(denoms))
+          .withColumn("d_pos", expr(dPos))
+          .withColumn("d_neg", expr(dNeg))
+          .withColumn("closeness", expr("d_neg / (d_neg + d_pos)"))
+          .orderBy(col("closeness").desc, col("l_suppkey"))
+          .limit(20)
+          .select("l_suppkey", "rev", "brd", "ret", "closeness")
+      },
+      Some("""
+        WITH per AS (
+          SELECT l_suppkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) // 100 AS rev,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS brd,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ret
+          FROM lineitem GROUP BY 1),
+        dn AS (
+          SELECT CAST(SUM(rev * rev) AS BIGINT) AS d_rev2,
+            CAST(SUM(brd * brd) AS BIGINT) AS d_brd2,
+            CAST(SUM(ret * ret) AS BIGINT) AS d_ret2,
+            MAX(rev) AS rev_hi, MIN(rev) AS rev_lo,
+            MAX(brd) AS brd_hi, MIN(brd) AS brd_lo,
+            MAX(ret) AS ret_hi, MIN(ret) AS ret_lo
+          FROM per),
+        sc AS (
+          SELECT l_suppkey, rev, brd, ret,
+            sqrt(
+              (CAST(rev AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE))
+                - CAST(rev_hi AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE)))
+              * (CAST(rev AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE))
+                - CAST(rev_hi AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE)))
+              + (CAST(brd AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE))
+                - CAST(brd_hi AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE)))
+              * (CAST(brd AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE))
+                - CAST(brd_hi AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE)))
+              + (CAST(ret AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE))
+                - CAST(ret_lo AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE)))
+              * (CAST(ret AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE))
+                - CAST(ret_lo AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE)))
+            ) AS d_pos,
+            sqrt(
+              (CAST(rev AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE))
+                - CAST(rev_lo AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE)))
+              * (CAST(rev AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE))
+                - CAST(rev_lo AS DOUBLE) / sqrt(CAST(d_rev2 AS DOUBLE)))
+              + (CAST(brd AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE))
+                - CAST(brd_lo AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE)))
+              * (CAST(brd AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE))
+                - CAST(brd_lo AS DOUBLE) / sqrt(CAST(d_brd2 AS DOUBLE)))
+              + (CAST(ret AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE))
+                - CAST(ret_hi AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE)))
+              * (CAST(ret AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE))
+                - CAST(ret_hi AS DOUBLE) / sqrt(CAST(d_ret2 AS DOUBLE)))
+            ) AS d_neg
+          FROM per, dn)
+        SELECT l_suppkey, rev, brd, ret,
+          d_neg / (d_neg + d_pos) AS closeness
+        FROM sc
+        ORDER BY closeness DESC, l_suppkey LIMIT 20""")),
+
+    // ---- q320: header-vs-lines VALUE reconciliation — q130 audits
+    //      key integrity, q134 diffs snapshots; this audits the
+    //      cross-grain INVARIANT inside one snapshot: does each
+    //      order's header total equal the sum of its lines'
+    //      extendedprice? Line sums are cent-exact integers
+    //      (round(x·100) — the parquet doubles are 2-decimal exact,
+    //      so the cast is lossless and identical in both engines);
+    //      the report buckets per-order diffs into matched / small /
+    //      large drift with max-abs — a 6-integer summary row
+    //      whatever the table size, off one join + two aggregates. ----
+    QueryDef(
+      "q320_header_line_reconcile",
+      (s, d) => {
+        val lines = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("line_cents"), count(lit(1)).as("n_lines"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+              .as("hdr_cents"))
+          .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            coalesce(col("line_cents"), lit(0L)).as("line_cents"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            col("hdr_cents"))
+          .withColumn("adiff", abs(col("hdr_cents") - col("line_cents")))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("n_lines") === 0, 1L).otherwise(0L))
+              .as("n_lineless"),
+            sum(when(col("adiff") === 0, 1L).otherwise(0L))
+              .as("n_exact"),
+            sum(when(col("adiff") > 0 && col("adiff") <= 100, 1L)
+              .otherwise(0L)).as("n_small_drift"),
+            sum(when(col("adiff") > 100, 1L).otherwise(0L))
+              .as("n_large_drift"),
+            max(col("adiff")).as("max_abs_diff_cents"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS line_cents,
+            COUNT(*) AS n_lines
+          FROM lineitem GROUP BY 1),
+        j AS (
+          SELECT COALESCE(l.line_cents, 0) AS line_cents,
+            COALESCE(l.n_lines, 0) AS n_lines,
+            CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr_cents
+          FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
+        a AS (SELECT *, abs(hdr_cents - line_cents) AS adiff FROM j)
+        SELECT COUNT(*) AS n_orders,
+          CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_lineless,
+          CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact,
+          CAST(SUM(CASE WHEN adiff > 0 AND adiff <= 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_small_drift,
+          CAST(SUM(CASE WHEN adiff > 100 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_large_drift,
+          MAX(adiff) AS max_abs_diff_cents
+        FROM a""")),
   )
 }

@@ -495,5 +495,44 @@ object Layout extends QueryPack {
             AS BIGINT) AS rev_cents,
           CAST(8 AS BIGINT) AS n_salt_partials
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q324: Hilbert-curve clustering key — the premium 2-D
+    //      layout key (vs q133's Z-order): consecutive curve
+    //      positions are ADJACENT cells, so range predicates on
+    //      EITHER dimension touch contiguous curve runs with no
+    //      Z-shape jumps — at 100 TB that's fewer files overlapping
+    //      any (size × price) predicate box after a sort-by-h
+    //      rewrite. The key is a codegen'd Catalyst expression
+    //      ([[graft.functions.HilbertIndex]]); the oracle re-derives
+    //      every key through 10 mechanically-unrolled rotate-and-
+    //      accumulate CTE steps, so hash equality proves the curve
+    //      walk bit-for-bit (rotation state machine included — a
+    //      single flipped quadrant anywhere relocates thousands of
+    //      keys). Output is one row per part: the full key map.
+    //
+    //      Scale shape: embarrassingly parallel projection (no
+    //      exchange at all); the downstream layout rewrite is
+    //      repartitionByRange(h) + sortWithinPartitions, same as
+    //      writeZOrdered. ----
+    QueryDef(
+      "q324_hilbert_key",
+      (s, d) => {
+        val base = t(s, d, "part").select(
+          col("p_partkey"),
+          (col("p_size").cast("long") % 1024).as("x0"),
+          (round(col("p_retailprice") * 100).cast("long") % 1024)
+            .as("y0"))
+        base.select(col("p_partkey"), col("x0"), col("y0"),
+          graft.functions.HilbertCurve
+            .hilbert(col("x0"), col("y0"), 10).as("h"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) % 1024 AS x0,
+            CAST(round(p_retailprice * 100) AS BIGINT) % 1024 AS y0
+          FROM part),
+        ${graft.functions.HilbertCurve.oracleCtes(10, "base", Seq("p_partkey"))}
+        SELECT b.p_partkey, b.x0, b.y0, h.d10 AS h
+        FROM base b JOIN h10 h ON b.p_partkey = h.p_partkey""")),
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.t
@@ -226,5 +227,51 @@ object Nested extends QueryPack {
           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
-        FROM events GROUP BY 1""")))
+        FROM events GROUP BY 1""")),
+
+    // ---- q321: schema-directed from_json with a malformed-payload
+    //      quarantine — the ingestion-side complement of q310's
+    //      schemaless Variant path. Every 13th payload is truncated
+    //      (losing its closing brace), so the strict-schema parse
+    //      must return NULL for exactly those rows: `n_bad` counts
+    //      the quarantine, `sum_k` proves the surviving rows parsed
+    //      to the right values. This is the E1-style PERMISSIVE
+    //      decode-or-quarantine contract on the JSON wire format
+    //      (the Avro path tests it with corrupt Avro payloads).
+    //
+    //      Scale shape: parse + validity test are per-row codegen'd
+    //      expressions; the only exchange is the 5-key event_type
+    //      aggregate (combinable counts/sums). ----
+    QueryDef(
+      "q321_from_json_quarantine",
+      (s, d) => {
+        val js = when(col("event_id") % 13 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props"))
+        t(s, d, "events")
+          .select(col("event_type"),
+            from_json(js, StructType(Seq(StructField("k", LongType))))
+              .as("p"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("p.k")).as("n_parsed"),
+            (count(lit(1)) - count(col("p.k"))).as("n_bad"),
+            sum(col("p.k")).as("sum_k"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            CASE WHEN event_id % 13 = 0
+              THEN substring(props, 1, length(props) - 2)
+              ELSE props END AS js
+          FROM events),
+        p AS (
+          SELECT event_type,
+            CASE WHEN json_valid(js)
+              THEN CAST(json_extract(js, '$.k') AS BIGINT) END AS k
+          FROM ev)
+        SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_parsed,
+          COUNT(*) - COUNT(k) AS n_bad,
+          CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM p GROUP BY 1""")))
 }

@@ -3639,5 +3639,93 @@ object Temporal extends QueryPack {
           CAST(SUM(hazard_ppm) OVER (ORDER BY k
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_ppm
         FROM h""")),
+
+    // ---- q323: Allen's interval-algebra census (Allen 1983) — the
+    //      13 mutually-exclusive, jointly-exhaustive relations
+    //      between two intervals (before/meets/overlaps/starts/
+    //      during/finishes, their inverses, and equals), tabulated
+    //      over per-user activity spans: interval(u, type) =
+    //      [min ts, max ts] of that user's events of that type.
+    //      The census (type_a, type_b, relation → count) is the
+    //      temporal-overlap profile an interval-join planner needs
+    //      (how often do spans truly overlap vs merely touch?) and a
+    //      correctness anchor for any downstream interval logic —
+    //      the CASE ladder is order-sensitive, so hash equality
+    //      proves both engines agree on every boundary (=, <) case.
+    //
+    //      Scale shape: spans are one combinable min/max aggregate
+    //      over (user, type); the pair join is an equi-join on
+    //      user_id with ≤ |types|² = 25 rows per user; the census
+    //      aggregate is tiny. No text, no window, no skew (user
+    //      activity is bounded). ----
+    QueryDef(
+      "q323_allen_census",
+      (s, d) => {
+        val sp = t(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val a = sp.select(col("user_id"), col("event_type").as("type_a"),
+          col("st").as("a_s"), col("en").as("a_e"))
+        val b = sp.select(col("user_id"), col("event_type").as("type_b"),
+          col("st").as("b_s"), col("en").as("b_e"))
+        val rel =
+          when(col("a_s") === col("b_s") && col("a_e") === col("b_e"),
+            "equals")
+            .when(col("a_e") < col("b_s"), "before")
+            .when(col("b_e") < col("a_s"), "after")
+            .when(col("a_e") === col("b_s"), "meets")
+            .when(col("b_e") === col("a_s"), "met_by")
+            .when(col("a_s") === col("b_s") && col("a_e") < col("b_e"),
+              "starts")
+            .when(col("a_s") === col("b_s") && col("a_e") > col("b_e"),
+              "started_by")
+            .when(col("a_e") === col("b_e") && col("a_s") > col("b_s"),
+              "finishes")
+            .when(col("a_e") === col("b_e") && col("a_s") < col("b_s"),
+              "finished_by")
+            .when(col("a_s") > col("b_s") && col("a_e") < col("b_e"),
+              "during")
+            .when(col("a_s") < col("b_s") && col("a_e") > col("b_e"),
+              "contains")
+            .when(col("a_s") < col("b_s") && col("a_e") > col("b_s") &&
+              col("a_e") < col("b_e"), "overlaps")
+            .when(col("b_s") < col("a_s") && col("b_e") > col("a_s") &&
+              col("b_e") < col("a_e"), "overlapped_by")
+            .otherwise("impossible")
+        a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), rel.as("relation"))
+          .groupBy("type_a", "type_b", "relation")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH sp AS (
+          SELECT user_id, event_type,
+            MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            a.st AS a_s, a.en AS a_e, b.st AS b_s, b.en AS b_e
+          FROM sp a JOIN sp b ON a.user_id = b.user_id
+          WHERE a.event_type < b.event_type)
+        SELECT type_a, type_b,
+          CASE
+            WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+            WHEN a_e < b_s THEN 'before'
+            WHEN b_e < a_s THEN 'after'
+            WHEN a_e = b_s THEN 'meets'
+            WHEN b_e = a_s THEN 'met_by'
+            WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+            WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+            WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+            WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+            WHEN a_s > b_s AND a_e < b_e THEN 'during'
+            WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+            WHEN a_s < b_s AND a_e > b_s AND a_e < b_e THEN 'overlaps'
+            WHEN b_s < a_s AND b_e > a_s AND b_e < a_e
+              THEN 'overlapped_by'
+            ELSE 'impossible' END AS relation,
+          COUNT(*) AS n
+        FROM p GROUP BY 1, 2, 3""")),
   )
 }

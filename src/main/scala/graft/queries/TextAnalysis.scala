@@ -1010,7 +1010,83 @@ object TextAnalysis extends QueryPack {
           n_docs * total AS fano_den,
           CAST(n_docs * sum_sq - total * total AS DOUBLE)
             / CAST(n_docs * total AS DOUBLE) AS fano
-        FROM g, n""")))
+        FROM g, n""")),
+
+    // ---- q322: interpolated Kneser-Ney bigram smoothing (Kneser &
+    //      Ney 1995; Chen & Goodman 1999 eq. 4.20) — THE n-gram LM
+    //      estimator: Pkn(w2|w1) = max(c12−d,0)/c1 + d·N1+(w1·)/c1 ·
+    //      N1+(·w2)/B with d = 0.75. The continuation count N1+(·w2)
+    //      (how many DISTINCT left contexts w2 follows) replaces raw
+    //      frequency in the backoff — the reason "francisco" gets a
+    //      tiny unigram weight despite being frequent. All four
+    //      inputs (c12, c1, N1+ forward/backward) are exact int64
+    //      off ONE bigram aggregate; the probability is mirrored
+    //      literal IEEE arithmetic, so the doubles hash-match.
+    //
+    //      Scale shape: one (doc_id,pos)-keyed self-join builds
+    //      bigrams, then everything is combinable aggregates over
+    //      (w1,w2) rows; the w1/w2 marginals join back by single-word
+    //      key and the bigram-type total B rides a one-row broadcast.
+    //      Text never shuffles. ----
+    QueryDef(
+      "q322_kneser_ney",
+      (s, d) => {
+        val tokpos = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val bi = tokpos.select(col("doc_id"), col("pos"),
+            col("tok").as("w1"))
+          .join(tokpos.select(col("doc_id"),
+            (col("pos") - 1).as("pos"), col("tok").as("w2")),
+            Seq("doc_id", "pos"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val left = bi.groupBy("w1")
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_fwd"))
+        val right = bi.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))
+        val total = bi.agg(count(lit(1)).as("bt"))
+        val pkn =
+          ((col("c12").cast("double") - lit(0.75)) /
+            col("c1").cast("double")) +
+            (((lit(0.75) * col("n1_fwd").cast("double")) /
+              col("c1").cast("double")) *
+              (col("n1_bwd").cast("double") / col("bt").cast("double")))
+        bi.filter(col("c12") >= 10)
+          .join(left, Seq("w1")).join(right, Seq("w2"))
+          .crossJoin(broadcast(total))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            col("n1_fwd"), col("n1_bwd"), pkn.as("pkn"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        z AS (
+          SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos,
+            unnest(tk) AS tok
+          FROM d),
+        bi AS (
+          SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c12
+          FROM z a JOIN z b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        l AS (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            COUNT(*) AS n1_fwd
+          FROM bi GROUP BY 1),
+        r AS (SELECT w2, COUNT(*) AS n1_bwd FROM bi GROUP BY 1),
+        bt AS (SELECT COUNT(*) AS b FROM bi)
+        SELECT bi.w1, bi.w2, bi.c12, l.c1, l.n1_fwd, r.n1_bwd,
+          ((CAST(bi.c12 AS DOUBLE) - 0.75) / CAST(l.c1 AS DOUBLE))
+            + (((0.75 * CAST(l.n1_fwd AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+              * (CAST(r.n1_bwd AS DOUBLE) / CAST(bt.b AS DOUBLE)))
+            AS pkn
+        FROM bi
+        JOIN l ON bi.w1 = l.w1
+        JOIN r ON bi.w2 = r.w2
+        CROSS JOIN bt
+        WHERE bi.c12 >= 10""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -119,6 +119,16 @@ object GraftExtensions {
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
       arity("graft_jaro_winkler", 2)(args =>
         graft.functions.JaroWinkler(args(0), args(1)))),
+    "graft_hilbert" -> (
+      info("graft_hilbert",
+        "graft_hilbert(x, y, order) - Hilbert curve distance of (x, y) on the 2^order grid"),
+      arity("graft_hilbert", 3)(args =>
+        graft.functions.HilbertIndex(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.LongType),
+          intLit(args(2), "order")))),
     "graft_to_avro" -> (
       info("graft_to_avro", "graft_to_avro(struct) - avro-encode"),
       arity("graft_to_avro", 1)(args => ToAvro(args(0)))),

@@ -109,5 +109,115 @@ object Media extends QueryPack {
           CAST(list_max(samples) AS BIGINT) AS sample_max,
           CAST(list_min(samples) AS BIGINT) AS sample_min
         FROM ch""")),
+
+    // ---- q326: image near-duplicate detection — the full pipeline:
+    //      synthesize → encode through the REAL PNG codec → decode →
+    //      average-hash (aHash) → banded Hamming join. aHash is the
+    //      integer-exact perceptual hash (bit i = pixel_i > mean,
+    //      computed as 64·p_i > Σp so no division crosses engines),
+    //      which is what lets the DuckDB oracle re-derive every hash
+    //      straight from the text bytes while Spark's path crosses
+    //      encodePng→ImageIO — corpus-wide codec-identity evidence
+    //      AND a planted-pair near-dup benchmark in one query (every
+    //      5th doc also emits a one-byte-perturbed variant; its
+    //      hash lands within Hamming ≤ 3 of the original).
+    //
+    //      Scale shape: the 64-bit hash splits into 4 × 16-bit bands;
+    //      any pair within Hamming ≤ 3 shares at least one band
+    //      (pigeonhole), so candidates come from a band equi-join —
+    //      never all-pairs. Band width is the knob: at 100 TB widen
+    //      bands / add a second-level key so bucket sizes stay
+    //      bounded (the same LSH discipline as q21/q25). Image bytes
+    //      never shuffle — only (id, 64-char hash) rows. ----
+    QueryDef(
+      "q326_image_neardup",
+      (s, d) => {
+        val ahash = udf { pre: String =>
+          val g = pre.getBytes("US-ASCII").map(_ & 0xff)
+          val rgb = g.flatMap(p => Array(p.toByte, p.toByte, p.toByte))
+          val png = Multimodal.encodePng(8, 8, rgb)
+          Multimodal.decodeImageIO(png) match {
+            case Some(("png", 8, 8, out)) =>
+              val gray = (0 until 64).map(i => out(i * 3) & 0xff)
+              val sum = gray.sum
+              gray.map(p => if (64L * p > sum) '1' else '0').mkString
+            case _ => null
+          }
+        }
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          expr(s"substring(concat(text, repeat(' ', 64)), 1, 64)")
+            .as("pre"))
+        val vars = docs
+          .select(col("doc_id"), lit(0L).as("v"), col("pre"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), lit(1L).as("v"),
+              concat(expr("substring(pre, 1, 3)"),
+                expr("chr(ascii(substring(pre, 4, 1)) + 1)"),
+                expr("substring(pre, 5, 60)")).as("pre")))
+        val bands = vars
+          .select(col("doc_id"), col("v"), ahash(col("pre")).as("b"))
+          .select(col("doc_id"), col("v"), col("b"),
+            explode(sequence(lit(0), lit(3))).as("bi"))
+          .withColumn("key", expr("substring(b, bi * 16 + 1, 16)"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+              (col("x.doc_id") < col("y.doc_id") ||
+                (col("x.doc_id") === col("y.doc_id") &&
+                  col("x.v") < col("y.v"))))
+          .select(col("x.doc_id").as("doc_a"), col("x.v").as("va"),
+            col("y.doc_id").as("doc_b"), col("y.v").as("vb"),
+            col("x.b").as("ba"), col("y.b").as("bb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, 64), " +
+              "i -> substring(ba, i, 1) != substring(bb, i, 1)))")
+              .cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "va", "doc_b", "vb", "hamming")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+            substr(text || repeat(' ', 64), 1, 64) AS pre
+          FROM documents),
+        var AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS v, pre FROM docs
+          UNION ALL
+          SELECT doc_id, CAST(1 AS BIGINT) AS v,
+            substr(pre, 1, 3) || chr(ord(substr(pre, 4, 1)) + 1)
+              || substr(pre, 5, 60)
+          FROM docs WHERE doc_id % 5 = 0),
+        px AS (
+          SELECT doc_id, v,
+            list_transform(generate_series(1, 64),
+              i -> ord(substr(pre, CAST(i AS INT), 1))) AS g
+          FROM var),
+        bits AS (
+          SELECT doc_id, v,
+            array_to_string(list_transform(generate_series(1, 64),
+              i -> CASE WHEN 64 * g[i] > list_sum(g)
+                THEN '1' ELSE '0' END), '') AS b
+          FROM px),
+        bands AS (
+          SELECT doc_id, v, b, unnest(generate_series(0, 3)) AS bi
+          FROM bits),
+        bk AS (
+          SELECT doc_id, v, b, bi,
+            substr(b, CAST(bi * 16 + 1 AS INT), 16) AS key
+          FROM bands),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, x.v AS va,
+            y.doc_id AS doc_b, y.v AS vb, x.b AS ba, y.b AS bb
+          FROM bk x JOIN bk y ON x.bi = y.bi AND x.key = y.key
+            AND (x.doc_id < y.doc_id
+              OR (x.doc_id = y.doc_id AND x.v < y.v)))
+        SELECT doc_a, va, doc_b, vb, hamming FROM (
+          SELECT doc_a, va, doc_b, vb,
+            CAST(len(list_filter(generate_series(1, 64),
+              i -> substr(ba, CAST(i AS INT), 1)
+                <> substr(bb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+          FROM cand) z
+        WHERE hamming <= 3""")),
   )
 }

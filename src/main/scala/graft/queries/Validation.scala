@@ -3110,5 +3110,116 @@ object Validation extends QueryPack {
           CAST(n_unseen AS BIGINT) * 1000000 // CAST(n_test AS BIGINT)
             AS unseen_ppm
         FROM arms""")),
+
+    // ---- q327: t-closeness audit (Li, Li & Venkatasubramanian,
+    //      ICDE'07) — the third leg of the privacy triad: q104 gates
+    //      group SIZE (k-anonymity), q295 gates distinct sensitive
+    //      VALUES (l-diversity), but a diverse group whose value
+    //      DISTRIBUTION skews far from the table's still leaks
+    //      (skewness attack). Per QI group (q295's event_type × dow),
+    //      distance = ordered-domain EMD between the group's
+    //      spend-band distribution and the global one:
+    //      (1/(m−1)) · Σ_j |P_g(≤b_j) − P(≤b_j)|. The cumulative-
+    //      difference numerator is exact int64 after clearing
+    //      denominators (|cum_g·N − cum_G·n_g| — ≤ ~1e10 at sf0.1;
+    //      at ≫ sf1 pre-normalize both cumuls to ppm first), so only
+    //      the final t is a mirrored IEEE division.
+    //
+    //      Scale shape: NO global window — the band domain is tiny
+    //      (≤ ~a dozen values), so global cumulatives come from a
+    //      broadcast triangle join on the band table and per-group
+    //      cumulatives from a (group-equi, band ≤) join against the
+    //      broadcast domain; the only corpus-sized exchange is the
+    //      (group, band) count aggregate. ----
+    QueryDef(
+      "q327_t_closeness",
+      (s, d) => {
+        val cgb = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 86400000000) + 4) % 7").as("dow"),
+            expr("CAST(floor(value / 100) AS BIGINT)").as("band"))
+          .groupBy("event_type", "dow", "band")
+          .agg(count(lit(1)).as("c"))
+        val groups = cgb.groupBy("event_type", "dow")
+          .agg(sum(col("c")).as("n_g"))
+        val bandTot = cgb.groupBy("band").agg(sum(col("c")).as("cb"))
+        val tot = bandTot.agg(sum(col("cb")).as("big_n"),
+          count(lit(1)).as("m"))
+        val cumG = bandTot.as("x")
+          .join(broadcast(bandTot.select(col("band").as("b2"),
+            col("cb").as("cb2"))), col("b2") <= col("band"))
+          .groupBy("band").agg(sum(col("cb2")).as("cum_g"))
+        val grid = groups.crossJoin(broadcast(bandTot.select("band")))
+        // band predicate lives in the LEFT JOIN condition: a grid row
+        // with no group mass at-or-below its band must survive with
+        // cum_c = 0, not vanish via join-then-filter
+        val cgbR = cgb.select(col("event_type").as("et2"),
+          col("dow").as("dow2"), col("band").as("b3"), col("c"))
+        val cumC = grid
+          .join(cgbR,
+            col("et2") === col("event_type") &&
+              col("dow2") === col("dow") && col("b3") <= col("band"),
+            "left")
+          .groupBy("event_type", "dow", "n_g", "band")
+          .agg(sum(coalesce(col("c"), lit(0L))).as("cum_c"))
+        cumC.join(broadcast(cumG), Seq("band"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("dow"), col("n_g"),
+            col("m"), col("big_n"),
+            abs(col("cum_c") * col("big_n") - col("cum_g") * col("n_g"))
+              .as("seg"))
+          .groupBy("event_type", "dow", "n_g", "m", "big_n")
+          .agg(sum(col("seg")).as("emd_num"))
+          .select(col("event_type"), col("dow"), col("n_g"), col("m"),
+            col("emd_num"),
+            (col("n_g") * col("big_n") * (col("m") - 1)).as("emd_den"),
+            (col("emd_num").cast("double") /
+              (col("n_g") * col("big_n") * (col("m") - 1)).cast("double"))
+              .as("t_dist"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+            CAST(floor("value" / 100) AS BIGINT) AS band
+          FROM events WHERE "value" IS NOT NULL),
+        cgb AS (
+          SELECT event_type, dow, band, COUNT(*) AS c
+          FROM ev GROUP BY 1, 2, 3),
+        groups AS (
+          SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS n_g
+          FROM cgb GROUP BY 1, 2),
+        band_tot AS (
+          SELECT band, CAST(SUM(c) AS BIGINT) AS cb
+          FROM cgb GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(cb) AS BIGINT) AS big_n, COUNT(*) AS m
+          FROM band_tot),
+        cum_g AS (
+          SELECT band,
+            CAST(SUM(cb) OVER (ORDER BY band
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+          FROM band_tot),
+        grid AS (
+          SELECT g.event_type, g.dow, g.n_g, b.band
+          FROM groups g CROSS JOIN band_tot b),
+        cum_c AS (
+          SELECT gr.event_type, gr.dow, gr.n_g, gr.band,
+            CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS cum_c
+          FROM grid gr LEFT JOIN cgb c
+            ON c.event_type = gr.event_type AND c.dow = gr.dow
+            AND c.band <= gr.band
+          GROUP BY 1, 2, 3, 4)
+        SELECT cc.event_type, cc.dow, cc.n_g, t.m,
+          CAST(SUM(abs(cc.cum_c * t.big_n - cg.cum_g * cc.n_g))
+            AS BIGINT) AS emd_num,
+          cc.n_g * t.big_n * (t.m - 1) AS emd_den,
+          CAST(SUM(abs(cc.cum_c * t.big_n - cg.cum_g * cc.n_g))
+            AS DOUBLE) / CAST(cc.n_g * t.big_n * (t.m - 1) AS DOUBLE)
+            AS t_dist
+        FROM cum_c cc
+        JOIN cum_g cg ON cc.band = cg.band
+        CROSS JOIN tot t
+        GROUP BY 1, 2, 3, 4, cc.n_g, t.big_n""")),
   )
 }

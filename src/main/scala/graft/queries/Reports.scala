@@ -1626,5 +1626,52 @@ object Reports extends QueryPack {
             AS n_large_drift,
           MAX(adiff) AS max_abs_diff_cents
         FROM a""")),
+
+    // ---- q329: retention triangle — the cohort DISTINCT-USER
+    //      companion to q215's cohort-LTV (which rolls up revenue):
+    //      users cohort on their first activity WEEK; cell (cohort,
+    //      age) counts distinct users active age weeks later, plus
+    //      retention in ppm of the cohort's size. The triangle is
+    //      the standard growth-accounting artifact; as integers it
+    //      is exactly reproducible cross-engine.
+    //
+    //      Scale shape: first-touch is one user-keyed min aggregate;
+    //      activity dedupes to (user, week) before any join; the
+    //      cohort join is user-keyed; the triangle aggregate is
+    //      (cohort, age)-keyed — all combinable, no windows. ----
+    QueryDef(
+      "q329_retention_triangle",
+      (s, d) => {
+        val uw = t(s, d, "events")
+          .select(col("user_id"),
+            expr("ts div 604800000000").as("week"))
+          .distinct()
+        val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+        val sizes = first.groupBy("cohort")
+          .agg(count(lit(1)).as("cohort_users"))
+        uw.join(first, Seq("user_id"))
+          .select(col("cohort"), (col("week") - col("cohort")).as("age"))
+          .groupBy("cohort", "age")
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, Seq("cohort"))
+          .withColumn("retention_ppm",
+            expr("n_active * 1000000 div cohort_users"))
+      },
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1),
+        sizes AS (
+          SELECT cohort, COUNT(*) AS cohort_users FROM first GROUP BY 1),
+        tri AS (
+          SELECT f.cohort, uw.week - f.cohort AS age,
+            COUNT(*) AS n_active
+          FROM uw JOIN first f ON uw.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT t.cohort, t.age, t.n_active, s.cohort_users,
+          t.n_active * 1000000 // s.cohort_users AS retention_ppm
+        FROM tri t JOIN sizes s ON t.cohort = s.cohort""")),
   )
 }

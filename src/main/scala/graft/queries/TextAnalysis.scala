@@ -1086,7 +1086,54 @@ object TextAnalysis extends QueryPack {
         JOIN l ON bi.w1 = l.w1
         JOIN r ON bi.w2 = r.w2
         CROSS JOIN bt
-        WHERE bi.c12 >= 10""")))
+        WHERE bi.c12 >= 10""")),
+
+    // ---- q328: Good-Turing frequency-of-frequencies (Good 1953) —
+    //      the OTHER classical smoothing estimator next to q322's
+    //      Kneser-Ney: for each observed count r, how many distinct
+    //      types occur exactly r times (N_r), and the GT-adjusted
+    //      count r* = (r+1)·N_{r+1}/N_r that reallocates mass toward
+    //      unseen events (r*=0's N_1/N is the unseen-mass estimate).
+    //      The N_r table is THE corpus-frequency fingerprint (Zipf
+    //      fit, q124, reads its slope; vocabulary truncation reads
+    //      its head). Integer numerator (r+1)·N_{r+1} and
+    //      denominator N_r ship exactly; r* is the one mirrored
+    //      division (0 when N_{r+1} = 0 — both sides emit 0.0 via
+    //      the same 0/N_r).
+    //
+    //      Scale shape: one map-side-combinable wordcount, then a
+    //      count-keyed aggregate over |vocab| skinny rows; the r+1
+    //      lookup is an equi-self-join on the tiny N_r table. ----
+    QueryDef(
+      "q328_good_turing",
+      (s, d) => {
+        val wc = t(s, d, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+"))
+            .as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val fof = wc.groupBy(col("c").as("r"))
+          .agg(count(lit(1)).as("n_r"))
+        fof.join(fof.select((col("r") - 1).as("r"),
+            col("n_r").as("n_r1")), Seq("r"), "left")
+          .select(col("r"), col("n_r"),
+            coalesce(col("n_r1"), lit(0L)).as("n_r1"))
+          .withColumn("gt_num", (col("r") + 1) * col("n_r1"))
+          .withColumn("r_star",
+            col("gt_num").cast("double") / col("n_r").cast("double"))
+      },
+      Some("""
+        WITH wc AS (
+          SELECT tok, COUNT(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+              '\s+')) AS tok
+            FROM documents) z
+          GROUP BY tok),
+        fof AS (SELECT c AS r, COUNT(*) AS n_r FROM wc GROUP BY c)
+        SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_r1,
+          (a.r + 1) * COALESCE(b.n_r, 0) AS gt_num,
+          CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
+            / CAST(a.n_r AS DOUBLE) AS r_star
+        FROM fof a LEFT JOIN fof b ON b.r = a.r + 1""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -3221,5 +3221,62 @@ object Validation extends QueryPack {
         JOIN cum_g cg ON cc.band = cg.band
         CROSS JOIN tot t
         GROUP BY 1, 2, 3, 4, cc.n_g, t.big_n""")),
+
+    // ---- q330: Luhn check-digit audit (ISO/IEC 7812) — checksum
+    //      VALIDATION of an ID column: q74's PII scan pattern-matches
+    //      card-like digit runs, but real pipelines gate on the Luhn
+    //      checksum to cut the false-positive flood (a random 12-digit
+    //      string passes only 10% of the time). Here every order's
+    //      zero-padded key is validated: double every 2nd digit from
+    //      the right, fold >9 down by 9, valid iff the sum ≡ 0 mod 10
+    //      — pure integer HOF arithmetic, identical both engines.
+    //
+    //      Scale shape: per-row codegen'd arithmetic + one 3-key
+    //      status aggregate; nothing else moves. ----
+    QueryDef(
+      "q330_luhn_audit",
+      (s, d) => {
+        val digit = (i: String) =>
+          s"CAST(substring(acct, 13 - $i, 1) AS BIGINT)"
+        t(s, d, "orders")
+          .select(col("o_orderstatus"),
+            lpad(col("o_orderkey").cast("string"), 12, "0").as("acct"))
+          .withColumn("luhn_sum", expr(s"""
+            aggregate(sequence(1, 12), 0L, (acc, i) -> acc +
+              CASE WHEN i % 2 = 0 THEN
+                CASE WHEN ${digit("i")} * 2 > 9
+                  THEN ${digit("i")} * 2 - 9
+                  ELSE ${digit("i")} * 2 END
+              ELSE ${digit("i")} END)"""))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("luhn_sum") % 10 === 0, 1L).otherwise(0L))
+              .as("n_valid"))
+          .withColumn("valid_ppm", expr("n_valid * 1000000 div n"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderstatus,
+            lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct
+          FROM orders),
+        l AS (
+          SELECT o_orderstatus,
+            list_sum(list_transform(generate_series(1, 12), i ->
+              CASE WHEN i % 2 = 0 THEN
+                CASE WHEN CAST(substr(acct, CAST(13 - i AS INT), 1)
+                    AS BIGINT) * 2 > 9
+                  THEN CAST(substr(acct, CAST(13 - i AS INT), 1)
+                    AS BIGINT) * 2 - 9
+                  ELSE CAST(substr(acct, CAST(13 - i AS INT), 1)
+                    AS BIGINT) * 2 END
+              ELSE CAST(substr(acct, CAST(13 - i AS INT), 1) AS BIGINT)
+              END)) AS luhn_sum
+          FROM a)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid,
+          CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS valid_ppm
+        FROM l GROUP BY 1""")),
   )
 }

@@ -3278,5 +3278,69 @@ object Validation extends QueryPack {
           CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) * 1000000 // COUNT(*) AS valid_ppm
         FROM l GROUP BY 1""")),
+
+    // ---- q331: sample-ratio-mismatch (SRM) audit — the first gate
+    //      of every experimentation pipeline: users hash into two
+    //      arms that SHOULD be 50/50; per event_type, compare the
+    //      arms' distinct-user exposure with the one-degree chi-square
+    //      χ² = (n_A − n_B)²/(n_A + n_B). A χ² above 3.84 (p < .05)
+    //      means randomization or logging is broken and every
+    //      downstream metric is suspect (Fabijan et al., KDD'19
+    //      diagnosis playbook). Both the statistic's integer
+    //      numerator/denominator AND the flag are exact: the
+    //      3.84 threshold compares as 100·(n_A−n_B)² > 384·(n_A+n_B),
+    //      so no float crosses the gate.
+    //
+    //      Scale shape: arm assignment is a per-row md5 (the q53
+    //      deterministic-split discipline, randomization-unit = user);
+    //      exposure dedupes to (event_type, user) before counting;
+    //      one 5-key aggregate. ----
+    QueryDef(
+      "q331_srm_audit",
+      (s, d) => {
+        val hex = lit("0123456789abcdef")
+        val armBit =
+          (instr(hex, substring(md5(col("user_id").cast("string")), 1, 1))
+            - 1) % 2
+        t(s, d, "events")
+          .select(col("event_type"), col("user_id"))
+          .distinct()
+          .select(col("event_type"), armBit.as("arm"))
+          .groupBy("event_type")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+          .withColumn("chi2_num",
+            (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .withColumn("chi2",
+            col("chi2_num").cast("double") /
+              (col("n_a") + col("n_b")).cast("double"))
+          .withColumn("srm_flag",
+            when(col("chi2_num") * 100 > (col("n_a") + col("n_b")) * 384,
+              1L).otherwise(0L))
+      },
+      Some("""
+        WITH u AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        a AS (
+          SELECT event_type,
+            (strpos('0123456789abcdef',
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+              AS arm
+          FROM u),
+        c AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b
+          FROM a GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+          (n_a - n_b) * (n_a - n_b) AS chi2_num,
+          CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) AS chi2,
+          CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 100
+              > (n_a + n_b) * 384 THEN 1 ELSE 0 END AS BIGINT)
+            AS srm_flag
+        FROM c""")),
   )
 }

@@ -55,12 +55,18 @@ object PrefixScan {
       bandCol: String = "scan_band"): DataFrame = {
     require(nBands >= 2, s"nBands must be >= 2: $nBands")
     require(cols.nonEmpty, "at least one (value, cum) pair required")
-    // 1. band cuts: nBands-1 disc percentiles of the order key.
-    //    percentile_disc picks elements, so cuts are exact longs and
-    //    `key > cut` banding is stable under duplicates.
-    val cuts = df.agg(array((1 until nBands).map(b =>
-      expr(s"percentile_disc(${b.toDouble / nBands}) WITHIN GROUP " +
-        s"(ORDER BY $orderKeyCol)").cast("long")): _*).as("cuts"))
+    // 1. band cuts: nBands-1 percentiles of the order key in ONE
+    //    exact `percentile(key, array(..))` aggregate. (The previous
+    //    form ran nBands-1 separate percentile_disc sort-aggregates —
+    //    31 independent buffers over the full input, the dominant
+    //    cost of the whole scan at sf0.1.) Interpolated values cast
+    //    to long are equally valid cuts: banding by `key > cut` is
+    //    correct for ANY cut set — equal keys always land in the same
+    //    band, and cut quality only affects balance, not the result.
+    val probs = (1 until nBands).map(_.toDouble / nBands).mkString(", ")
+    val cuts = df.agg(
+      expr(s"transform(percentile($orderKeyCol, array($probs)), " +
+        "x -> CAST(x AS BIGINT))").as("cuts"))
     val banded = df.crossJoin(broadcast(cuts))
       .withColumn(bandCol,
         size(filter(col("cuts"), c => col(orderKeyCol) > c)).cast("long"))

@@ -834,5 +834,60 @@ object Corpus extends QueryPack {
           n_floor + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END
             AS n_alloc
         FROM r""")),
+
+    // ---- q333: systematic PPS sampling (probability proportional to
+    //      size, Madow 1949) — the DETERMINISTIC weighted sampler the
+    //      mixing stack lacked: q53's hash split is uniform, q63/q299
+    //      stratify by group; here heavy items must be MORE likely in
+    //      the sample (cost-weighted eval sets, spend-weighted audit
+    //      pulls). Lay every order's weight (price cents) end to end
+    //      under the o_orderkey total order and take n=500 evenly
+    //      spaced sample points: item hit count = ⌊cum·n/W⌋ −
+    //      ⌊(cum−w)·n/W⌋ — pure integer floor division, zero floats,
+    //      items heavier than W/n get multiple hits (the textbook
+    //      PPS-with-certainty behavior). Phase 0, so the whole draw
+    //      is reproducible cross-engine — hash equality IS the proof.
+    //
+    //      Scale shape: the global cumulative rides ONE PrefixScan
+    //      banded pass (no unpartitioned window); the total is a
+    //      one-row broadcast; selection is per-row arithmetic.
+    //      Magnitudes: cum·n ≤ ~1e13 at sf0.1 — int64-safe through
+    //      sf100. ----
+    QueryDef(
+      "q333_pps_systematic",
+      (s, d) => {
+        val n = 500L
+        val w = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("w_cents"))
+          .persist() // PrefixScan reads it twice (cuts + scan)
+        val cum = graft.operators.PrefixScan.runningSums(
+          w, "o_orderkey", Seq.empty, Seq("w_cents" -> "cum_cents"))
+        val tot = w.agg(sum(col("w_cents")).as("big_w"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("n_hits",
+            expr(s"(cum_cents * $n) div big_w") -
+              expr(s"((cum_cents - w_cents) * $n) div big_w"))
+          .filter(col("n_hits") > 0)
+          .select(col("o_orderkey"), col("w_cents"), col("cum_cents"),
+            col("n_hits"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+          FROM orders),
+        c AS (
+          SELECT o_orderkey, w_cents,
+            CAST(SUM(w_cents) OVER (ORDER BY o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+          FROM w),
+        t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS big_w FROM w)
+        SELECT o_orderkey, w_cents, cum_cents,
+          (cum_cents * 500) // big_w
+            - ((cum_cents - w_cents) * 500) // big_w AS n_hits
+        FROM c, t
+        WHERE (cum_cents * 500) // big_w
+            - ((cum_cents - w_cents) * 500) // big_w > 0""")),
   )
 }

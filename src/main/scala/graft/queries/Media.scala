@@ -132,6 +132,11 @@ object Media extends QueryPack {
     QueryDef(
       "q326_image_neardup",
       (s, d) => {
+        // 4 x 16-bit band values (bit j of band b = pixel 16b+j above
+        // the mean, MSB first): integers all the way down, so the
+        // Hamming stage is bit_count(xor) per band instead of 64
+        // interpreted string compares per pair (the first cut spent
+        // ~45 s of its 63 s there at sf0.1)
         val ahash = udf { pre: String =>
           val g = pre.getBytes("US-ASCII").map(_ & 0xff)
           val rgb = g.flatMap(p => Array(p.toByte, p.toByte, p.toByte))
@@ -140,7 +145,12 @@ object Media extends QueryPack {
             case Some(("png", 8, 8, out)) =>
               val gray = (0 until 64).map(i => out(i * 3) & 0xff)
               val sum = gray.sum
-              gray.map(p => if (64L * p > sum) '1' else '0').mkString
+              (0 until 4).map { b =>
+                (0 until 16).map { i =>
+                  (if (64L * gray(16 * b + i) > sum) 1 else 0) <<
+                    (15 - i)
+                }.sum.toLong
+              }
             case _ => null
           }
         }
@@ -154,11 +164,17 @@ object Media extends QueryPack {
               concat(expr("substring(pre, 1, 3)"),
                 expr("chr(ascii(substring(pre, 4, 1)) + 1)"),
                 expr("substring(pre, 5, 60)")).as("pre")))
-        val bands = vars
-          .select(col("doc_id"), col("v"), ahash(col("pre")).as("b"))
-          .select(col("doc_id"), col("v"), col("b"),
+        // persist the hash table: the codec UDF is the expensive
+        // stage (ImageIO serializes on a global registry lock) and
+        // the band self-join + distinct would otherwise re-evaluate
+        // it 3-4x; cached it is one pass over (id, 4-int) rows
+        val bits = vars
+          .select(col("doc_id"), col("v"), ahash(col("pre")).as("k"))
+          .persist()
+        val bands = bits
+          .select(col("doc_id"), col("v"), col("k"),
             explode(sequence(lit(0), lit(3))).as("bi"))
-          .withColumn("key", expr("substring(b, bi * 16 + 1, 16)"))
+          .withColumn("key", expr("k[bi]"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
               (col("x.doc_id") < col("y.doc_id") ||
@@ -166,12 +182,12 @@ object Media extends QueryPack {
                   col("x.v") < col("y.v"))))
           .select(col("x.doc_id").as("doc_a"), col("x.v").as("va"),
             col("y.doc_id").as("doc_b"), col("y.v").as("vb"),
-            col("x.b").as("ba"), col("y.b").as("bb"))
+            col("x.k").as("ka"), col("y.k").as("kb"))
           .distinct()
         cand
           .withColumn("hamming",
-            expr("size(filter(sequence(1, 64), " +
-              "i -> substring(ba, i, 1) != substring(bb, i, 1)))")
+            expr("bit_count(ka[0] ^ kb[0]) + bit_count(ka[1] ^ kb[1])" +
+              " + bit_count(ka[2] ^ kb[2]) + bit_count(ka[3] ^ kb[3])")
               .cast("long"))
           .filter(col("hamming") <= 3)
           .select("doc_a", "va", "doc_b", "vb", "hamming")
@@ -195,28 +211,30 @@ object Media extends QueryPack {
           FROM var),
         bits AS (
           SELECT doc_id, v,
-            array_to_string(list_transform(generate_series(1, 64),
-              i -> CASE WHEN 64 * g[i] > list_sum(g)
-                THEN '1' ELSE '0' END), '') AS b
+            list_transform(generate_series(0, 3), b ->
+              list_sum(list_transform(generate_series(0, 15), i ->
+                (CASE WHEN 64 * g[CAST(16 * b + i + 1 AS INT)]
+                    > list_sum(g) THEN 1 ELSE 0 END)
+                  * (1 << CAST(15 - i AS INT))))) AS k
           FROM px),
         bands AS (
-          SELECT doc_id, v, b, unnest(generate_series(0, 3)) AS bi
+          SELECT doc_id, v, k, unnest(generate_series(0, 3)) AS bi
           FROM bits),
         bk AS (
-          SELECT doc_id, v, b, bi,
-            substr(b, CAST(bi * 16 + 1 AS INT), 16) AS key
+          SELECT doc_id, v, k, bi, k[CAST(bi + 1 AS INT)] AS key
           FROM bands),
         cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, x.v AS va,
-            y.doc_id AS doc_b, y.v AS vb, x.b AS ba, y.b AS bb
+            y.doc_id AS doc_b, y.v AS vb, x.k AS ka, y.k AS kb
           FROM bk x JOIN bk y ON x.bi = y.bi AND x.key = y.key
             AND (x.doc_id < y.doc_id
               OR (x.doc_id = y.doc_id AND x.v < y.v)))
         SELECT doc_a, va, doc_b, vb, hamming FROM (
           SELECT doc_a, va, doc_b, vb,
-            CAST(len(list_filter(generate_series(1, 64),
-              i -> substr(ba, CAST(i AS INT), 1)
-                <> substr(bb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+            CAST(bit_count(xor(ka[1], kb[1]))
+              + bit_count(xor(ka[2], kb[2]))
+              + bit_count(xor(ka[3], kb[3]))
+              + bit_count(xor(ka[4], kb[4])) AS BIGINT) AS hamming
           FROM cand) z
         WHERE hamming <= 3""")),
   )

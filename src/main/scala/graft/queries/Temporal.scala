@@ -3727,5 +3727,52 @@ object Temporal extends QueryPack {
             ELSE 'impossible' END AS relation,
           COUNT(*) AS n
         FROM p GROUP BY 1, 2, 3""")),
+
+    // ---- q332: consecutive-day activity streaks — the classic
+    //      gaps-and-islands over the CALENDAR (q128's runs are over
+    //      word positions, sessionization over raw gaps): per user,
+    //      group distinct active days into maximal consecutive runs
+    //      via the day − row_number() island key (consecutive days
+    //      share it, any gap shifts it), then summarize streak
+    //      structure per user. The engagement metric behind "7-day
+    //      streak" product features, and a window-correctness anchor:
+    //      a single off-by-one in the island key splits or merges
+    //      every streak.
+    //
+    //      Scale shape: dedupe to (user, day) first; the only window
+    //      is user-partitioned (grouped-key parallelism); both
+    //      aggregates are combinable. ----
+    QueryDef(
+      "q332_activity_streaks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        t(s, d, "events")
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+          .distinct()
+          .withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum(col("len")).as("n_days"),
+            count(lit(1)).as("n_streaks"),
+            max(col("len")).as("max_streak"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        isl AS (
+          SELECT user_id,
+            day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS island
+          FROM ud),
+        runs AS (
+          SELECT user_id, island, COUNT(*) AS len
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+          COUNT(*) AS n_streaks, MAX(len) AS max_streak
+        FROM runs GROUP BY 1""")),
   )
 }

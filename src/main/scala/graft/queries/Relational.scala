@@ -500,6 +500,86 @@ object Relational extends QueryPack {
             * (SELECT COUNT(*) FROM lineitem l2
                WHERE l2.l_partkey = l.l_partkey)
           < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
-             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // ---- q334: national market share (TPC-H Q8 shape) — the widest
+    //      join graph in the pack: lineitem ⋈ orders ⋈ customer ⋈
+    //      nation ⋈ region (demand side) ⋈ supplier ⋈ nation (supply
+    //      side) ⋈ part — 8 relations, with every dimension riding a
+    //      broadcast and only the lineitem⋈orders edge shuffling.
+    //      Share of ASIA-demand PROMO revenue supplied by NATION_3,
+    //      per order year; revenue in exact cents (identical
+    //      double-op chain before round on both engines), share in
+    //      integer ppm. The query that proves join planning: a wrong
+    //      join order here is the 100 TB scan-killer.
+    //
+    //      Scale shape: 6 broadcast joins + 1 key shuffle; the
+    //      aggregate is per-year combinable conditional sums. ----
+    QueryDef(
+      "q334_market_share",
+      (s, d) => {
+        val cents =
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+        val asiaCust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .withColumnRenamed("n_nationkey", "c_nationkey")
+            .select("c_nationkey", "n_regionkey")), Seq("c_nationkey"))
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")
+            .withColumnRenamed("r_regionkey", "n_regionkey")
+            .select("n_regionkey")), Seq("n_regionkey"))
+          .select("c_custkey")
+        val supFlag = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .withColumnRenamed("n_nationkey", "s_nationkey")
+            .select("s_nationkey", "n_name")), Seq("s_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"),
+            when(col("n_name") === "NATION_3", 1L).otherwise(0L)
+              .as("is_target"))
+        val promo = t(s, d, "part")
+          .filter(col("p_type") === "PROMO")
+          .select(col("p_partkey").as("l_partkey"))
+        t(s, d, "lineitem")
+          .join(broadcast(promo), Seq("l_partkey"))
+          .join(broadcast(supFlag), Seq("l_suppkey"))
+          .join(t(s, d, "orders")
+            .join(broadcast(asiaCust.withColumnRenamed(
+              "c_custkey", "o_custkey")), Seq("o_custkey"))
+            .select(col("o_orderkey").as("l_orderkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+            Seq("l_orderkey"))
+          .select(col("o_year"), cents.as("rev"), col("is_target"))
+          .groupBy("o_year")
+          .agg(sum(when(col("is_target") === 1, col("rev"))
+            .otherwise(0L)).as("nation_rev_cents"),
+            sum(col("rev")).as("total_rev_cents"))
+          .withColumn("share_ppm",
+            expr("nation_rev_cents * 1000000 div total_rev_cents"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT year(o.o_orderdate) AS o_year,
+            CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+              AS BIGINT) AS rev,
+            CASE WHEN ns.n_name = 'NATION_3' THEN 1 ELSE 0 END
+              AS is_target
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+            AND p.p_type = 'PROMO'
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          JOIN region r ON nc.n_regionkey = r.r_regionkey
+            AND r.r_name = 'ASIA')
+        SELECT o_year,
+          CAST(SUM(CASE WHEN is_target = 1 THEN rev ELSE 0 END)
+            AS BIGINT) AS nation_rev_cents,
+          CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+          CAST(SUM(CASE WHEN is_target = 1 THEN rev ELSE 0 END)
+              AS BIGINT) * 1000000
+            // CAST(SUM(rev) AS BIGINT) AS share_ppm
+        FROM rev GROUP BY 1""")),
   )
 }

@@ -3774,5 +3774,57 @@ object Temporal extends QueryPack {
         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
           COUNT(*) AS n_streaks, MAX(len) AS max_streak
         FROM runs GROUP BY 1""")),
+
+    // ---- q336: late-arrival (out-of-order) profile — the watermark-
+    //      tuning input every streaming job needs: within each user's
+    //      ARRIVAL order (event_id is the ingestion sequence), how far
+    //      behind the running event-time high-water mark do events
+    //      land? lateness = max(prev running max − ts, 0). The per-
+    //      type summary (late fraction, max, p90) is exactly the
+    //      evidence that picks `withWatermark`'s delay: a watermark
+    //      below p_max drops rows, far above it bloats state. Pure
+    //      integer µs end to end (percentile_disc picks elements →
+    //      cast long, the q153 discipline).
+    //
+    //      Scale shape: one user-partitioned window in arrival order
+    //      (grouped-key parallelism), then a 5-key combinable
+    //      aggregate + element-picking percentile over ≤ 5 groups. ----
+    QueryDef(
+      "q336_late_arrival",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("hwm", max(col("ts")).over(w))
+          .withColumn("late_us",
+            greatest(coalesce(col("hwm") - col("ts"), lit(0L)), lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+            max(col("late_us")).as("max_late_us"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY late_us)")
+              .cast("long").as("p90_late_us"))
+          .withColumn("late_ppm", expr("n_late * 1000000 div n"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_type,
+            greatest(COALESCE(MAX(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - epoch_us(ts), 0), 0) AS late_us
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late,
+          MAX(late_us) AS max_late_us,
+          CAST(quantile_disc(late_us, 0.9) AS BIGINT) AS p90_late_us,
+          CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS late_ppm
+        FROM l GROUP BY 1""")),
   )
 }

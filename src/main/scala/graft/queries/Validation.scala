@@ -3342,5 +3342,82 @@ object Validation extends QueryPack {
               > (n_a + n_b) * 384 THEN 1 ELSE 0 END AS BIGINT)
             AS srm_flag
         FROM c""")),
+
+    // ---- q335: functional-dependency audit — data-profiling beyond
+    //      q131's per-column stats: for candidate FDs X→Y, how close
+    //      does the data come to satisfying them? Per FD: distinct
+    //      LHS values, LHS values with >1 RHS (violators), the max
+    //      RHS fan-out, and the g3-style violation row count (rows
+    //      that would need deletion to make the FD hold = n_rows −
+    //      Σ_x max_y |x,y|). The audit that catches denormalization
+    //      drift and upstream-join fan-out bugs before they ship.
+    //
+    //      Scale shape: per FD one (x,y) count aggregate then an
+    //      x-keyed rollup — both combinable; the three FDs union at
+    //      report grain. ----
+    QueryDef(
+      "q335_fd_audit",
+      (s, d) => {
+        def fd(df: org.apache.spark.sql.DataFrame, name: String,
+            x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+          df.select(x.as("x"), y.as("y"))
+            .groupBy("x", "y").agg(count(lit(1)).as("c"))
+            .groupBy("x")
+            .agg(count(lit(1)).as("n_rhs"), sum(col("c")).as("n_rows"),
+              max(col("c")).as("max_keep"))
+            .agg(lit(name).as("fd"),
+              count(lit(1)).as("n_lhs"),
+              sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+                .as("n_violating_lhs"),
+              max(col("n_rhs")).as("max_rhs_fanout"),
+              sum(col("n_rows") - col("max_keep")).as("g3_rows"))
+        }
+        val docs = t(s, d, "documents")
+        val ev = t(s, d, "events")
+        fd(docs, "source->lang", col("source"), col("lang"))
+          .unionByName(fd(docs, "lang->source", col("lang"), col("source")))
+          .unionByName(fd(ev, "user->event_type",
+            col("user_id"), col("event_type")))
+      },
+      Some("""
+        WITH f1 AS (
+          SELECT source AS x, lang AS y, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        g1 AS (
+          SELECT x, COUNT(*) AS n_rhs, CAST(SUM(c) AS BIGINT) AS n_rows,
+            MAX(c) AS max_keep
+          FROM f1 GROUP BY 1),
+        f2 AS (
+          SELECT lang AS x, source AS y, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        g2 AS (
+          SELECT x, COUNT(*) AS n_rhs, CAST(SUM(c) AS BIGINT) AS n_rows,
+            MAX(c) AS max_keep
+          FROM f2 GROUP BY 1),
+        f3 AS (
+          SELECT user_id AS x, event_type AS y, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        g3 AS (
+          SELECT x, COUNT(*) AS n_rhs, CAST(SUM(c) AS BIGINT) AS n_rows,
+            MAX(c) AS max_keep
+          FROM f3 GROUP BY 1)
+        SELECT 'source->lang' AS fd, COUNT(*) AS n_lhs,
+          CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_lhs,
+          MAX(n_rhs) AS max_rhs_fanout,
+          CAST(SUM(n_rows - max_keep) AS BIGINT) AS g3_rows
+        FROM g1
+        UNION ALL
+        SELECT 'lang->source', COUNT(*),
+          CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          MAX(n_rhs),
+          CAST(SUM(n_rows - max_keep) AS BIGINT)
+        FROM g2
+        UNION ALL
+        SELECT 'user->event_type', COUNT(*),
+          CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          MAX(n_rhs),
+          CAST(SUM(n_rows - max_keep) AS BIGINT)
+        FROM g3""")),
   )
 }

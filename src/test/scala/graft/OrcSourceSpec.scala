@@ -46,10 +46,6 @@ class OrcSourceSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_orc_pp_").toString + "/li"
     li.write.mode("overwrite").partitionBy("l_returnflag").orc(dir)
     val q = spark.read.orc(dir).filter(col("l_returnflag") === "A")
-    // the pruned scan must read only the matching partition directory
-    val files = q.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString().split("\n"))
-      .filter(_.contains("Location"))
     assert(q.count() === li.filter(col("l_returnflag") === "A").count())
     val p = q.queryExecution.executedPlan.toString()
     assert(p.contains("PartitionFilters") && p.contains("l_returnflag"),

@@ -65,4 +65,78 @@ object AsOfJoin {
       .filter(col(sideTag) === 1)
       .select((leftCols ++ payload).map(col): _*)
   }
+
+  /** Nearest as-of join with tolerance (pandas `merge_asof
+    * direction='nearest'`): for each left row, the right row (same
+    * key) whose time is closest within `tolerance` µs — ties break to
+    * the PRIOR side. Same single union+sort shape as [[priorJoin]]:
+    * the backward candidate rides a `last(ignoreNulls)` over the
+    * preceding frame and the forward candidate a `first(ignoreNulls)`
+    * over the following frame of the SAME sorted pass, so the whole
+    * operator is still one exchange + one sort. A right row at
+    * exactly left.time sorts before the left row, lands on the prior
+    * side with delta 0, and wins every tie by construction.
+    *
+    * Appends `payload` columns plus `asof_delta_us` (matched time −
+    * left time: ≤ 0 from the prior side, > 0 from the next side) and
+    * `asof_dir` ('prior' / 'next' / 'none'). Right must be pre-deduped
+    * to one row per (key, time), payloads non-null (as [[priorJoin]]).
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val sideTag = "__asof_side"
+    val rt = "__asof_rt"
+
+    val rightT = right.withColumn(rt, col(time))
+    val pCols = payload :+ rt
+    val l = left
+      .withColumn(sideTag, lit(1))
+      .select(
+        (Seq(col(key), col(time), col(sideTag)) ++
+          leftCols.filterNot(c => c == key || c == time).map(col) ++
+          pCols.map(p => lit(null).cast(rightT.schema(p).dataType).as(p))): _*)
+    val r = rightT
+      .withColumn(sideTag, lit(0))
+      .select(
+        (Seq(col(key), col(time), col(sideTag)) ++
+          leftCols.filterNot(c => c == key || c == time)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          pCols.map(col)): _*)
+
+    val order = Window.partitionBy(key)
+      .orderBy(col(time).asc, col(sideTag).asc)
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = pCols.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__prior_$p", last(col(p), ignoreNulls = true).over(back))
+        .withColumn(s"__next_$p", first(col(p), ignoreNulls = true).over(fwd))
+    }
+    val dPrior = col(time) - col(s"__prior_$rt")
+    val dNext = col(s"__next_$rt") - col(time)
+    val priorOk = col(s"__prior_$rt").isNotNull && dPrior <= toleranceUs
+    val nextOk = col(s"__next_$rt").isNotNull && dNext <= toleranceUs
+    val usePrior = priorOk && (!nextOk || dPrior <= dNext)
+    val dir = when(usePrior, "prior")
+      .when(nextOk, "next").otherwise("none")
+
+    val out = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p,
+        when(usePrior, col(s"__prior_$p"))
+          .when(nextOk, col(s"__next_$p")))
+    }
+      .withColumn("asof_delta_us",
+        when(usePrior, -dPrior).when(nextOk, dNext))
+      .withColumn("asof_dir", dir)
+    out
+      .filter(col(sideTag) === 1)
+      .select((leftCols ++ payload ++
+        Seq("asof_delta_us", "asof_dir")).map(col): _*)
+  }
 }

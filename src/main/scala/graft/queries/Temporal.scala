@@ -3826,5 +3826,65 @@ object Temporal extends QueryPack {
           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
             * 1000000 // COUNT(*) AS late_ppm
         FROM l GROUP BY 1""")),
+
+    // ---- q339: NEAREST as-of join with tolerance — completes the
+    //      as-of family (q45/q153 are backward-only): each purchase
+    //      matches its closest click by the same user within ±10
+    //      minutes, ties to the prior side (pandas merge_asof
+    //      direction='nearest' semantics). [[AsOfJoin.nearestJoin]]
+    //      computes BOTH candidates in one union+sort pass (backward
+    //      last() + forward first() over the same sorted frame) — one
+    //      exchange total; the oracle runs DuckDB's two directional
+    //      ASOF joins and the same tie/tolerance CASE, so hash
+    //      equality pins the nearest semantics including the
+    //      equal-time and beyond-tolerance edges. ----
+    QueryDef(
+      "q339_nearest_asof",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("ts_us"))
+        val touches = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
+          .agg(min(col("event_id")).as("touch_id"))
+        graft.operators.AsOfJoin.nearestJoin(
+          conv, touches, "user_id", "ts_us", Seq("touch_id"),
+          toleranceUs = 600000000L)
+      },
+      Some("""
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+        tch AS (
+          SELECT user_id, epoch_us(ts) AS rt, MIN(event_id) AS touch_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT c.conv_id, c.user_id, c.ts_us,
+            t.touch_id AS p_id, t.rt AS p_rt
+          FROM conv c ASOF LEFT JOIN tch t
+            ON c.user_id = t.user_id AND c.ts_us >= t.rt),
+        n AS (
+          SELECT c.conv_id, t.touch_id AS n_id, t.rt AS n_rt
+          FROM conv c ASOF LEFT JOIN tch t
+            ON c.user_id = t.user_id AND c.ts_us <= t.rt),
+        j AS (
+          SELECT p.conv_id, p.user_id, p.ts_us, p_id, p_rt, n_id, n_rt,
+            (p_rt IS NOT NULL AND p.ts_us - p_rt <= 600000000)
+              AS prior_ok,
+            (n_rt IS NOT NULL AND n_rt - p.ts_us <= 600000000)
+              AS next_ok
+          FROM p JOIN n ON p.conv_id = n.conv_id)
+        SELECT conv_id, user_id, ts_us,
+          CASE WHEN prior_ok AND (NOT next_ok
+              OR ts_us - p_rt <= n_rt - ts_us) THEN p_id
+            WHEN next_ok THEN n_id END AS touch_id,
+          CASE WHEN prior_ok AND (NOT next_ok
+              OR ts_us - p_rt <= n_rt - ts_us) THEN -(ts_us - p_rt)
+            WHEN next_ok THEN n_rt - ts_us END AS asof_delta_us,
+          CASE WHEN prior_ok AND (NOT next_ok
+              OR ts_us - p_rt <= n_rt - ts_us) THEN 'prior'
+            WHEN next_ok THEN 'next' ELSE 'none' END AS asof_dir
+        FROM j""")),
   )
 }

@@ -35,6 +35,38 @@ class TemporalSpec extends SparkTestBase {
     assert(got === Map(10L -> 1001L, 11L -> 1000L, 12L -> -1L, 20L -> -1L))
   }
 
+  test("nearest as-of: direction, tie-to-prior, tolerance, no-candidate") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // prior at 90 (d=10) vs next at 150 (d=50) -> prior
+      (1L, 140L, 11L), // prior at 90 (d=50) vs next at 150 (d=10) -> next
+      (1L, 120L, 12L), // exact tie d=30/d=30 -> prior
+      (1L, 90L, 13L),  // right exactly AT left time -> prior, delta 0
+      (2L, 100L, 20L), // only candidate at 900: beyond tolerance -> none
+      (3L, 100L, 30L)  // no right rows at all -> none
+    ).toDF("k", t, "lid")
+    val right = Seq(
+      (1L, 90L, 1000L),
+      (1L, 150L, 1001L),
+      (2L, 900L, 2000L)
+    ).toDF("k", t, "rid")
+    val got = AsOfJoin
+      .nearestJoin(left, right, "k", t, Seq("rid"), toleranceUs = 100L)
+      .select("lid", "rid", "asof_delta_us", "asof_dir")
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        r.getString(3))))
+      .toMap
+    assert(got(10L) === ((1000L, -10L, "prior")))
+    assert(got(11L) === ((1001L, 10L, "next")))
+    assert(got(12L) === ((1000L, -30L, "prior")))
+    assert(got(13L) === ((1000L, 0L, "prior")))
+    assert(got(20L) === ((-1L, Long.MinValue, "none")))
+    assert(got(30L) === ((-1L, Long.MinValue, "none")))
+  }
+
   test("as-of join is a window over a union — no join operator at all") {
     val left = Seq((1L, 10L, 1L)).toDF("k", t, "lid")
     val right = Seq((1L, 5L, 2L)).toDF("k", t, "rid")

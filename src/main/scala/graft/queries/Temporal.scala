@@ -3886,5 +3886,91 @@ object Temporal extends QueryPack {
               OR ts_us - p_rt <= n_rt - ts_us) THEN 'prior'
             WHEN next_ok THEN 'next' ELSE 'none' END AS asof_dir
         FROM j""")),
+
+    // ---- q340: calendar-dimension rollup — the remaining date
+    //      surface in one query: year / quarter / ISO week
+    //      (weekofyear), month truncation (trunc) and month end
+    //      (last_day), aggregated per (year, quarter). Cross-engine
+    //      date semantics are a classic silent-divergence zone (ISO
+    //      week 1 spans year boundaries; last_day over leap months),
+    //      so hash equality against DuckDB's year/quarter/weekofyear/
+    //      date_trunc/last_day pins them value-for-value over every
+    //      order date in the corpus. ----
+    QueryDef(
+      "q340_calendar_rollup",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+            date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd")
+              .as("mstart"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+              .as("mend"))
+          .groupBy("yr", "qtr")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("iso_week")).as("n_iso_weeks"),
+            min(col("mstart")).as("first_mstart"),
+            max(col("mend")).as("last_mend")),
+      Some("""
+        SELECT year(o_orderdate) AS yr,
+          quarter(o_orderdate) AS qtr,
+          COUNT(*) AS n_orders,
+          CAST(COUNT(DISTINCT weekofyear(o_orderdate)) AS BIGINT)
+            AS n_iso_weeks,
+          strftime(MIN(date_trunc('month', o_orderdate)), '%Y-%m-%d')
+            AS first_mstart,
+          strftime(MAX(last_day(o_orderdate)), '%Y-%m-%d') AS last_mend
+        FROM orders GROUP BY 1, 2""")),
+
+    // ---- q341: time-weighted average (TWAP) per user — the metric
+    //      for irregularly-sampled series where a plain mean
+    //      over-weights bursts: each observation's value (cents)
+    //      holds until the next observation, so the average weights
+    //      by holding duration. Numerator Σ cᵢ·(tᵢ₊₁−tᵢ) stays exact
+    //      int64 (≤ max_cents × observed span ≈ 2.6e17 at this
+    //      corpus; rebase to ms beyond sf10), denominator is the
+    //      user's span; the TWAP itself is the single mirrored
+    //      division. lead() rides the user-partitioned order
+    //      (ts, event_id) so timestamp ties cannot flip gaps. ----
+    QueryDef(
+      "q341_twap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("t_next", lead(col("ts"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("t_next").isNotNull,
+              col("c") * (col("t_next") - col("ts"))).otherwise(0L))
+              .as("num"),
+            (max(col("ts")) - min(col("ts"))).as("den"))
+          .filter(col("den") > 0)
+          .withColumn("twap_cents",
+            col("num").cast("double") / col("den").cast("double"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tu, event_id,
+            CAST(round("value" * 100) AS BIGINT) AS c
+          FROM events WHERE "value" IS NOT NULL),
+        g AS (
+          SELECT user_id, tu, c,
+            LEAD(tu) OVER (PARTITION BY user_id
+              ORDER BY tu, event_id) AS t_next
+          FROM e),
+        a AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN t_next IS NOT NULL
+              THEN c * (t_next - tu) ELSE 0 END) AS BIGINT) AS num,
+            MAX(tu) - MIN(tu) AS den
+          FROM g GROUP BY 1)
+        SELECT user_id, n, num, den,
+          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap_cents
+        FROM a WHERE den > 0""")),
   )
 }

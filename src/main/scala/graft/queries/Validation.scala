@@ -3419,5 +3419,97 @@ object Validation extends QueryPack {
           MAX(n_rhs),
           CAST(SUM(n_rows - max_keep) AS BIGINT)
         FROM g3""")),
+
+    // ---- q342: CUPED variance reduction (Deng et al., WSDM'13) —
+    //      the standard experimentation-readout adjustment: per user,
+    //      Y = post-period spend and X = pre-period spend (the q313/
+    //      q318 fixed cutoff); θ = cov(X,Y)/var(X) pooled across
+    //      arms, and each arm reports mean(Y) − θ·(mean(X) − mean(X))
+    //      — same expectation as the raw mean, far lower variance
+    //      when X predicts Y. The four moment sums (Σx, Σy, Σxx,
+    //      Σxy) and counts are exact int64 (n·Σxy ≈ 2e18 at sf0.1 —
+    //      inside int64 here; rebase cents→dollars beyond sf1); θ
+    //      and the adjusted means are the same mirrored IEEE op
+    //      chain on both engines. Arms come from the q331 md5
+    //      assignment, so SRM-gate and readout share units.
+    //
+    //      Scale shape: one user-level aggregate (combinable), then
+    //      arm-level + pooled one-row aggregates joined back by
+    //      broadcast. ----
+    QueryDef(
+      "q342_cuped",
+      (s, d) => {
+        val cut = 1705795200000000L // 2024-01-21T00:00Z
+        val hex = lit("0123456789abcdef")
+        val armBit =
+          (instr(hex, substring(md5(col("user_id").cast("string")), 1, 1))
+            - 1) % 2
+        val perUser = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"),
+            when(col("ts") < cut, round(col("value") * 100).cast("long"))
+              .otherwise(0L).as("xc"),
+            when(col("ts") >= cut, round(col("value") * 100).cast("long"))
+              .otherwise(0L).as("yc"))
+          .groupBy("user_id")
+          .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+          .select(armBit.as("arm"), col("x"), col("y"))
+        val pooled = perUser.agg(
+          count(lit(1)).as("n_all"), sum(col("x")).as("sx_all"),
+          sum(col("y")).as("sy_all"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val theta =
+          ((col("n_all") * col("sxy") - col("sx_all") * col("sy_all"))
+            .cast("double")) /
+            ((col("n_all") * col("sxx") - col("sx_all") * col("sx_all"))
+              .cast("double"))
+        perUser.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+            sum(col("y")).as("sum_y"))
+          .crossJoin(broadcast(pooled))
+          .select(col("arm"), col("n"), col("sum_x"), col("sum_y"),
+            theta.as("theta"),
+            ((col("sum_y").cast("double") / col("n").cast("double")) -
+              (theta *
+                ((col("sum_x").cast("double") / col("n").cast("double")) -
+                  (col("sx_all").cast("double") /
+                    col("n_all").cast("double")))))
+              .as("adj_mean_cents"))
+      },
+      Some("""
+        WITH per_user AS (
+          SELECT user_id,
+            (strpos('0123456789abcdef',
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+              AS arm,
+            CAST(SUM(CASE WHEN epoch_us(ts) < 1705795200000000
+              THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN epoch_us(ts) >= 1705795200000000
+              THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events WHERE "value" IS NOT NULL
+          GROUP BY 1, 2),
+        pooled AS (
+          SELECT COUNT(*) AS n_all,
+            CAST(SUM(x) AS BIGINT) AS sx_all,
+            CAST(SUM(y) AS BIGINT) AS sy_all,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user),
+        arms AS (
+          SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
+            CAST(SUM(y) AS BIGINT) AS sum_y
+          FROM per_user GROUP BY 1)
+        SELECT arm, n, sum_x, sum_y,
+          CAST(n_all * sxy - sx_all * sy_all AS DOUBLE)
+            / CAST(n_all * sxx - sx_all * sx_all AS DOUBLE) AS theta,
+          (CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE))
+            - ((CAST(n_all * sxy - sx_all * sy_all AS DOUBLE)
+                / CAST(n_all * sxx - sx_all * sx_all AS DOUBLE))
+              * ((CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE))))
+            AS adj_mean_cents
+        FROM arms, pooled""")),
   )
 }

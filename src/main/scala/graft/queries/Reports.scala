@@ -1673,5 +1673,84 @@ object Reports extends QueryPack {
         SELECT t.cohort, t.age, t.n_active, s.cohort_users,
           t.n_active * 1000000 // s.cohort_users AS retention_ppm
         FROM tri t JOIN sizes s ON t.cohort = s.cohort""")),
+
+    // ---- q343: RFM segmentation — the classic customer-value cube:
+    //      per user Recency (days since last purchase, relative to
+    //      the corpus high-water day), Frequency (purchase count),
+    //      Monetary (spend cents), each scored 1-5 against its own
+    //      corpus-wide quintile cuts, rolled up per (r,f,m) segment.
+    //      NO global window: the 4 cuts per metric ride a one-row
+    //      broadcast (percentile_disc picks elements, so cuts are
+    //      exact and `metric > cut` scoring is tie-stable on both
+    //      engines); recency inverts so fresher = higher. ----
+    QueryDef(
+      "q343_rfm_segments",
+      (s, d) => {
+        val pur = t(s, d, "events")
+          .filter(col("event_type") === "purchase" &&
+            col("value").isNotNull)
+          .select(col("user_id"), expr("ts div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val user = pur.groupBy("user_id")
+          .agg(max(col("day")).as("last_day"),
+            count(lit(1)).as("f"), sum(col("cents")).as("m"))
+        val hwm = user.agg(max(col("last_day")).as("hwm"))
+        val rfm = user.crossJoin(broadcast(hwm))
+          .select(col("user_id"), (col("hwm") - col("last_day")).as("r"),
+            col("f"), col("m"))
+          .persist() // cuts + scoring read it twice
+        val cuts = rfm.agg(
+          expr("array(percentile_disc(0.2) WITHIN GROUP (ORDER BY r)," +
+            "percentile_disc(0.4) WITHIN GROUP (ORDER BY r)," +
+            "percentile_disc(0.6) WITHIN GROUP (ORDER BY r)," +
+            "percentile_disc(0.8) WITHIN GROUP (ORDER BY r))").as("rc"),
+          expr("array(percentile_disc(0.2) WITHIN GROUP (ORDER BY f)," +
+            "percentile_disc(0.4) WITHIN GROUP (ORDER BY f)," +
+            "percentile_disc(0.6) WITHIN GROUP (ORDER BY f)," +
+            "percentile_disc(0.8) WITHIN GROUP (ORDER BY f))").as("fc"),
+          expr("array(percentile_disc(0.2) WITHIN GROUP (ORDER BY m)," +
+            "percentile_disc(0.4) WITHIN GROUP (ORDER BY m)," +
+            "percentile_disc(0.6) WITHIN GROUP (ORDER BY m)," +
+            "percentile_disc(0.8) WITHIN GROUP (ORDER BY m))").as("mc"))
+        def score(v: String, c: String) =
+          expr(s"1 + size(filter($c, x -> $v > x))").cast("long")
+        rfm.crossJoin(broadcast(cuts))
+          .select(
+            (lit(6L) - score("r", "rc")).as("r_score"),
+            score("f", "fc").as("f_score"),
+            score("m", "mc").as("m_score"),
+            col("m"))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_m"))
+      },
+      Some("""
+        WITH pur AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            CAST(round("value" * 100) AS BIGINT) AS cents
+          FROM events
+          WHERE event_type = 'purchase' AND "value" IS NOT NULL),
+        u AS (
+          SELECT user_id, MAX(day) AS last_day, COUNT(*) AS f,
+            CAST(SUM(cents) AS BIGINT) AS m
+          FROM pur GROUP BY 1),
+        rfm AS (
+          SELECT user_id, (SELECT MAX(last_day) FROM u) - last_day AS r,
+            f, m
+          FROM u),
+        cuts AS (
+          SELECT quantile_disc(r, [0.2, 0.4, 0.6, 0.8]) AS rc,
+            quantile_disc(f, [0.2, 0.4, 0.6, 0.8]) AS fc,
+            quantile_disc(m, [0.2, 0.4, 0.6, 0.8]) AS mc
+          FROM rfm),
+        scored AS (
+          SELECT
+            6 - (1 + len(list_filter(rc, x -> r > x))) AS r_score,
+            1 + len(list_filter(fc, x -> f > x)) AS f_score,
+            1 + len(list_filter(mc, x -> m > x)) AS m_score,
+            m
+          FROM rfm, cuts)
+        SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+          CAST(SUM(m) AS BIGINT) AS sum_m
+        FROM scored GROUP BY 1, 2, 3""")),
   )
 }

@@ -1752,5 +1752,77 @@ object Reports extends QueryPack {
         SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
           CAST(SUM(m) AS BIGINT) AS sum_m
         FROM scored GROUP BY 1, 2, 3""")),
+
+    // ---- q344: frequent 3-itemsets with lift — the next rung of
+    //      the market-basket ladder above q268's pair lift: ordered
+    //      triples (p1 < p2 < p3) co-purchased in ≥ 2 orders, with
+    //      lift = P(abc) / (P(a)P(b)P(c)) telling real affinity from
+    //      popularity. Enumeration is orientation-bounded exactly
+    //      like q162's triangles — two equi-joins on l_orderkey with
+    //      p1<p2<p3, so each basket of size k yields C(k,3) rows and
+    //      the blow-up is bounded by basket size (~7 here), NEVER by
+    //      catalog size. Supports are exact int64; lift is one
+    //      mirrored double chain (c1·c2·c3 ≤ ~1e12 stays integral).
+    //
+    //      Scale shape: three order-keyed equi-joins over deduped
+    //      skinny pairs + combinable counts; singleton supports ride
+    //      a broadcast. ----
+    QueryDef(
+      "q344_triple_itemsets",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .persist() // read 4x: three join legs + singleton supports
+        val nOrders = li.select("l_orderkey").distinct().count()
+        val single = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("c1"))
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        val c = li.select(col("l_orderkey"), col("l_partkey").as("p3"))
+        val tri = a.join(b, Seq("l_orderkey"))
+          .filter(col("p1") < col("p2"))
+          .join(c, Seq("l_orderkey"))
+          .filter(col("p2") < col("p3"))
+          .groupBy("p1", "p2", "p3")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+        tri
+          .join(broadcast(single.select(col("l_partkey").as("p1"),
+            col("c1").as("s1"))), Seq("p1"))
+          .join(broadcast(single.select(col("l_partkey").as("p2"),
+            col("c1").as("s2"))), Seq("p2"))
+          .join(broadcast(single.select(col("l_partkey").as("p3"),
+            col("c1").as("s3"))), Seq("p3"))
+          .select(col("p1"), col("p2"), col("p3"), col("cnt"),
+            col("s1"), col("s2"), col("s3"),
+            (((col("cnt").cast("double") * lit(nOrders.toDouble)) *
+              lit(nOrders.toDouble)) /
+              (col("s1") * col("s2") * col("s3")).cast("double"))
+              .as("lift"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        s AS (SELECT l_partkey, COUNT(*) AS c1 FROM li GROUP BY 1),
+        tri AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+            c.l_partkey AS p3, COUNT(*) AS cnt
+          FROM li a
+          JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          JOIN li c ON a.l_orderkey = c.l_orderkey
+            AND b.l_partkey < c.l_partkey
+          GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        SELECT p1, p2, p3, cnt,
+          s1.c1 AS s1, s2.c1 AS s2, s3.c1 AS s3,
+          ((CAST(cnt AS DOUBLE) * CAST(n_orders AS DOUBLE))
+              * CAST(n_orders AS DOUBLE))
+            / CAST(s1.c1 * s2.c1 * s3.c1 AS DOUBLE) AS lift
+        FROM tri
+        JOIN s s1 ON tri.p1 = s1.l_partkey
+        JOIN s s2 ON tri.p2 = s2.l_partkey
+        JOIN s s3 ON tri.p3 = s3.l_partkey
+        CROSS JOIN n""")),
   )
 }

@@ -1755,7 +1755,10 @@ object Reports extends QueryPack {
 
     // ---- q344: frequent 3-itemsets with lift — the next rung of
     //      the market-basket ladder above q268's pair lift: ordered
-    //      triples (p1 < p2 < p3) co-purchased in ≥ 2 orders, with
+    //      triples of product FAMILIES (l_partkey % 997 — raw part
+    //      triples go empty as the catalog outgrows basket sizes;
+    //      the family grain keeps support meaningful at every SF,
+    //      p1 < p2 < p3) co-purchased in ≥ 2 orders, with
     //      lift = P(abc) / (P(a)P(b)P(c)) telling real affinity from
     //      popularity. Enumeration is orientation-bounded exactly
     //      like q162's triangles — two equi-joins on l_orderkey with
@@ -1771,7 +1774,8 @@ object Reports extends QueryPack {
       "q344_triple_itemsets",
       (s, d) => {
         val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .select(col("l_orderkey"),
+            (col("l_partkey") % 997).as("l_partkey")).distinct()
           .persist() // read 4x: three join legs + singleton supports
         val nOrders = li.select("l_orderkey").distinct().count()
         val single = li.groupBy("l_partkey")
@@ -1802,7 +1806,8 @@ object Reports extends QueryPack {
       },
       Some("""
         WITH li AS (
-          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          SELECT DISTINCT l_orderkey, l_partkey % 997 AS l_partkey
+          FROM lineitem),
         n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
         s AS (SELECT l_partkey, COUNT(*) AS c1 FROM li GROUP BY 1),
         tri AS (

@@ -1133,7 +1133,73 @@ object TextAnalysis extends QueryPack {
           (a.r + 1) * COALESCE(b.n_r, 0) AS gt_num,
           CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
             / CAST(a.n_r AS DOUBLE) AS r_star
-        FROM fof a LEFT JOIN fof b ON b.r = a.r + 1""")))
+        FROM fof a LEFT JOIN fof b ON b.r = a.r + 1""")),
+
+    // ---- q345: trending terms, week over week — the monitoring
+    //      query behind every "what's suddenly hot" feed: per (week,
+    //      token) counts from the EVENT-SIDE join of documents to
+    //      engagement (docs carry no time, so a doc's week = the
+    //      weeks its id-matched events land in — deterministic and
+    //      SF-stable), smoothed growth ratio vs the previous week in
+    //      integer ppm ((c_now·1e6) div (c_prev + 1): +1 absorbs
+    //      new-term division by zero and both engines floor-divide),
+    //      gated on min support 20. Rank stays per-week (partitioned
+    //      window), ties broken lexically.
+    //
+    //      Scale shape: one (week, tok) combinable wordcount; the
+    //      week-1 lookup is an equi-self-join on the (week+1, tok)
+    //      key; the rank window partitions by week. ----
+    QueryDef(
+      "q345_trending_terms",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("week")
+          .orderBy(col("ratio_ppm").desc, col("tok"))
+        val docWeek = t(s, d, "events")
+          .select((col("event_id") % 10000).as("doc_id"),
+            expr("ts div 604800000000").as("week"))
+          .distinct()
+        val wk = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .join(docWeek, Seq("doc_id"))
+          .groupBy("week", "tok").agg(count(lit(1)).as("c"))
+        wk.join(wk.select((col("week") + 1).as("week"),
+            col("tok"), col("c").as("c_prev")), Seq("week", "tok"), "left")
+          .filter(col("c") >= 20)
+          .withColumn("c_prev", coalesce(col("c_prev"), lit(0L)))
+          .withColumn("ratio_ppm",
+            expr("c * 1000000 div (c_prev + 1)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select("week", "rk", "tok", "c", "c_prev", "ratio_ppm")
+      },
+      Some("""
+        WITH dw AS (
+          SELECT DISTINCT event_id % 10000 AS doc_id,
+            epoch_us(ts) // 604800000000 AS week
+          FROM events),
+        tk AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS tok
+          FROM documents),
+        wk AS (
+          SELECT dw.week, tk.tok, COUNT(*) AS c
+          FROM tk JOIN dw ON tk.doc_id = dw.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT a.week, a.tok, a.c, COALESCE(b.c, 0) AS c_prev,
+            a.c * 1000000 // (COALESCE(b.c, 0) + 1) AS ratio_ppm
+          FROM wk a LEFT JOIN wk b
+            ON b.week = a.week - 1 AND b.tok = a.tok
+          WHERE a.c >= 20),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY week
+            ORDER BY ratio_ppm DESC, tok) AS rk
+          FROM j)
+        SELECT week, rk, tok, c, c_prev, ratio_ppm
+        FROM r WHERE rk <= 10""")))
 
   /** DuckDB mirror of [[graft.functions.TextFunctions.langId]], built from
     * the same marker map: score = |distinct tokens ∩ markers| per

@@ -67,6 +67,39 @@ class TemporalSpec extends SparkTestBase {
     assert(got(30L) === ((-1L, Long.MinValue, "none")))
   }
 
+  test("nearest as-of: seeded randomized brute-force parity") {
+    import spark.implicits._
+    for (seed <- Seq(7, 23, 91)) {
+      val rng = new scala.util.Random(seed)
+      val left = (0 until 120).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(200).toLong, i.toLong))
+      val right = (0 until 80).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(200).toLong, 1000L + i))
+        .groupBy(r => (r._1, r._2)).map(_._2.minBy(_._3)).toSeq
+      val tol = 30L
+      val got = AsOfJoin.nearestJoin(
+        left.toDF("k", t, "lid"), right.toDF("k", t, "rid"),
+        "k", t, Seq("rid"), tol)
+        .select("lid", "rid", "asof_delta_us")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      left.foreach { case (k, time, lid) =>
+        val cand = right.filter(r => r._1 == k && math.abs(r._2 - time) <= tol)
+        val expected = if (cand.isEmpty) None else {
+          // min |delta|; ties to the PRIOR side (rt <= t); within a
+          // side the dedup above makes (key, time) unique
+          val best = cand.minBy(r =>
+            (math.abs(r._2 - time), if (r._2 <= time) 0 else 1))
+          Some((best._3, best._2 - time))
+        }
+        assert(got(lid) === expected,
+          s"seed $seed lid $lid k $k t $time: got ${got(lid)}, want $expected")
+      }
+    }
+  }
+
   test("as-of join is a window over a union — no join operator at all") {
     val left = Seq((1L, 10L, 1L)).toDF("k", t, "lid")
     val right = Seq((1L, 5L, 2L)).toDF("k", t, "rid")

@@ -3972,5 +3972,157 @@ object Temporal extends QueryPack {
         SELECT user_id, n, num, den,
           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap_cents
         FROM a WHERE den > 0""")),
+
+    // ---- q346: Little's-law conservation audit — the queueing
+    //      identity ∫L(t)dt = Σ(time in system) holds EXACTLY for
+    //      any set of intervals, so computing BOTH sides
+    //      independently (area under the q164-style sweep-line
+    //      concurrency curve vs the plain sum of span durations) and
+    //      emitting them as exact µs integers is a powerful
+    //      self-check of the whole temporal stack: one off-by-one in
+    //      boundary ordering, tie handling, or the running level and
+    //      the two columns diverge. Spans are the q323 per-(user,
+    //      type) activity intervals; zero-length spans net out of
+    //      the boundary aggregate and add 0 duration — both sides
+    //      agree by construction.
+    //
+    //      Scale shape: boundary deltas collapse to one combinable
+    //      (type, t) aggregate; the running level and gap ride ONE
+    //      type-partitioned window; durations are a second
+    //      combinable aggregate. ----
+    QueryDef(
+      "q346_littles_law",
+      (s, d) => {
+        val sp = t(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val bounds = sp
+          .select(col("event_type"), col("st").as("tt"), lit(1L).as("dl"))
+          .unionByName(sp.select(col("event_type"),
+            col("en").as("tt"), lit(-1L).as("dl")))
+          .groupBy("event_type", "tt")
+          .agg(sum(col("dl")).as("net"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("tt")
+        val area = bounds
+          .withColumn("level",
+            sum(col("net")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              0)))
+          .withColumn("t_next", lead(col("tt"), 1).over(w))
+          .filter(col("t_next").isNotNull)
+          .groupBy("event_type")
+          .agg(sum(col("level") * (col("t_next") - col("tt")))
+            .as("area_us"))
+        val dur = sp.groupBy("event_type")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("en") - col("st")).as("sum_duration_us"))
+        dur.join(area, Seq("event_type"))
+          .withColumn("conserved",
+            when(col("area_us") === col("sum_duration_us"), 1L)
+              .otherwise(0L))
+      },
+      Some("""
+        WITH sp AS (
+          SELECT user_id, event_type,
+            MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_type, tt, CAST(SUM(dl) AS BIGINT) AS net FROM (
+            SELECT event_type, st AS tt, 1 AS dl FROM sp
+            UNION ALL
+            SELECT event_type, en AS tt, -1 AS dl FROM sp) u
+          GROUP BY 1, 2),
+        lv AS (
+          SELECT event_type, tt, net,
+            CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY tt
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level,
+            LEAD(tt) OVER (PARTITION BY event_type ORDER BY tt)
+              AS t_next
+          FROM b),
+        area AS (
+          SELECT event_type,
+            CAST(SUM(level * (t_next - tt)) AS BIGINT) AS area_us
+          FROM lv WHERE t_next IS NOT NULL GROUP BY 1),
+        dur AS (
+          SELECT event_type, COUNT(*) AS n_spans,
+            CAST(SUM(en - st) AS BIGINT) AS sum_duration_us
+          FROM sp GROUP BY 1)
+        SELECT d.event_type, d.n_spans, d.sum_duration_us, a.area_us,
+          CAST(CASE WHEN a.area_us = d.sum_duration_us
+            THEN 1 ELSE 0 END AS BIGINT) AS conserved
+        FROM dur d JOIN area a ON d.event_type = a.event_type""")),
+
+    // ---- q347: FIFO allocation as a distributed closed form — the
+    //      "inherently sequential" lot-matching workload (cost basis,
+    //      inventory aging, credit consumption) with no loop at all:
+    //      lay each user's supplies (clicks' cents) and demands
+    //      (purchases' cents) on their cumulative-sum axes; FIFO
+    //      matching is EXACTLY the interval overlap
+    //      max(0, min(cumS, cumD) − max(cumS−s, cumD−d)) between
+    //      supply lot i's [cumSᵢ₋₁, cumSᵢ) and demand j's
+    //      [cumDⱼ₋₁, cumDⱼ). Two user-partitioned window cumsums +
+    //      one within-user overlap join replace the sequential scan;
+    //      every allocation is exact cents.
+    //
+    //      Scale shape: cumsums ride user-partitioned windows; the
+    //      overlap join is user-keyed with at most nS + nD − 1 true
+    //      matches per user (each pair advances one side's
+    //      frontier); for heavy keys the IntervalJoinRule binning
+    //      applies verbatim on the cum axis. ----
+    QueryDef(
+      "q347_fifo_allocation",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        def side(ev: String, idc: String, amtc: String, cumc: String) =
+          t(s, d, "events")
+            .filter(col("event_type") === ev && col("value").isNotNull)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              round(col("value") * 100).cast("long").as(amtc))
+            .withColumn(cumc, sum(col(amtc)).over(w))
+            .withColumnRenamed("event_id", idc)
+            .drop("ts")
+        val sup = side("click", "supply_id", "s_amt", "cum_s")
+        val dem = side("purchase", "demand_id", "d_amt", "cum_d")
+        sup.join(dem, Seq("user_id"))
+          .filter(col("cum_s") - col("s_amt") < col("cum_d") &&
+            col("cum_d") - col("d_amt") < col("cum_s"))
+          .select(col("user_id"), col("supply_id"), col("demand_id"),
+            (least(col("cum_s"), col("cum_d")) -
+              greatest(col("cum_s") - col("s_amt"),
+                col("cum_d") - col("d_amt"))).as("alloc_cents"))
+          .filter(col("alloc_cents") > 0)
+      },
+      Some("""
+        WITH sup AS (
+          SELECT user_id, event_id AS supply_id,
+            CAST(round("value" * 100) AS BIGINT) AS s_amt,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT))
+              OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+          FROM events
+          WHERE event_type = 'click' AND "value" IS NOT NULL),
+        dem AS (
+          SELECT user_id, event_id AS demand_id,
+            CAST(round("value" * 100) AS BIGINT) AS d_amt,
+            CAST(SUM(CAST(round("value" * 100) AS BIGINT))
+              OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_d
+          FROM events
+          WHERE event_type = 'purchase' AND "value" IS NOT NULL)
+        SELECT s.user_id, s.supply_id, d.demand_id,
+          least(s.cum_s, d.cum_d)
+            - greatest(s.cum_s - s.s_amt, d.cum_d - d.d_amt)
+            AS alloc_cents
+        FROM sup s JOIN dem d ON s.user_id = d.user_id
+        WHERE s.cum_s - s.s_amt < d.cum_d
+          AND d.cum_d - d.d_amt < s.cum_s
+          AND least(s.cum_s, d.cum_d)
+            - greatest(s.cum_s - s.s_amt, d.cum_d - d.d_amt) > 0""")),
   )
 }

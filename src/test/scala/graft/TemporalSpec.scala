@@ -100,6 +100,40 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("FIFO allocation conserves amounts and matches a sequential fold") {
+    import spark.implicits._
+    // small planted ledger: supplies 50,30,40; demands 60,45,20
+    val sup = Seq((1L, 1L, 101L, 50L), (1L, 2L, 102L, 30L),
+      (1L, 3L, 103L, 40L)).toDF("user_id", t, "supply_id", "s_amt")
+    val dem = Seq((1L, 4L, 201L, 60L), (1L, 5L, 202L, 45L),
+      (1L, 6L, 203L, 20L)).toDF("user_id", t, "demand_id", "d_amt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(t)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val s2 = sup.withColumn("cum_s", sum(col("s_amt")).over(w))
+    val d2 = dem.withColumn("cum_d", sum(col("d_amt")).over(w))
+    val alloc = s2.join(d2.drop(t), Seq("user_id"))
+      .filter(col("cum_s") - col("s_amt") < col("cum_d") &&
+        col("cum_d") - col("d_amt") < col("cum_s"))
+      .select(col("supply_id"), col("demand_id"),
+        (least(col("cum_s"), col("cum_d")) -
+          greatest(col("cum_s") - col("s_amt"),
+            col("cum_d") - col("d_amt"))).as("a"))
+      .filter(col("a") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the sequential FIFO fold produces exactly these lots
+    assert(alloc === Map(
+      (101L, 201L) -> 50L, (102L, 201L) -> 10L, // demand 60 = 50 + 10
+      (102L, 202L) -> 20L, (103L, 202L) -> 25L, // demand 45 = 20 + 25
+      (103L, 203L) -> 15L)) // demand 20 gets only the 15 left
+    // conservation: fully-supplied demands receive exactly d_amt
+    val byDemand = alloc.groupBy(_._1._2).view.mapValues(_.values.sum)
+    assert(byDemand(201L) === 60L && byDemand(202L) === 45L)
+    assert(byDemand(203L) === 15L) // supply exhausted at 120 total
+  }
+
   test("as-of join is a window over a union — no join operator at all") {
     val left = Seq((1L, 10L, 1L)).toDF("k", t, "lid")
     val right = Seq((1L, 5L, 2L)).toDF("k", t, "rid")

@@ -60,6 +60,21 @@ class SqlSurfaceSpec extends SparkTestBase {
       "simhash must vary across documents")
   }
 
+  test("parameterized SQL: named parameters bind literals safely") {
+    register()
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :st",
+      Map("st" -> "F")).head.getLong(0)
+    val expected = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(n === expected)
+    // positional form
+    val n2 = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = ?",
+      Array("F")).head.getLong(0)
+    assert(n2 === expected)
+  }
+
   test("SQL UDAF sketches: graft_kmv64 distinct estimate in plain SQL") {
     register()
     val est = spark.sql(

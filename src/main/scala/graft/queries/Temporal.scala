@@ -4124,5 +4124,57 @@ object Temporal extends QueryPack {
           AND d.cum_d - d.d_amt < s.cum_s
           AND least(s.cum_s, d.cum_d)
             - greatest(s.cum_s - s.s_amt, d.cum_d - d.d_amt) > 0""")),
+
+    // ---- q348: watermark design sweep — q336 profiles HOW late
+    //      events arrive; this emits the decision table: for each
+    //      candidate watermark delay W ∈ {1 m, 5 m, 15 m, 1 h}, how
+    //      many events a `withWatermark(W)` job would DROP (lateness
+    //      > W) and the drop rate in ppm, per event type. The pair
+    //      (q336 → q348) is the full tuning loop for T-row streaming
+    //      semantics: measure, then read the cost of each setting
+    //      off one table. Lateness reuses q336's per-user arrival-
+    //      order high-water mark; the W grid rides one explode, so
+    //      the whole sweep is a single combinable aggregate. ----
+    QueryDef(
+      "q348_watermark_sweep",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("late_us",
+            greatest(coalesce(max(col("ts")).over(w) - col("ts"),
+              lit(0L)), lit(0L)))
+          .withColumn("wm_us", explode(array(
+            Seq(60000000L, 300000000L, 900000000L, 3600000000L)
+              .map(lit): _*)))
+          .groupBy("event_type", "wm_us")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("late_us") > col("wm_us"), 1L).otherwise(0L))
+              .as("n_dropped"))
+          .withColumn("drop_ppm", expr("n_dropped * 1000000 div n"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_type,
+            greatest(COALESCE(MAX(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - epoch_us(ts), 0), 0) AS late_us
+          FROM events),
+        g AS (
+          SELECT l.event_type, l.late_us, w.wm_us
+          FROM l CROSS JOIN (SELECT unnest([60000000, 300000000,
+            900000000, 3600000000]) AS wm_us) w)
+        SELECT event_type, CAST(wm_us AS BIGINT) AS wm_us,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN late_us > wm_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+          CAST(SUM(CASE WHEN late_us > wm_us THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS drop_ppm
+        FROM g GROUP BY 1, 2""")),
   )
 }

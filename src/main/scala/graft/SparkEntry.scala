@@ -44,7 +44,12 @@ object SparkEntry {
     q05.fn(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Caching contract (see [[graft.core.QueryDef]]): a few queries
+    * persist() an intermediate the returned DataFrame references —
+    * call `spark.catalog.clearCache()` after consuming each result,
+    * as Bench/Verify do. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(d => d.name -> d.fn).toMap
 

@@ -67,7 +67,15 @@ object Tables {
     a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB))
 }
 
-/** A named query with its DuckDB oracle (None ⇒ rows-only check). */
+/** A named query with its DuckDB oracle (None ⇒ rows-only check).
+  *
+  * CACHING CONTRACT: some query functions `persist()` an intermediate
+  * whose cache the RETURNED (lazy) DataFrame still references — they
+  * cannot unpersist before the caller materializes the result. Any
+  * embedder of these functions must therefore call
+  * `spark.catalog.clearCache()` after consuming each query's result
+  * (as `Bench` and `Verify` do), or cached tables accumulate across
+  * queries. */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,

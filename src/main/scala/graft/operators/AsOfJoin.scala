@@ -92,6 +92,18 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val sideTag = "__asof_side"
     val rt = "__asof_rt"
+    // Payload names land as output columns and ride __prior_/__next_
+    // temporaries over the unioned frame; a collision with an
+    // existing left column (or the reserved output names) would
+    // silently shadow data rather than error. Cheap precondition.
+    val reserved = Set("asof_delta_us", "asof_dir", sideTag, rt)
+    val bad = payload.filter(p =>
+      leftCols.contains(p) || reserved.contains(p)) ++
+      leftCols.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"nearestJoin: column name collision on ${bad.distinct.mkString(", ")} — " +
+        "payload names must not match left columns or the reserved " +
+        "outputs asof_delta_us/asof_dir")
 
     val rightT = right.withColumn(rt, col(time))
     val pCols = payload :+ rt

@@ -47,17 +47,42 @@ object RangeLayout {
     * (broadcast back); everything else is per-row bit math + one range
     * shuffle.
     */
+  /** Collect-and-validate the (max_1, max_2) domain of the two layout
+    * dimensions — one row, driver-safe. The grid normalization
+    * `c * grid div (max + 1)` multiplies BEFORE dividing, so a
+    * negative key or a max within `grid` of Long.MaxValue would
+    * silently overflow and scatter rows into arbitrary curve cells
+    * (layout quality lost, data preserved). Reject both domains
+    * up front instead. */
+  private def gridDomain(
+      df: DataFrame, c1: String, c2: String, grid: Long): (Long, Long) = {
+    val row = df.agg(
+      min(col(c1)).cast("long").as("min_1"),
+      max(col(c1)).cast("long").as("max_1"),
+      min(col(c2)).cast("long").as("min_2"),
+      max(col(c2)).cast("long").as("max_2")).head()
+    require(!row.anyNull, "curve layout: empty input or null layout keys")
+    val (min1, max1, min2, max2) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    require(min1 >= 0 && min2 >= 0,
+      s"curve layout: keys must be non-negative (got min($c1)=$min1, " +
+        s"min($c2)=$min2) — shift the domain before layout")
+    require(max1 <= Long.MaxValue / grid && max2 <= Long.MaxValue / grid,
+      s"curve layout: max($c1)=$max1 / max($c2)=$max2 too large for a " +
+        s"$grid-cell grid — `key * grid` would overflow Long; rescale " +
+        "the keys first")
+    (max1, max2)
+  }
+
   def writeZOrdered(
       df: DataFrame, c1: String, c2: String, bits: Int, nFiles: Int,
       path: String): Unit = {
-    val dom = df.agg(max(col(c1)).as("max_1"), max(col(c2)).as("max_2"))
     val grid = 1L << bits
+    val (max1, max2) = gridDomain(df, c1, c2, grid)
     val z = graft.queries.Validation.morton(
-      expr(s"$c1 * $grid div (max_1 + 1)"),
-      expr(s"$c2 * $grid div (max_2 + 1)"), bits)
-    df.crossJoin(broadcast(dom))
-      .withColumn("zkey", z)
-      .drop("max_1", "max_2")
+      expr(s"$c1 * $grid div ${max1 + 1}"),
+      expr(s"$c2 * $grid div ${max2 + 1}"), bits)
+    df.withColumn("zkey", z)
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
@@ -76,14 +101,12 @@ object RangeLayout {
   def writeHilbertOrdered(
       df: DataFrame, c1: String, c2: String, bits: Int, nFiles: Int,
       path: String): Unit = {
-    val dom = df.agg(max(col(c1)).as("max_1"), max(col(c2)).as("max_2"))
     val grid = 1L << bits
+    val (max1, max2) = gridDomain(df, c1, c2, grid)
     val h = graft.functions.HilbertCurve.hilbert(
-      expr(s"$c1 * $grid div (max_1 + 1)"),
-      expr(s"$c2 * $grid div (max_2 + 1)"), bits)
-    df.crossJoin(broadcast(dom))
-      .withColumn("hkey", h)
-      .drop("max_1", "max_2")
+      expr(s"$c1 * $grid div ${max1 + 1}"),
+      expr(s"$c2 * $grid div ${max2 + 1}"), bits)
+    df.withColumn("hkey", h)
       .repartitionByRange(nFiles, col("hkey"))
       .sortWithinPartitions(col("hkey"))
       .drop("hkey")

@@ -151,7 +151,15 @@ object Media extends QueryPack {
                     (15 - i)
                 }.sum.toLong
               }
-            case _ => null
+            case other =>
+              // A decode failure here is codec-identity breakage
+              // (the oracle still hashes the row from text) — fail
+              // the query rather than silently drop the row from
+              // the band join as a missing pair.
+              throw new IllegalStateException(
+                s"q326: ImageIO failed to round-trip an 8x8 PNG " +
+                  s"(got $other) — codec regression, refusing to " +
+                  "drop the row silently")
           }
         }
         val docs = t(s, d, "documents").select(col("doc_id"),

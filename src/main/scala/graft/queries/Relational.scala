@@ -153,13 +153,21 @@ object Relational extends QueryPack {
     // ---- Anti join (NOT EXISTS) ----
     QueryDef(
       "q07_anti_join",
+      // anti-join vs DATE-RESTRICTED orders: in this testdata every
+      // customer has some order, so the unrestricted anti-set is empty
+      // and the oracle would pass on any empty result (vacuous). The
+      // 2000+ window leaves ~135 lapsed customers across all 5 segments, so a
+      // broken anti-join semantics actually fails the hash compare.
       (s, d) =>
         t(s, d, "customer")
-          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(
+            t(s, d, "orders").filter(col("o_orderdate") >= lit("2000-01-01")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy("c_mktsegment").agg(count(lit(1)).as("n")),
       Some("""
         SELECT c_mktsegment, COUNT(*) AS n FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
         GROUP BY c_mktsegment""")),
 
     // ---- Outer join with null-aware count ----

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.functions.TextFunctions.tokens
+import graft.operators.DerivedTable
+
+/** The shared document-similarity pair table — the ONE full-corpus
+  * gram pass behind the whole graph-analytics pack (q157 sparse top-k,
+  * q162 triangles, q186 walk centrality, q187 mutual-NN, q214
+  * assortativity).
+  *
+  * Feature space: 3-gram shingles with multiplicity (consecutive
+  * lowercased tokens joined by ' '), df-capped to [2, 50] so candidate
+  * generation is an equi-join on the shingle with per-term fan-out
+  * ≤ C(50,2) — never all-pairs. The artifact is the UNDIRECTED,
+  * UNFILTERED pair aggregate `(u < v, dot, ns)`: every consumer's view
+  * is a projection of it (dot and shared-gram count are symmetric), so
+  * one materialization serves directed top-k rankings and thresholded
+  * edge lists alike.
+  *
+  * Materialized once per (session, dataset) via [[DerivedTable]]: the
+  * gram pass + posting self-join is each graph query's dominant cost,
+  * and six suite queries re-paying it is exactly the redundancy the
+  * reference's archive-index philosophy exists to remove
+  * (`bin/ztf/archive_index.py:47-300` — derive once, serve many). At
+  * 100 TB the pair table is skinny int64s bounded by the df cap while
+  * the corpus is the 100 TB — the cheapest possible thing to persist.
+  */
+object SimGraph {
+
+  /** Undirected pair aggregate: (u, v, dot, ns) with u < v, dot =
+    * Σ tf_u·tf_v over shared rare grams, ns = #shared rare grams.
+    * First call per (session, dataset) pays the corpus pass;
+    * subsequent calls scan the materialized table. */
+  def pairs(s: SparkSession, d: String): DataFrame =
+    DerivedTable.getOrBuild(s, "sim_pairs", d) {
+      // compiled one-pass POSITIONAL shingle kernel (string-identical
+      // to the HOF form; duplicates kept — tf needs them)
+      val grams = graft.functions.HashFunctions
+        .ngramJoin(tokens(lower(col("text"))), 3)
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("tf"))
+      val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+      val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
+      posting
+        .select(col("g"), col("doc_id").as("u"), col("tf").as("tf_u"))
+        .join(posting.select(col("g"), col("doc_id").as("v"),
+          col("tf").as("tf_v")), Seq("g"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(sum(col("tf_u") * col("tf_v")).as("dot"),
+          count(lit(1)).as("ns"))
+    }
+
+  /** Directed view: both orientations of [[pairs]] — what per-doc
+    * top-k rankings (q157/q187) consume. Columns (da, db, dot, ns). */
+  def directedPairs(s: SparkSession, d: String): DataFrame = {
+    val p = pairs(s, d)
+    p.select(col("u").as("da"), col("v").as("db"), col("dot"), col("ns"))
+      .unionByName(p.select(col("v").as("da"), col("u").as("db"),
+        col("dot"), col("ns")))
+  }
+
+  /** Thresholded undirected edge list (u < v): docs sharing ≥ 2 rare
+    * shingles with tf-dot ≥ 4 — sparse but non-trivial at every SF
+    * (36 edges at sf0.01, ~1.2k at sf0.1). What the graph-structure
+    * queries (q162/q186/q214) consume. */
+  def edges(s: SparkSession, d: String): DataFrame =
+    pairs(s, d)
+      .filter(col("dot") >= 4 && col("ns") >= 2)
+      .select("u", "v")
+}

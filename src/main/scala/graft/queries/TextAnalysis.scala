@@ -475,27 +475,13 @@ object TextAnalysis extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         // features are 3-gram shingles WITH multiplicity (the corpus
         // vocabulary is tiny, so unigrams are all stopword-like; the
-        // shingle space is where documents are distinctive)
-        // compiled positional 3-gram kernel — string-identical to the
-        // HOF form (consecutive lowercased tokens joined by ' '),
-        // duplicates kept for tf, one codegen'd pass per row
-        val grams = graft.functions.HashFunctions
-          .ngramJoin(tokens(lower(col("text"))), 3)
-        val tf = t(s, d, "documents")
-          .select(col("doc_id"), explode(grams).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
-        val rare = tf.groupBy("term").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 50)
-        val posting = tf.join(broadcast(rare.select("term")), Seq("term"))
-        val pairs = posting
-          .select(col("term"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
-          .join(posting.select(col("term"), col("doc_id").as("doc_b"),
-            col("tf").as("tf_b")), Seq("term"))
-          .filter(col("doc_a") =!= col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(sum(col("tf_a") * col("tf_b")).as("dot"),
-            count(lit(1)).as("n_shared"))
+        // shingle space is where documents are distinctive). The gram
+        // pass + posting self-join is the SHARED materialized artifact
+        // (SimGraph, built once per session/dataset); this query pays
+        // only its ranking window over the skinny pair table.
+        val pairs = graft.queries.SimGraph.directedPairs(s, d)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("dot"), col("ns").as("n_shared"))
         val w = Window.partitionBy("doc_a")
           .orderBy(col("dot").desc, col("doc_b"))
         pairs

@@ -833,24 +833,30 @@ object TextAnalysis extends QueryPack {
       (s, d) => {
         val stops = Seq("the", "of", "and", "a", "to", "in", "is",
           "it", "for", "on")
-        val stopSet = stops.map(w => s"'$w'").mkString("(", ", ", ")")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        val toksPos = t(s, d, "documents")
-          .select(col("doc_id"),
-            posexplode(split(trim(lower(col("text"))), "\\s+")))
-          .select(col("doc_id"), col("pos"), col("col").as("tok"))
-          .withColumn("stop",
-            expr(s"CASE WHEN tok IN $stopSet THEN 1 ELSE 0 END"))
-          .withColumn("run", sum(col("stop")).over(w))
-          .filter(col("stop") === 0)
-        val phrases = toksPos.groupBy("doc_id", "run")
-          .agg(count(lit(1)).as("plen"))
-        toksPos.join(phrases, Seq("doc_id", "run"))
+        // phrase segmentation as ONE per-row regex pass: whole
+        // whitespace-delimited stopword tokens become the phrase
+        // delimiter '|' (lookaround keeps the spaces, so consecutive
+        // stopwords still match), then phrases explode directly with
+        // their length in hand. Versus the window formulation this
+        // removes the doc-keyed sort AND the (doc, run) join-back —
+        // the only shuffle left is the final groupBy(tok), which is
+        // the aggregation itself.
+        val pat = "(?<=\\s)(?:" + stops.mkString("|") + ")(?=\\s)"
+        val segs = t(s, d, "documents")
+          .select(explode(split(
+            regexp_replace(
+              concat(lit(" "), trim(lower(col("text"))), lit(" ")),
+              pat, "|"),
+            "\\|")).as("seg"))
+          .select(filter(split(trim(col("seg")), "\\s+"),
+            x => x =!= "").as("ptoks"))
+          .filter(size(col("ptoks")) > 0)
+        segs
+          .select(size(col("ptoks")).as("plen"),
+            explode(col("ptoks")).as("tok"))
           .groupBy("tok")
-          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+          .agg(count(lit(1)).as("freq"),
+            sum(col("plen").cast("long")).as("degree"))
           .filter(col("freq") >= 5)
       },
       Some("""

@@ -85,6 +85,63 @@ class IntervalJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("q347's cum-axis FIFO join: a skewed user triggers the binning " +
+      "rule verbatim (bin joins the keys; allocations unchanged)") {
+    // The q347 scale claim (queries/Temporal.scala): heavy keys can
+    // use IntervalJoinRule on the CUMULATIVE axis. Prove it: one hot
+    // user holds nearly all lots, the FIFO overlap join is written
+    // with materialized [cum−amt, cum) long attributes, and with the
+    // rule on, the user-equality join gains the bin as a SECOND
+    // equi-key — the hot user's quadratic per-key pair space splits
+    // across cum-axis bins — while every allocation stays identical.
+    import spark.implicits._
+    val rnd = new scala.util.Random(347)
+    def lots(n: Int, hot: Int) = (1 to n).map { i =>
+      val user = if (i <= hot) 1L else (i % 7 + 2).toLong
+      (user, i.toLong, 1L + rnd.nextInt(500))
+    }
+    def cumAxis(rows: Seq[(Long, Long, Long)], id: String, amt: String,
+        st: String, en: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(id)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      rows.toDF("user_id", id, amt)
+        .withColumn(en, sum(col(amt)).over(w))
+        .withColumn(st, col(en) - col(amt))
+    }
+    val sup = cumAxis(lots(400, 360), "supply_id", "s_amt", "st_s", "en_s")
+    val dem = cumAxis(lots(300, 270), "demand_id", "d_amt", "st_d", "en_d")
+    val cond = col("user_id") === col("d_user") &&
+      col("st_s") < col("en_d") && col("st_d") < col("en_s")
+    val demR = dem.withColumnRenamed("user_id", "d_user")
+    def alloc(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("supply_id"), col("demand_id"),
+        (least(col("en_s"), col("en_d")) -
+          greatest(col("st_s"), col("st_d"))).as("cents"))
+      .filter(col("cents") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val naive = alloc(sup.join(demR, cond))
+    val prevBin = spark.conf.getOption("spark.graft.intervalJoin.binUs")
+    spark.conf.set("spark.graft.intervalJoin.binUs", "1024")
+    try withRule {
+      val joined = sup.join(demR, cond)
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bin"),
+        s"rule did not fire on the cum-axis join:\n$opt")
+      val phys = formattedPlan(joined)
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(alloc(joined) === naive,
+        "binned FIFO allocations must equal the naive join's")
+    } finally prevBin match {
+      case Some(v) => spark.conf.set("spark.graft.intervalJoin.binUs", v)
+      case None => spark.conf.unset("spark.graft.intervalJoin.binUs")
+    }
+  }
+
   test("joins without the overlap shape are left untouched") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("a_id", "a_v")

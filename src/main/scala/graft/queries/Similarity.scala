@@ -1157,31 +1157,45 @@ object Similarity extends QueryPack {
     //      log₂(rows) beyond that); the RATIOS of x₃ — what a
     //      whitening/ABE consumer reads — already rank the dims by
     //      principal loading, and nothing float ever crosses the
-    //      engines. Scale: the S build is q166's d²-bounded join; each
-    //      step is a d-keyed join over the d×d matrix. ----
+    //      engines. Scale: S is never materialized — both
+    //      matrix-vector steps FACTOR through per-vector scalars
+    //      ((Σqqᵀ)·x = Σ q·⟨q,x⟩, exact under integer arithmetic), so
+    //      each step is one narrow pass over the vectors + a d-sized
+    //      aggregate, and the d²×N pair shuffle the naive S build
+    //      pays never exists. The d²-bounded join form (q166) remains
+    //      the shape for consumers that need S ITSELF. ----
     QueryDef(
       "q233_power_iteration",
       (s, d) => {
-        val q = emb(s, d)
+        // per-row quantized vector + its row sum: rs_v = Σ_j q_vj,
+        // so x2(i) = Σ_v Σ_j q_vi·q_vj = Σ_v q_vi·rs_v
+        val qv = emb(s, d)
           .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"),
-            round(col("x").cast("double") * 100).cast("long").as("q"))
-        val S = q.select(col("vec_id"), col("i").as("di"),
-            col("q").as("qi"))
-          .join(q.select(col("vec_id"), col("i").as("dj"),
-            col("q").as("qj")), Seq("vec_id"))
-          .groupBy("di", "dj")
-          .agg(sum(col("qi") * col("qj")).as("s"))
-        val x2 = S.groupBy("di").agg(sum(col("s")).as("x2"))
+            transform(col("embedding"),
+              x => round(x.cast("double") * 100).cast("long")).as("q"))
+          .withColumn("rs",
+            aggregate(col("q"), lit(0L), (acc, v) => acc + v))
+          .persist() // both power steps read it
+        val x2 = qv
+          .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
+          .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
           .withColumn("x2s", expr("x2 div 1024"))
-        // contract S with x2s over the shared index dj
-        val step2 = S
-          .join(x2.select(col("di").as("dj"), col("x2s")), Seq("dj"))
-          .groupBy("di")
-          .agg(sum(col("s") * col("x2s")).as("x3"))
-        x2.join(step2, Seq("di"))
-          .select(col("di").cast("long").as("di"), col("x2"),
+        // x2s as ONE broadcast d-array (d is the embedding dim —
+        // bounded by construction), index-aligned by sort
+        val x2sArr = x2
+          .agg(sort_array(collect_list(struct(col("i"), col("x2s"))))
+            .as("a"))
+          .select(transform(col("a"), e => e.getField("x2s"))
+            .as("x2s_arr"))
+        // s2_v = ⟨q_v, x2s⟩, then x3(i) = Σ_v q_vi·s2_v
+        val x3 = qv.crossJoin(broadcast(x2sArr))
+          .withColumn("s2",
+            aggregate(zip_with(col("q"), col("x2s_arr"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v))
+          .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
+          .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
+        x2.join(x3, Seq("i"))
+          .select(col("i").cast("long").as("di"), col("x2"),
             col("x2s"), col("x3"))
       },
       Some("""

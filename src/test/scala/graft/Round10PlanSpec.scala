@@ -158,11 +158,11 @@ class Round10PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q233: Gram build joins on vec_id; no dim-pair product") {
+  test("q233: factored power steps stay product-free (S never built)") {
     val p = finalSection(settled("q233_power_iteration"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"q233 matrix build degenerated:\n$p")
+      s"q233 power step degenerated:\n$p")
   }
 
   test("q198: per-order windows reuse one order-keyed exchange") {

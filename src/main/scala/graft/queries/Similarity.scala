@@ -1180,21 +1180,21 @@ object Similarity extends QueryPack {
           .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
           .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
           .withColumn("x2s", expr("x2 div 1024"))
-        // x2s as ONE broadcast d-array (d is the embedding dim —
-        // bounded by construction), index-aligned by sort
-        val x2sArr = x2
-          .agg(sort_array(collect_list(struct(col("i"), col("x2s"))))
-            .as("a"))
-          .select(transform(col("a"), e => e.getField("x2s"))
-            .as("x2s_arr"))
+        // x2s inlined as a LITERAL d-array (d = the embedding dim, so
+        // the collect is bounded by construction — the centroids-≤K
+        // discipline), index-aligned; no join of any kind remains
+        val x2sPersisted = x2.persist()
+        val x2sArr = typedLit(
+          x2sPersisted.select(col("i"), col("x2s")).collect()
+            .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
         // s2_v = ⟨q_v, x2s⟩, then x3(i) = Σ_v q_vi·s2_v
-        val x3 = qv.crossJoin(broadcast(x2sArr))
+        val x3 = qv
           .withColumn("s2",
-            aggregate(zip_with(col("q"), col("x2s_arr"), (a, b) => a * b),
+            aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
               lit(0L), (acc, v) => acc + v))
           .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
           .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
-        x2.join(x3, Seq("i"))
+        x2sPersisted.join(x3, Seq("i"))
           .select(col("i").cast("long").as("di"), col("x2"),
             col("x2s"), col("x3"))
       },

@@ -546,7 +546,11 @@ object Similarity extends QueryPack {
               .cast("long").as("qv"))
         // ONE corpus pass: the vector count rides along with the
         // per-dim sums (every dim's row count IS the vector count),
-        // so the scan+join is not re-read for a separate groupBy
+        // so the scan+join is not re-read for a separate groupBy.
+        // NOT persisted: sums fans out to five branches, but they all
+        // share one identical exchange — ReusedExchange dedupes the
+        // corpus pass already, and an explicit persist measured ~20%
+        // SLOWER (materialization overhead for no saved work)
         val sums = q.groupBy("source", "d")
           .agg(sum("qv").as("sq"), count(lit(1)).as("k"))
         val n = sums.filter(col("d") === 0)

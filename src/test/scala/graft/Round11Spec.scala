@@ -52,6 +52,118 @@ class Round11Spec extends SparkTestBase {
       "graph queries must consume the shared artifact, not rebuild it")
   }
 
+  test("SimGraph artifacts for two datasets coexist (no cross-contamination)") {
+    val pA = SimGraph.pairs(spark, SharedSpark.Sf0001)
+    val pB = SimGraph.pairs(spark, SharedSpark.Sf001)
+    // different dataset dirs hash to different managed tables; the
+    // counts differ because the corpora differ — identical counts
+    // would be a (vanishingly unlikely) red flag, the real assert is
+    // that both are independently re-readable after the other's build
+    val (a1, b1) = (pA.count(), pB.count())
+    val (a2, b2) = (SimGraph.pairs(spark, SharedSpark.Sf0001).count(),
+      SimGraph.pairs(spark, SharedSpark.Sf001).count())
+    assert(a1 === a2 && b1 === b2)
+    assert(a1 > 0 && b1 > 0)
+  }
+
+  test("q301 regex segmentation == windowed run-id formulation on edges") {
+    // the round-11 rewrite replaced the doc-window + (doc, run)
+    // join-back with one regex pass; prove parity on inputs the
+    // corpus may not exercise: leading/trailing/consecutive
+    // stopwords, all-stopword docs, single-token docs, repeated
+    // phrases, mixed whitespace
+    import spark.implicits._
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is",
+      "it", "for", "on")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the of and"),                 // all stopwords
+      (3L, "wolf"),                           // single token
+      (4L, "a b c a b c a b c"),              // repeated phrase ('a' stops)
+      (5L, "  lead  the   trail  "),          // ragged whitespace
+      (6L, "x the of y"),                     // consecutive stopwords
+      (7L, "cat sat cat sat cat sat")         // no stopwords at all
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("round11_q301_docs")
+
+    // reference formulation (the pre-rewrite shape, freq floor removed
+    // so tiny fixtures survive)
+    val stopSet = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .withColumn("stop", expr(s"CASE WHEN tok IN $stopSet THEN 1 ELSE 0 END"))
+      .withColumn("run", sum(col("stop")).over(w))
+      .filter(col("stop") === 0)
+    val phrases = toksPos.groupBy("doc_id", "run").agg(count(lit(1)).as("plen"))
+    val ref = toksPos.join(phrases, Seq("doc_id", "run"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // rewrite formulation (q301's production shape, same floor removal)
+    val pat = "(?<=\\s)(?:" + stops.mkString("|") + ")(?=\\s)"
+    val got = docs
+      .select(explode(split(
+        regexp_replace(concat(lit(" "), trim(lower(col("text"))), lit(" ")),
+          pat, "|"), "\\|")).as("seg"))
+      .select(filter(split(trim(col("seg")), "\\s+"), x => x =!= "").as("ptoks"))
+      .filter(size(col("ptoks")) > 0)
+      .select(size(col("ptoks")).as("plen"), explode(col("ptoks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen").cast("long")).as("degree"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got === ref)
+  }
+
+  test("q233 factored power steps == explicit Gram build (integer-exact)") {
+    // the rewrite computes x2/x3 without materializing S; prove
+    // (Σqqᵀ)·x = Σ q·⟨q,x⟩ holds row-for-row on a fixture with
+    // negative values and repeated vectors
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(3L, -2L, 7L)),
+      (2L, Seq(0L, 5L, -1L)),
+      (3L, Seq(3L, -2L, 7L)),   // duplicate of vec 1
+      (4L, Seq(-4L, -4L, 4L))
+    ).toDF("vec_id", "q")
+    // explicit S
+    val ex = vecs.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
+    val S = ex.select(col("vec_id"), col("i").as("di"), col("qi"))
+      .join(ex.select(col("vec_id"), col("i").as("dj"),
+        col("qi").as("qj")), Seq("vec_id"))
+      .groupBy("di", "dj").agg(sum(col("qi") * col("qj")).as("s"))
+    val x2ref = S.groupBy("di").agg(sum("s").as("x2"))
+      .withColumn("x2s", expr("x2 div 1024"))
+    val x3ref = S.join(x2ref.select(col("di").as("dj"), col("x2s")), Seq("dj"))
+      .groupBy("di").agg(sum(col("s") * col("x2s")).as("x3"))
+    val ref = x2ref.join(x3ref, Seq("di"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // factored
+    val qv = vecs.withColumn("rs",
+      aggregate(col("q"), lit(0L), (acc, v) => acc + v))
+    val x2 = qv.select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
+      .withColumn("x2s", expr("x2 div 1024"))
+    val x2sArr = typedLit(x2.select(col("i"), col("x2s")).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
+    val x3 = qv.withColumn("s2",
+        aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
+    val got = x2.join(x3, Seq("i"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === ref)
+  }
+
   test("nearestJoin rejects payload/left column collisions up front") {
     import spark.implicits._
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "val")

@@ -54,7 +54,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line: the stdout capture some harnesses
+    // keep is tail-truncated, losing most per-query timings — the
+    // file keeps every timing readable after the run
+    try {
+      val dir = java.nio.file.Paths.get("bench_local")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(
+        dir.resolve(s"last_bench_${System.currentTimeMillis()}.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] file capture skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -59,13 +59,14 @@ object Bench {
     println(line)
     // ALSO persist the full line: the stdout capture some harnesses
     // keep is tail-truncated, losing most per-query timings — the
-    // file keeps every timing readable after the run
+    // file keeps every timing readable after the run. Fixed name,
+    // overwritten per run: repeated runs must not accumulate
+    // untracked files inside the tracked bench_local/ directory.
     try {
       val dir = java.nio.file.Paths.get("bench_local")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(
-        dir.resolve(s"last_bench_${System.currentTimeMillis()}.json"),
-        (line + "\n").getBytes("UTF-8"))
+        dir.resolve("last_bench.json"), (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file capture skipped: ${e.getMessage}")
     }

@@ -26,6 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Shared precondition for both join variants: payload names become
+    * output columns and (in nearestJoin) ride `__prior_*`/`__next_*`
+    * window temporaries over the unioned frame; a collision with an
+    * existing left column, a reserved output/temporary name, or a
+    * duplicate within payload would silently shadow data rather than
+    * error. Cheap, loud, up-front. */
+  private def requireNoCollisions(
+      leftCols: Seq[String], payload: Seq[String],
+      reserved: Set[String]): Unit = {
+    val dupes = payload.diff(payload.distinct).distinct
+    val temps = payload.flatMap(p => Seq(s"__prior_$p", s"__next_$p"))
+    val bad = payload.filter(p =>
+      leftCols.contains(p) || reserved.contains(p)) ++
+      leftCols.filter(c => reserved.contains(c) || temps.contains(c)) ++
+      dupes
+    require(bad.isEmpty,
+      s"as-of join: column name collision on ${bad.distinct.mkString(", ")} — " +
+        "payload names must be unique and must not match left columns, " +
+        "the reserved outputs asof_delta_us/asof_dir, or the " +
+        "__prior_*/__next_* temporary namespace")
+  }
+
   /** Left as-of join. `left` keeps all its columns; each `payload`
     * column of `right` is appended (null where no prior right row).
     * `key` and `time` must exist on both sides with identical names.
@@ -38,6 +60,7 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val sideTag = "__asof_side"
+    requireNoCollisions(leftCols, payload, Set(sideTag))
 
     val l = left
       .withColumn(sideTag, lit(1))
@@ -92,18 +115,8 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val sideTag = "__asof_side"
     val rt = "__asof_rt"
-    // Payload names land as output columns and ride __prior_/__next_
-    // temporaries over the unioned frame; a collision with an
-    // existing left column (or the reserved output names) would
-    // silently shadow data rather than error. Cheap precondition.
-    val reserved = Set("asof_delta_us", "asof_dir", sideTag, rt)
-    val bad = payload.filter(p =>
-      leftCols.contains(p) || reserved.contains(p)) ++
-      leftCols.filter(reserved.contains)
-    require(bad.isEmpty,
-      s"nearestJoin: column name collision on ${bad.distinct.mkString(", ")} — " +
-        "payload names must not match left columns or the reserved " +
-        "outputs asof_delta_us/asof_dir")
+    requireNoCollisions(leftCols, payload,
+      Set("asof_delta_us", "asof_dir", sideTag, rt))
 
     val rightT = right.withColumn(rt, col(time))
     val pCols = payload :+ rt

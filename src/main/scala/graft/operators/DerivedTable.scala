@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.hadoop.fs.Path
@@ -16,20 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query because harness embedders clear the cache between queries.
   * [[getOrBuild]] instead writes the artifact ONCE per (warehouse,
   * dataset) as a managed parquet table and hands every later caller a
-  * plain scan of it. At 100 TB this is the difference between six
-  * full-corpus gram passes per analytics suite and one.
+  * plain scan of it. At 100 TB this converts k full-corpus passes per
+  * suite into one; the artifact itself is skinny int64 pairs bounded
+  * by the df cap.
   *
   * The table name carries a hash of the dataset path, so different
   * SF dirs coexist; the warehouse dir is pid-scoped (GraftSession), so
   * a stale artifact can never leak across JVMs. Correctness contract:
   * `build` must be a PURE function of the dataset dir — the cache is
-  * invisible to results, only to cost (DerivedTableSpec asserts both).
+  * invisible to results, only to cost (Round11Spec asserts both).
   */
 object DerivedTable {
 
   /** Number of cache-miss builds this JVM has paid — observable so
     * tests can assert the build really is amortized. */
   val builds = new AtomicInteger(0)
+
+  // per-(artifact, dataset) locks: concurrent builds of DIFFERENT
+  // artifacts must not serialize on each other (a corpus-sized build
+  // can take seconds), and concurrent first callers of the SAME
+  // artifact must serialize so exactly one of them builds
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   private def tableName(artifact: String, datasetDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -39,24 +47,38 @@ object DerivedTable {
   }
 
   /** Return the materialized `artifact` for `datasetDir`, building it
-    * with `build` on first use in this session. Thread-safe: parallel
-    * first callers serialize on the build. */
+    * with `build` on first use in this session. Thread-safe per key:
+    * parallel first callers of one artifact serialize on its build;
+    * unrelated artifacts proceed concurrently. */
   def getOrBuild(
       spark: SparkSession,
       artifact: String,
       datasetDir: String)(build: => DataFrame): DataFrame = {
     val tbl = tableName(artifact, datasetDir)
-    synchronized {
+    val lock = locks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         // another SparkSession in this JVM (fresh in-memory catalog,
-        // same pid warehouse) may have left the location behind —
-        // clear it or saveAsTable refuses with LOCATION_ALREADY_EXISTS
+        // same pid warehouse) may have produced the location already.
+        // A COMPLETE artifact (committed _SUCCESS) is byte-identical
+        // by the purity contract — REGISTER it rather than delete it
+        // out from under the sibling session's live scans; only an
+        // uncommitted leftover (crashed build) is cleared and rebuilt.
         val loc =
           new Path(spark.conf.get("spark.sql.warehouse.dir"), tbl)
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(loc, true)
-        build.write.mode("overwrite").format("parquet").saveAsTable(tbl)
-        builds.incrementAndGet()
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(loc, "_SUCCESS"))) {
+          // only an UNCOMMITTED leftover (crashed build) is cleared;
+          // the parquet write commits _SUCCESS atomically at the end
+          fs.delete(loc, true)
+          build.write.mode("overwrite").parquet(loc.toString)
+          builds.incrementAndGet()
+        }
+        // register as an EXTERNAL table over the committed location:
+        // a DROP TABLE (or a sibling session that never saw the
+        // catalog entry) can then never delete the data under a
+        // session still scanning it
+        spark.catalog.createTable(tbl, loc.toString, "parquet")
       }
     }
     spark.table(tbl)

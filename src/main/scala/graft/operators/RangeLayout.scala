@@ -56,12 +56,24 @@ object RangeLayout {
     * up front instead. */
   private def gridDomain(
       df: DataFrame, c1: String, c2: String, grid: Long): (Long, Long) = {
+    // count(*) vs count(col) rides the SAME one-row aggregate, so the
+    // per-row null check costs nothing extra: min/max silently skip
+    // nulls, and a null key would otherwise slip past the guard and
+    // land in an arbitrary curve cell
     val row = df.agg(
       min(col(c1)).cast("long").as("min_1"),
       max(col(c1)).cast("long").as("max_1"),
       min(col(c2)).cast("long").as("min_2"),
-      max(col(c2)).cast("long").as("max_2")).head()
-    require(!row.anyNull, "curve layout: empty input or null layout keys")
+      max(col(c2)).cast("long").as("max_2"),
+      count(lit(1)).as("n"),
+      count(col(c1)).as("n1"),
+      count(col(c2)).as("n2")).head()
+    val n = row.getLong(4)
+    require(n > 0, "curve layout: empty input")
+    require(row.getLong(5) == n && row.getLong(6) == n,
+      s"curve layout: null keys in $c1/$c2 " +
+        s"(${n - row.getLong(5)}/${n - row.getLong(6)} of $n rows) — " +
+        "filter or default-fill them before layout")
     val (min1, max1, min2, max2) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     require(min1 >= 0 && min2 >= 0,

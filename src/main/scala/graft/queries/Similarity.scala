@@ -45,6 +45,39 @@ object Similarity extends QueryPack {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
 
+  /** q233's factored power steps over quantized vectors `(… , q:
+    * array<long>)` — shared with the Round11Spec parity test so the
+    * proven-equivalent math and production can never drift apart.
+    * Returns (x2, x3): x2 = (i, x2, x2s) and x3 = (i, x3), where
+    * x2(i) = Σ_v q_vi·rs_v (rs_v = Σ_j q_vj), x2s = x2 div 1024, and
+    * x3(i) = Σ_v q_vi·⟨q_v, x2s⟩ — the Gram matrix S is NEVER
+    * materialized ((Σqqᵀ)·x = Σ q·⟨q,x⟩, exact under integer
+    * arithmetic). x2s ships as a literal d-array (collect bounded by
+    * the embedding dim — the centroids-≤K discipline); no join, no
+    * d²×N shuffle, anywhere. */
+  private[graft] def powerSteps(quantized: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val qv = quantized
+      .withColumn("rs",
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v))
+      .persist() // both power steps read it
+    val x2 = qv
+      .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
+      .withColumn("x2s", expr("x2 div 1024"))
+      .persist()
+    val x2sArr = typedLit(
+      x2.select(col("i"), col("x2s")).collect()
+        .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
+    val x3 = qv
+      .withColumn("s2",
+        aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
+    (x2, x3)
+  }
+
   /** Exact cosine top-k of `probes` against `corpus` (both carrying
     * vec_id + embedding). Corpus is scanned once; probes broadcast.
     */
@@ -1171,34 +1204,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q233_power_iteration",
       (s, d) => {
-        // per-row quantized vector + its row sum: rs_v = Σ_j q_vj,
-        // so x2(i) = Σ_v Σ_j q_vi·q_vj = Σ_v q_vi·rs_v
-        val qv = emb(s, d)
+        val quantized = emb(s, d)
           .select(col("vec_id"),
             transform(col("embedding"),
               x => round(x.cast("double") * 100).cast("long")).as("q"))
-          .withColumn("rs",
-            aggregate(col("q"), lit(0L), (acc, v) => acc + v))
-          .persist() // both power steps read it
-        val x2 = qv
-          .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
-          .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
-          .withColumn("x2s", expr("x2 div 1024"))
-        // x2s inlined as a LITERAL d-array (d = the embedding dim, so
-        // the collect is bounded by construction — the centroids-≤K
-        // discipline), index-aligned; no join of any kind remains
-        val x2sPersisted = x2.persist()
-        val x2sArr = typedLit(
-          x2sPersisted.select(col("i"), col("x2s")).collect()
-            .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
-        // s2_v = ⟨q_v, x2s⟩, then x3(i) = Σ_v q_vi·s2_v
-        val x3 = qv
-          .withColumn("s2",
-            aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
-              lit(0L), (acc, v) => acc + v))
-          .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
-          .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
-        x2sPersisted.join(x3, Seq("i"))
+        val (x2, x3) = powerSteps(quantized)
+        x2.join(x3, Seq("i"))
           .select(col("i").cast("long").as("di"), col("x2"),
             col("x2s"), col("x3"))
       },

@@ -15,6 +15,37 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis extends QueryPack {
 
+  /** RAKE phrase segmentation as ONE per-row regex pass (q301's
+    * kernel, shared with its parity test so the proven-equivalent
+    * shape and production can never drift apart): whole
+    * whitespace-delimited stopword tokens become a NUL phrase
+    * delimiter (lookaround keeps the spaces, so consecutive stopwords
+    * still split; NUL cannot occur in whitespace-split tokens the way
+    * a printable delimiter could, and each stopword is Pattern-quoted
+    * so a future stop list can't inject regex metachars), then
+    * phrases explode with their length in hand. Returns (plen, tok)
+    * rows — one per non-stop token occurrence. Versus the windowed
+    * run-id formulation this removes the doc-keyed sort AND the
+    * (doc, run) join-back; the caller's groupBy(tok) is the only
+    * shuffle. */
+  private[graft] def rakeTokPlen(
+      docs: org.apache.spark.sql.DataFrame,
+      stops: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val pat = "(?<=\\s)(?:" +
+      stops.map(java.util.regex.Pattern.quote).mkString("|") + ")(?=\\s)"
+    docs
+      .select(explode(split(
+        regexp_replace(
+          concat(lit(" "), trim(lower(col("text"))), lit(" ")),
+          pat, "\u0000"),
+        "\u0000")).as("seg"))
+      .select(filter(split(trim(col("seg")), "\\s+"),
+        x => x =!= "").as("ptoks"))
+      .filter(size(col("ptoks")) > 0)
+      .select(size(col("ptoks")).as("plen"),
+        explode(col("ptoks")).as("tok"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- Token counting (whitespace tokenizer) ----
     QueryDef(
@@ -833,27 +864,9 @@ object TextAnalysis extends QueryPack {
       (s, d) => {
         val stops = Seq("the", "of", "and", "a", "to", "in", "is",
           "it", "for", "on")
-        // phrase segmentation as ONE per-row regex pass: whole
-        // whitespace-delimited stopword tokens become the phrase
-        // delimiter '|' (lookaround keeps the spaces, so consecutive
-        // stopwords still match), then phrases explode directly with
-        // their length in hand. Versus the window formulation this
-        // removes the doc-keyed sort AND the (doc, run) join-back —
-        // the only shuffle left is the final groupBy(tok), which is
-        // the aggregation itself.
-        val pat = "(?<=\\s)(?:" + stops.mkString("|") + ")(?=\\s)"
-        val segs = t(s, d, "documents")
-          .select(explode(split(
-            regexp_replace(
-              concat(lit(" "), trim(lower(col("text"))), lit(" ")),
-              pat, "|"),
-            "\\|")).as("seg"))
-          .select(filter(split(trim(col("seg")), "\\s+"),
-            x => x =!= "").as("ptoks"))
-          .filter(size(col("ptoks")) > 0)
-        segs
-          .select(size(col("ptoks")).as("plen"),
-            explode(col("ptoks")).as("tok"))
+        // segmentation kernel shared with the Round11Spec parity test
+        // (see rakeTokPlen's scaladoc for the one-pass shape)
+        rakeTokPlen(t(s, d, "documents"), stops)
           .groupBy("tok")
           .agg(count(lit(1)).as("freq"),
             sum(col("plen").cast("long")).as("degree"))

@@ -66,6 +66,25 @@ class Round11Spec extends SparkTestBase {
     assert(a1 > 0 && b1 > 0)
   }
 
+  test("DerivedTable reuses a committed on-disk artifact; never deletes it") {
+    // a sibling session whose catalog never saw the table must not
+    // delete a live artifact — simulate by dropping the (external)
+    // catalog entry: the data stays, and the next getOrBuild must
+    // RE-REGISTER the committed location instead of rebuilding
+    val n1 = SimGraph.pairs(spark, sf).count()
+    // drop EVERY sim-pairs catalog entry (there may be one per SF dir
+    // from earlier tests) — external tables, so the data stays put
+    spark.catalog.listTables()
+      .filter(col("name").startsWith("g_derived_sim_pairs_"))
+      .collect().map(_.name)
+      .foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    val before = DerivedTable.builds.get()
+    val n2 = SimGraph.pairs(spark, sf).count()
+    assert(n2 === n1)
+    assert(DerivedTable.builds.get() === before,
+      "a committed artifact must be re-registered, not rebuilt")
+  }
+
   test("q301 regex segmentation == windowed run-id formulation on edges") {
     // the round-11 rewrite replaced the doc-window + (doc, run)
     // join-back with one regex pass; prove parity on inputs the
@@ -82,7 +101,10 @@ class Round11Spec extends SparkTestBase {
       (4L, "a b c a b c a b c"),              // repeated phrase ('a' stops)
       (5L, "  lead  the   trail  "),          // ragged whitespace
       (6L, "x the of y"),                     // consecutive stopwords
-      (7L, "cat sat cat sat cat sat")         // no stopwords at all
+      (7L, "cat sat cat sat cat sat"),        // no stopwords at all
+      (8L, "alpha | beta the | of")           // '|' tokens in the text —
+        // pins the round-11 fix: a printable phrase delimiter would
+        // split at the document's own pipes and diverge
     ).toDF("doc_id", "text")
     docs.createOrReplaceTempView("round11_q301_docs")
 
@@ -105,15 +127,9 @@ class Round11Spec extends SparkTestBase {
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-    // rewrite formulation (q301's production shape, same floor removal)
-    val pat = "(?<=\\s)(?:" + stops.mkString("|") + ")(?=\\s)"
-    val got = docs
-      .select(explode(split(
-        regexp_replace(concat(lit(" "), trim(lower(col("text"))), lit(" ")),
-          pat, "|"), "\\|")).as("seg"))
-      .select(filter(split(trim(col("seg")), "\\s+"), x => x =!= "").as("ptoks"))
-      .filter(size(col("ptoks")) > 0)
-      .select(size(col("ptoks")).as("plen"), explode(col("ptoks")).as("tok"))
+    // rewrite formulation: the PRODUCTION kernel itself (shared
+    // helper — the test can't drift from what q301 actually runs)
+    val got = graft.queries.TextAnalysis.rakeTokPlen(docs, stops)
       .groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum(col("plen").cast("long")).as("degree"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -145,19 +161,9 @@ class Round11Spec extends SparkTestBase {
     val ref = x2ref.join(x3ref, Seq("di"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
-    // factored
-    val qv = vecs.withColumn("rs",
-      aggregate(col("q"), lit(0L), (acc, v) => acc + v))
-    val x2 = qv.select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
-      .withColumn("x2s", expr("x2 div 1024"))
-    val x2sArr = typedLit(x2.select(col("i"), col("x2s")).collect()
-      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
-    val x3 = qv.withColumn("s2",
-        aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v))
-      .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
+    // factored: the PRODUCTION helper itself (shared with q233 — the
+    // test can't drift from what the query actually runs)
+    val (x2, x3) = graft.queries.Similarity.powerSteps(vecs)
     val got = x2.join(x3, Seq("i"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
@@ -180,6 +186,22 @@ class Round11Spec extends SparkTestBase {
       AsOfJoin.nearestJoin(left2, right2, "k", "t", Seq("p"), 100L)
     }
     assert(e2.getMessage.contains("asof"))
+    // left column squatting on the window-temporary namespace
+    val left3 = left.withColumn("__prior_p", lit(7L))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.nearestJoin(left3, right2, "k", "t", Seq("p"), 100L)
+    }
+    assert(e3.getMessage.contains("collision"))
+    // duplicate payload names
+    val e4 = intercept[IllegalArgumentException] {
+      AsOfJoin.nearestJoin(left, right2, "k", "t", Seq("p", "p"), 100L)
+    }
+    assert(e4.getMessage.contains("collision"))
+    // priorJoin shares the guard (same collision class, same altitude)
+    val e5 = intercept[IllegalArgumentException] {
+      AsOfJoin.priorJoin(left, right, "k", "t", Seq("val"))
+    }
+    assert(e5.getMessage.contains("collision"))
   }
 
   test("curve layouts validate the key domain before normalizing") {
@@ -197,6 +219,14 @@ class Round11Spec extends SparkTestBase {
       RangeLayout.writeHilbertOrdered(huge, "a", "b", 10, 2, s"$dir/huge")
     }
     assert(e2.getMessage.contains("overflow"))
+    // per-row NULL keys are rejected (min/max alone would skip them
+    // and the row would land in an arbitrary curve cell)
+    val withNull = Seq((Some(1L), 5L), (None, 2L), (Some(3L), 4L))
+      .toDF("a", "b")
+    val e3 = intercept[IllegalArgumentException] {
+      RangeLayout.writeZOrdered(withNull, "a", "b", 4, 2, s"$dir/nul")
+    }
+    assert(e3.getMessage.contains("null keys"))
     // the valid domain still writes (guard is not over-eager)
     val ok = Tables.t(spark, sf, "orders")
       .select(col("o_orderkey").as("a"), col("o_custkey").as("b"))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryPack}
 import graft.core.Tables.t
-import graft.functions.TextFunctions.tokens
 
 /** Graph analytics over the document-similarity graph: the corpus as
   * a network. Edges are derived the q157 way (df-capped shared-rare-

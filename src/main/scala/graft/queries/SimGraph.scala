@@ -36,27 +36,33 @@ object SimGraph {
     * First call per (session, dataset) pays the corpus pass;
     * subsequent calls scan the materialized table. */
   def pairs(s: SparkSession, d: String): DataFrame =
-    DerivedTable.getOrBuild(s, "sim_pairs", d) {
-      // compiled one-pass POSITIONAL shingle kernel (string-identical
-      // to the HOF form; duplicates kept — tf needs them)
-      val grams = graft.functions.HashFunctions
-        .ngramJoin(tokens(lower(col("text"))), 3)
-      val tf = t(s, d, "documents")
-        .select(col("doc_id"), explode(grams).as("g"))
-        .groupBy("doc_id", "g")
-        .agg(count(lit(1)).as("tf"))
-      val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 50)
-      val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
-      posting
-        .select(col("g"), col("doc_id").as("u"), col("tf").as("tf_u"))
-        .join(posting.select(col("g"), col("doc_id").as("v"),
-          col("tf").as("tf_v")), Seq("g"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v")
-        .agg(sum(col("tf_u") * col("tf_v")).as("dot"),
-          count(lit(1)).as("ns"))
-    }
+    DerivedTable.getOrBuild(s, "sim_pairs", d)(buildPairs(s, d))
+
+  /** The one-corpus-pass pair derivation itself — a PURE function of
+    * the dataset dir (the DerivedTable contract); exposed so the
+    * integrity spec can compare the materialized artifact against a
+    * fresh recomputation value-for-value. */
+  private[graft] def buildPairs(s: SparkSession, d: String): DataFrame = {
+    // compiled one-pass POSITIONAL shingle kernel (string-identical
+    // to the HOF form; duplicates kept — tf needs them)
+    val grams = graft.functions.HashFunctions
+      .ngramJoin(tokens(lower(col("text"))), 3)
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+    val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
+    posting
+      .select(col("g"), col("doc_id").as("u"), col("tf").as("tf_u"))
+      .join(posting.select(col("g"), col("doc_id").as("v"),
+        col("tf").as("tf_v")), Seq("g"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(sum(col("tf_u") * col("tf_v")).as("dot"),
+        count(lit(1)).as("ns"))
+  }
 
   /** Directed view: both orientations of [[pairs]] — what per-doc
     * top-k rankings (q157/q187) consume. Columns (da, db, dot, ns). */

@@ -66,6 +66,16 @@ class Round11Spec extends SparkTestBase {
     assert(a1 > 0 && b1 > 0)
   }
 
+  test("SimGraph materialized artifact == fresh recomputation, value-exact") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val cached = rows(SimGraph.pairs(spark, sf))
+    val fresh = rows(SimGraph.buildPairs(spark, sf))
+    assert(cached === fresh,
+      "the materialized table must be value-identical to a fresh build")
+  }
+
   test("DerivedTable reuses a committed on-disk artifact; never deletes it") {
     // a sibling session whose catalog never saw the table must not
     // delete a live artifact — simulate by dropping the (external)

@@ -62,12 +62,21 @@ object Bench {
     // file keeps every timing readable after the run. Fixed name,
     // overwritten per run: repeated runs must not accumulate
     // untracked files inside the tracked bench_local/ directory.
+    // Anchored at the repo root (nearest ancestor of CWD holding
+    // build.sbt) so running Bench from a subdirectory doesn't scatter
+    // bench_local/ copies; catch stays NonFatal — an OOM or interrupt
+    // here must kill the JVM, not be reported as a skipped capture.
     try {
-      val dir = java.nio.file.Paths.get("bench_local")
+      val root = Iterator
+        .iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+      val dir = root.resolve("bench_local")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(
         dir.resolve("last_bench.json"), (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] file capture skipped: ${e.getMessage}")
     }
     spark.stop()

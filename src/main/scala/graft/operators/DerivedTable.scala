@@ -21,11 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * suite into one; the artifact itself is skinny int64 pairs bounded
   * by the df cap.
   *
-  * The table name carries a hash of the dataset path, so different
-  * SF dirs coexist; the warehouse dir is pid-scoped (GraftSession), so
-  * a stale artifact can never leak across JVMs. Correctness contract:
-  * `build` must be a PURE function of the dataset dir — the cache is
-  * invisible to results, only to cost (Round11Spec asserts both).
+  * The table name carries a hash of (dataset path, dataset CONTENT
+  * fingerprint, build version): different SF dirs coexist, and a
+  * committed leftover can never be resurrected against regenerated
+  * data (the fingerprint folds every file's length+mtime — listing is
+  * a metadata-only O(#files) walk, free next to the build itself) or
+  * against a changed derivation (callers bump their `version` whenever
+  * the build logic changes semantics). The warehouse dir is pid-scoped
+  * (GraftSession), so even a fingerprint collision after PID reuse
+  * would need identical (path, sizes, mtimes) to be trusted.
+  * Correctness contract: `build` must be a PURE function of the
+  * dataset dir — the cache is invisible to results, only to cost
+  * (Round11Spec asserts both; Round12Spec asserts the fingerprint
+  * and version sensitivity).
   */
 object DerivedTable {
 
@@ -39,9 +47,27 @@ object DerivedTable {
   // artifact must serialize so exactly one of them builds
   private val locks = new ConcurrentHashMap[String, Object]()
 
-  private def tableName(artifact: String, datasetDir: String): String = {
+  /** Sorted (relative path, length, mtime) of every file under `dir` —
+    * the dataset content fingerprint. Metadata-only: no bytes read. */
+  private def fingerprint(dir: java.io.File): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = dir.getCanonicalFile
+    walk(root)
+      .map(f => s"${f.getCanonicalPath.stripPrefix(root.getPath)}|" +
+        s"${f.length}|${f.lastModified}")
+      .mkString("\n")
+  }
+
+  private def tableName(
+      artifact: String, datasetDir: String, version: Int): String = {
+    val dir = new java.io.File(datasetDir)
+    val key = s"${dir.getCanonicalPath} v$version " +
+      fingerprint(dir)
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(datasetDir).getCanonicalPath.getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     s"g_derived_${artifact}_$h"
   }
@@ -49,12 +75,16 @@ object DerivedTable {
   /** Return the materialized `artifact` for `datasetDir`, building it
     * with `build` on first use in this session. Thread-safe per key:
     * parallel first callers of one artifact serialize on its build;
-    * unrelated artifacts proceed concurrently. */
+    * unrelated artifacts proceed concurrently. Bump `version` whenever
+    * the build derivation changes semantics — it is part of the
+    * artifact identity, so an old on-disk artifact is never served to
+    * new code. */
   def getOrBuild(
       spark: SparkSession,
       artifact: String,
-      datasetDir: String)(build: => DataFrame): DataFrame = {
-    val tbl = tableName(artifact, datasetDir)
+      datasetDir: String,
+      version: Int = 1)(build: => DataFrame): DataFrame = {
+    val tbl = tableName(artifact, datasetDir, version)
     val lock = locks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized {
       if (!spark.catalog.tableExists(tbl)) {

@@ -54,6 +54,16 @@ object RangeLayout {
     * silently overflow and scatter rows into arbitrary curve cells
     * (layout quality lost, data preserved). Reject both domains
     * up front instead. */
+  /** bits = 0 makes grid = 1, which turns the overflow guard
+    * `max1 <= Long.MaxValue / grid` vacuous: max1 = Long.MaxValue
+    * passes, then `max1 + 1` in the normalization expression wraps to
+    * Long.MinValue and the layout silently degenerates instead of
+    * erroring. bits > 31 would overflow the 2-D interleave (2·bits
+    * key bits must fit a Long). Reject both before grid math. */
+  private def requireBits(bits: Int): Unit =
+    require(bits >= 1 && bits <= 31,
+      s"curve layout: bits must be in [1, 31] (got $bits)")
+
   private def gridDomain(
       df: DataFrame, c1: String, c2: String, grid: Long): (Long, Long) = {
     // count(*) vs count(col) rides the SAME one-row aggregate, so the
@@ -89,6 +99,7 @@ object RangeLayout {
   def writeZOrdered(
       df: DataFrame, c1: String, c2: String, bits: Int, nFiles: Int,
       path: String): Unit = {
+    requireBits(bits)
     val grid = 1L << bits
     val (max1, max2) = gridDomain(df, c1, c2, grid)
     val z = graft.queries.Validation.morton(
@@ -113,6 +124,7 @@ object RangeLayout {
   def writeHilbertOrdered(
       df: DataFrame, c1: String, c2: String, bits: Int, nFiles: Int,
       path: String): Unit = {
+    requireBits(bits)
     val grid = 1L << bits
     val (max1, max2) = gridDomain(df, c1, c2, grid)
     val h = graft.functions.HilbertCurve.hilbert(

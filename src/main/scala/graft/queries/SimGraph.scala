@@ -31,12 +31,19 @@ import graft.operators.DerivedTable
   */
 object SimGraph {
 
+  /** Artifact identity version — bump on ANY semantic change to
+    * [[buildPairs]] so a committed on-disk artifact from older code is
+    * never served to new code (part of the DerivedTable table-name
+    * hash alongside the dataset content fingerprint). */
+  private val BuildVersion = 1
+
   /** Undirected pair aggregate: (u, v, dot, ns) with u < v, dot =
     * Σ tf_u·tf_v over shared rare grams, ns = #shared rare grams.
     * First call per (session, dataset) pays the corpus pass;
     * subsequent calls scan the materialized table. */
   def pairs(s: SparkSession, d: String): DataFrame =
-    DerivedTable.getOrBuild(s, "sim_pairs", d)(buildPairs(s, d))
+    DerivedTable.getOrBuild(s, "sim_pairs", d, BuildVersion)(
+      buildPairs(s, d))
 
   /** The one-corpus-pass pair derivation itself — a PURE function of
     * the dataset dir (the DerivedTable contract); exposed so the

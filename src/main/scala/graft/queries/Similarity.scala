@@ -66,13 +66,22 @@ object Similarity extends QueryPack {
       .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
       .withColumn("x2s", expr("x2 div 1024"))
       .persist()
+    val x2sRows = x2.select(col("i"), col("x2s")).collect()
     val x2sArr = typedLit(
-      x2.select(col("i"), col("x2s")).collect()
-        .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
+      x2sRows.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
+    // zip_with null-pads on length mismatch and aggregate() then nulls
+    // out s2, SILENTLY dropping a ragged vector's contribution to x3 —
+    // fail loudly instead: every vector must carry exactly the
+    // dimension count the collected x2s array was built from
+    val dim = x2sRows.length
     val x3 = qv
       .withColumn("s2",
-        aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v))
+        when(size(col("q")) === lit(dim),
+          aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v))
+          .otherwise(raise_error(concat(
+            lit(s"powerSteps: ragged embedding (expected dim $dim, got "),
+            size(col("q")).cast("string"), lit(")"))).cast("long")))
       .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
     (x2, x3)

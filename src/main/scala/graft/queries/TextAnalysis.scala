@@ -24,7 +24,12 @@ object TextAnalysis extends QueryPack {
     * a printable delimiter could, and each stopword is Pattern-quoted
     * so a future stop list can't inject regex metachars), then
     * phrases explode with their length in hand. Returns (plen, tok)
-    * rows — one per non-stop token occurrence. Versus the windowed
+    * rows — one per non-stop token occurrence. Empty/whitespace-only
+    * documents emit NOTHING (the x =!= "" / size > 0 filters): an
+    * empty doc has no keywords — where a naive \s+ split of "" would
+    * synthesize a single "" token. q301's oracle pins the same
+    * semantics (tok <> ''); the Round11Spec parity fixture covers it.
+    * Versus the windowed
     * run-id formulation this removes the doc-keyed sort AND the
     * (doc, run) join-back; the caller's groupBy(tok) is the only
     * shuffle. */
@@ -891,7 +896,11 @@ object TextAnalysis extends QueryPack {
           SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
             ROWS UNBOUNDED PRECEDING) AS run
           FROM f),
-        nw AS (SELECT * FROM r WHERE stop = 0),
+        -- tok <> '' pins the empty-document semantics: splitting an
+        -- empty/whitespace-only text yields a single '' token (both
+        -- engines), which is NOT a keyword — rakeTokPlen drops the
+        -- empty segment, so the oracle must drop the '' token too
+        nw AS (SELECT * FROM r WHERE stop = 0 AND tok <> ''),
         ph AS (
           SELECT doc_id, run, COUNT(*) AS plen
           FROM nw GROUP BY 1, 2)

@@ -112,9 +112,14 @@ class Round11Spec extends SparkTestBase {
       (5L, "  lead  the   trail  "),          // ragged whitespace
       (6L, "x the of y"),                     // consecutive stopwords
       (7L, "cat sat cat sat cat sat"),        // no stopwords at all
-      (8L, "alpha | beta the | of")           // '|' tokens in the text —
+      (8L, "alpha | beta the | of"),          // '|' tokens in the text —
         // pins the round-11 fix: a printable phrase delimiter would
         // split at the document's own pipes and diverge
+      (9L, ""),                               // empty document —
+      (10L, "   \t  ")                        // whitespace-only doc —
+        // both pin the round-12 semantics: NO tokens emitted (a naive
+        // \s+ split of "" synthesizes a single "" token; production
+        // and the q301 oracle both drop it)
     ).toDF("doc_id", "text")
     docs.createOrReplaceTempView("round11_q301_docs")
 
@@ -131,6 +136,10 @@ class Round11Spec extends SparkTestBase {
       .withColumn("stop", expr(s"CASE WHEN tok IN $stopSet THEN 1 ELSE 0 END"))
       .withColumn("run", sum(col("stop")).over(w))
       .filter(col("stop") === 0)
+      // the pinned empty-doc semantics: the "" token a \s+ split of
+      // empty text synthesizes is not a keyword (matches the tok <> ''
+      // filter in q301's oracle SQL)
+      .filter(col("tok") =!= "")
     val phrases = toksPos.groupBy("doc_id", "run").agg(count(lit(1)).as("plen"))
     val ref = toksPos.join(phrases, Seq("doc_id", "run"))
       .groupBy("tok")

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DerivedTable, RangeLayout}
+
+/** Round-12 hardening: DerivedTable's artifact identity now folds in
+  * the dataset CONTENT fingerprint and a build version (a committed
+  * leftover can never be resurrected against regenerated data or newer
+  * build code), powerSteps fails loudly on ragged embeddings, and the
+  * curve layouts reject the degenerate bits domain.
+  */
+class Round12Spec extends SparkTestBase {
+
+  private def freshDatasetDir(): java.io.File = {
+    val d = Files.createTempDirectory("r12_derived_").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("DerivedTable rebuilds when the dataset content changes at the same path") {
+    import spark.implicits._
+    val dir = freshDatasetDir()
+    val data = s"${dir.getAbsolutePath}/vals.parquet"
+    def build() = spark.read.parquet(data).agg(sum("v").as("s"))
+
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    val before = DerivedTable.builds.get()
+    val s1 = DerivedTable
+      .getOrBuild(spark, "r12_fp", dir.getAbsolutePath)(build())
+      .head().getLong(0)
+    assert(s1 === 6L)
+    assert(DerivedTable.builds.get() === before + 1)
+
+    // unchanged data: served from the artifact, no rebuild
+    val s1b = DerivedTable
+      .getOrBuild(spark, "r12_fp", dir.getAbsolutePath)(build())
+      .head().getLong(0)
+    assert(s1b === 6L)
+    assert(DerivedTable.builds.get() === before + 1,
+      "identical content must reuse the artifact")
+
+    // regenerate the dataset AT THE SAME PATH with different content —
+    // the stale-resurrection scenario: a path-only key would serve the
+    // old sum; the content fingerprint must force a rebuild
+    Seq(10L, 20L, 30L, 40L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    val s2 = DerivedTable
+      .getOrBuild(spark, "r12_fp", dir.getAbsolutePath)(build())
+      .head().getLong(0)
+    assert(s2 === 100L,
+      "regenerated data must be re-derived, not served stale")
+    assert(DerivedTable.builds.get() === before + 2)
+  }
+
+  test("DerivedTable rebuilds when the build version is bumped") {
+    import spark.implicits._
+    val dir = freshDatasetDir()
+    val data = s"${dir.getAbsolutePath}/vals.parquet"
+    Seq(5L, 7L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+
+    val before = DerivedTable.builds.get()
+    val v1 = DerivedTable
+      .getOrBuild(spark, "r12_ver", dir.getAbsolutePath, version = 1)(
+        spark.read.parquet(data).agg(sum("v").as("s")))
+      .head().getLong(0)
+    assert(v1 === 12L)
+    // same data, NEW derivation semantics (version 2): the old on-disk
+    // artifact must not be served to the new code
+    val v2 = DerivedTable
+      .getOrBuild(spark, "r12_ver", dir.getAbsolutePath, version = 2)(
+        spark.read.parquet(data).agg((sum("v") * 2).as("s")))
+      .head().getLong(0)
+    assert(v2 === 24L,
+      "a version bump must invalidate the old artifact")
+    assert(DerivedTable.builds.get() === before + 2)
+    // and version 1 still resolves to ITS artifact, untouched
+    val v1b = DerivedTable
+      .getOrBuild(spark, "r12_ver", dir.getAbsolutePath, version = 1)(
+        spark.read.parquet(data).agg(sum("v").as("s")))
+      .head().getLong(0)
+    assert(v1b === 12L)
+    assert(DerivedTable.builds.get() === before + 2,
+      "both versions coexist; neither rebuilds")
+  }
+
+  test("powerSteps throws loudly on a ragged embedding dimension") {
+    import spark.implicits._
+    // silent-corruption scenario the guard closes: zip_with null-pads
+    // the short vector, aggregate() nulls out its s2, and sum() would
+    // just drop its contribution to x3
+    val ragged = Seq(
+      (1L, Seq(3L, -2L, 7L)),
+      (2L, Seq(0L, 5L)), // one dim short
+      (3L, Seq(1L, 1L, 1L))
+    ).toDF("vec_id", "q")
+    val (_, x3) = graft.queries.Similarity.powerSteps(ragged)
+    val e = intercept[Exception] { x3.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ragged")),
+      s"expected the ragged-dimension error, got: $e")
+    spark.catalog.clearCache() // powerSteps persists its inputs
+
+    // and the uniform case is unaffected
+    val uniform = Seq(
+      (1L, Seq(3L, -2L, 7L)),
+      (2L, Seq(0L, 5L, -1L))
+    ).toDF("vec_id", "q")
+    val (x2u, x3u) = graft.queries.Similarity.powerSteps(uniform)
+    assert(x2u.count() === 3 && x3u.count() === 3)
+    spark.catalog.clearCache()
+  }
+
+  test("curve layouts reject bits outside [1, 31] before any write") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = Files.createTempDirectory("r12_layout_").toFile
+    out.deleteOnExit()
+    // bits = 0: grid = 1 makes the overflow guard vacuous and
+    // `max + 1` wraps — must be rejected up front, loudly
+    val e0 = intercept[IllegalArgumentException] {
+      RangeLayout.writeZOrdered(df, "a", "b", 0, 1, s"$out/z0")
+    }
+    assert(e0.getMessage.contains("bits"))
+    val e32 = intercept[IllegalArgumentException] {
+      RangeLayout.writeZOrdered(df, "a", "b", 32, 1, s"$out/z32")
+    }
+    assert(e32.getMessage.contains("bits"))
+    val h0 = intercept[IllegalArgumentException] {
+      RangeLayout.writeHilbertOrdered(df, "a", "b", 0, 1, s"$out/h0")
+    }
+    assert(h0.getMessage.contains("bits"))
+    // the minimal valid domain still writes
+    RangeLayout.writeZOrdered(df, "a", "b", 1, 1, s"$out/z1")
+    assert(spark.read.parquet(s"$out/z1").count() === 2)
+  }
+}

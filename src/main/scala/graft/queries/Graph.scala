@@ -441,15 +441,12 @@ object Graph extends QueryPack {
       "q325_kcore",
       (s, d) => {
         val k = 3
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        var edges = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
-            Seq("l_orderkey"))
-          .filter(col("u") < col("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("u", "v")
+        // the initial edge list IS q185's pair-support table (same
+        // p1<p2 / co-order-count ≥ 2 definition) — consume the shared
+        // Baskets artifact instead of re-running the within-order
+        // self-join; the oracle still derives it from scratch
+        var edges = Baskets.pairSupports(s, d)
+          .select(col("p1").as("u"), col("p2").as("v"))
           .localCheckpoint() // truncate lineage per round (TreeClosure idiom)
         var prev = edges.count()
         var iter = 0

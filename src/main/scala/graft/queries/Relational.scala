@@ -333,19 +333,19 @@ object Relational extends QueryPack {
     QueryDef(
       "q185_market_basket",
       (s, d) => {
+        // the pair table comes from the shared Baskets artifact
+        // (materialized once per session/dataset; q325 consumes the
+        // same table — the oracle still derives it from scratch, so
+        // hash equality certifies the amortization). The singleton
+        // supports stay inline: a base artifact measured neutral-to-
+        // negative (see Baskets scaladoc)
         val op = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
           .distinct()
         val nOrders = op.select(col("l_orderkey")).distinct().count()
         val partSup = op.groupBy("l_partkey")
           .agg(count(lit(1)).as("sup"))
-        val pairs = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
-          .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")),
-            Seq("l_orderkey"))
-          .filter(col("p1") < col("p2"))
-          .groupBy("p1", "p2")
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
+        val pairs = Baskets.pairSupports(s, d)
         pairs
           .join(partSup.select(col("l_partkey").as("p1"),
             col("sup").as("sup_a")), Seq("p1"))

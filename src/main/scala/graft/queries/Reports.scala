@@ -1773,6 +1773,11 @@ object Reports extends QueryPack {
     QueryDef(
       "q344_triple_itemsets",
       (s, d) => {
+        // derives its own family-grain base: consuming a shared
+        // distinct-base artifact measured exactly neutral here (the
+        // %997 projection forces its own distinct SHUFFLE either way —
+        // see the Baskets scaladoc), so the extra artifact write was
+        // pure overhead
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"),
             (col("l_partkey") % 997).as("l_partkey")).distinct()

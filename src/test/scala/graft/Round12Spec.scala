@@ -88,6 +88,55 @@ class Round12Spec extends SparkTestBase {
       "both versions coexist; neither rebuilds")
   }
 
+  test("Baskets pair artifact builds exactly once; q185/q325 consume it") {
+    import graft.queries.Baskets
+    // force the artifact, then re-read: no rebuild
+    Baskets.pairSupports(spark, sf).count()
+    val builds = DerivedTable.builds.get()
+    Baskets.pairSupports(spark, sf).count()
+    assert(DerivedTable.builds.get() === builds,
+      "re-reads must scan the materialized table")
+    // both consumer queries run off the shared artifact
+    val q185 = graft.queries.Relational.defs
+      .find(_.name == "q185_market_basket").get.fn(spark, sf).count()
+    val q325 = graft.queries.Graph.defs
+      .find(_.name == "q325_kcore").get.fn(spark, sf).count()
+    assert(q185 > 0 && q325 >= 0)
+    assert(DerivedTable.builds.get() === builds,
+      "q185/q325 must consume the shared artifact, not rebuild it")
+  }
+
+  test("Baskets pair artifact == fresh recomputation, value-exact") {
+    import graft.queries.Baskets
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairRows(Baskets.pairSupports(spark, sf)) ===
+      pairRows(Baskets.buildPairSupports(spark, sf)),
+      "pair artifact must be value-identical to a from-scratch build")
+  }
+
+  test("q185's plan scans the derived pair table — no within-order re-join") {
+    import graft.queries.Baskets
+    Baskets.pairSupports(spark, sf).count() // ensure materialized
+    val df = graft.queries.Relational.defs
+      .find(_.name == "q185_market_basket").get.fn(spark, sf)
+    val plan = formattedPlan(df)
+    assert(plan.contains("g_derived_basket_pairs"),
+      s"q185 should scan the derived pair table, got:\n$plan")
+    // the singleton-support scan of lineitem stays (measured cheaper
+    // inline than a base artifact), but the within-order SELF-JOIN
+    // must be gone: no remaining join may condition on l_orderkey —
+    // the only joins left are the p1/p2 support lookups
+    val orderKeyJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "l_orderkey"))
+        => j
+    }
+    assert(orderKeyJoins.isEmpty,
+      "q185 must not re-run the within-order pair join once the " +
+        "artifact exists")
+  }
+
   test("powerSteps throws loudly on a ragged embedding dimension") {
     import spark.implicits._
     // silent-corruption scenario the guard closes: zip_with null-pads

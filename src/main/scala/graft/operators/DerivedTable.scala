@@ -47,25 +47,34 @@ object DerivedTable {
   // artifact must serialize so exactly one of them builds
   private val locks = new ConcurrentHashMap[String, Object]()
 
-  /** Sorted (relative path, length, mtime) of every file under `dir` —
-    * the dataset content fingerprint. Metadata-only: no bytes read. */
-  private def fingerprint(dir: java.io.File): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val root = dir.getCanonicalFile
-    walk(root)
-      .map(f => s"${f.getCanonicalPath.stripPrefix(root.getPath)}|" +
-        s"${f.length}|${f.lastModified}")
-      .mkString("\n")
+  /** Sorted (path, length, mtime) of every file under `dir` — the
+    * dataset content fingerprint. Metadata-only (no bytes read) and
+    * resolved through the Hadoop FileSystem API, so a dataset on
+    * HDFS/S3 fingerprints exactly like a local one (a java.io.File
+    * walk would silently see nothing there and degrade the key back
+    * to path-only — the staleness hole this exists to close). */
+  private def fingerprint(spark: SparkSession, dir: Path): String = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return "absent"
+    val it = fs.listFiles(dir, true /* recursive */)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      entries += s"${s.getPath.toUri.getPath}|${s.getLen}|" +
+        s"${s.getModificationTime}"
+    }
+    entries.sorted.mkString("\n")
   }
 
   private def tableName(
-      artifact: String, datasetDir: String, version: Int): String = {
-    val dir = new java.io.File(datasetDir)
-    val key = s"${dir.getCanonicalPath} v$version " +
-      fingerprint(dir)
+      spark: SparkSession, artifact: String, datasetDir: String,
+      version: Int): String = {
+    // canonicalize bare local paths (resolves symlinks/..); a dataset
+    // dir that is already a URI (hdfs://, s3a://) passes through
+    val dir =
+      if (datasetDir.contains("://")) new Path(datasetDir)
+      else new Path(new java.io.File(datasetDir).getCanonicalPath)
+    val key = s"$dir v$version " + fingerprint(spark, dir)
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
@@ -84,7 +93,7 @@ object DerivedTable {
       artifact: String,
       datasetDir: String,
       version: Int = 1)(build: => DataFrame): DataFrame = {
-    val tbl = tableName(artifact, datasetDir, version)
+    val tbl = tableName(spark, artifact, datasetDir, version)
     val lock = locks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized {
       if (!spark.catalog.tableExists(tbl)) {

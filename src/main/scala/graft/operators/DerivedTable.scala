@@ -52,19 +52,44 @@ object DerivedTable {
     * resolved through the Hadoop FileSystem API, so a dataset on
     * HDFS/S3 fingerprints exactly like a local one (a java.io.File
     * walk would silently see nothing there and degrade the key back
-    * to path-only — the staleness hole this exists to close). */
-  private def fingerprint(spark: SparkSession, dir: Path): String = {
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return "absent"
-    val it = fs.listFiles(dir, true /* recursive */)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      entries += s"${s.getPath.toUri.getPath}|${s.getLen}|" +
-        s"${s.getModificationTime}"
-    }
-    entries.sorted.mkString("\n")
-  }
+    * to path-only — the staleness hole this exists to close).
+    *
+    * Memoized per path for the JVM's lifetime: one listing per
+    * dataset per session, not one per consumer-query invocation (a
+    * recursive LIST of a large S3 prefix on every cache HIT would
+    * cost more than the artifact saves). The staleness this guards
+    * against — a dataset regenerated at the same path — happens
+    * BETWEEN sessions, never mid-session (datasets are immutable
+    * while a session runs); a test that mutates its fixture dataset
+    * in-JVM calls [[refreshFingerprints]] first.
+    *
+    * Known residual gap, accepted and documented: a replacement that
+    * preserves file names, lengths, AND mtimes (rsync -t / tar -p /
+    * distcp -p restoring a same-shaped snapshot) fingerprints
+    * identically while the bytes differ — closing it would mean
+    * reading data bytes per call. The pid-scoped warehouse bounds the
+    * blast radius to one JVM's lifetime. */
+  private val fpMemo = new ConcurrentHashMap[String, String]()
+
+  /** Drop memoized dataset fingerprints — for tests that regenerate a
+    * fixture dataset at the same path within one JVM. */
+  private[graft] def refreshFingerprints(): Unit = fpMemo.clear()
+
+  private def fingerprint(spark: SparkSession, dir: Path): String =
+    fpMemo.computeIfAbsent(dir.toString, _ => {
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) "absent"
+      else {
+        val it = fs.listFiles(dir, true /* recursive */)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          entries += s"${s.getPath.toUri.getPath}|${s.getLen}|" +
+            s"${s.getModificationTime}"
+        }
+        entries.sorted.mkString("\n")
+      }
+    })
 
   private def tableName(
       spark: SparkSession, artifact: String, datasetDir: String,

@@ -61,27 +61,35 @@ object Similarity extends QueryPack {
       .withColumn("rs",
         aggregate(col("q"), lit(0L), (acc, v) => acc + v))
       .persist() // both power steps read it
+    // ragged-dimension guard UP FRONT: mixed lengths corrupt BOTH
+    // outputs (x2 silently drops a short vector from its missing high
+    // indices; x3's zip_with null-pads and nulls out s2) — one cheap
+    // aggregate over the just-persisted input makes the failure loud
+    // before either result exists. Empty input stays legal (both
+    // outputs empty).
+    val dims = qv.agg(min(size(col("q"))).as("lo"),
+      max(size(col("q"))).as("hi")).head()
+    if (!dims.isNullAt(0) && dims.getInt(0) != dims.getInt(1)) {
+      qv.unpersist() // don't leak the cache on the failure path
+      throw new IllegalArgumentException(
+        s"powerSteps: ragged embedding dimensions " +
+          s"[${dims.getInt(0)}, ${dims.getInt(1)}] — every vector " +
+          "must have the same length")
+    }
     val x2 = qv
       .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))
       .withColumn("x2s", expr("x2 div 1024"))
       .persist()
-    val x2sRows = x2.select(col("i"), col("x2s")).collect()
     val x2sArr = typedLit(
-      x2sRows.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
-    // zip_with null-pads on length mismatch and aggregate() then nulls
-    // out s2, SILENTLY dropping a ragged vector's contribution to x3 —
-    // fail loudly instead: every vector must carry exactly the
-    // dimension count the collected x2s array was built from
-    val dim = x2sRows.length
+      x2.select(col("i"), col("x2s")).collect()
+        .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq)
+    // uniform dims are guaranteed by the up-front guard above, so the
+    // zip_with here can never null-pad
     val x3 = qv
       .withColumn("s2",
-        when(size(col("q")) === lit(dim),
-          aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
-            lit(0L), (acc, v) => acc + v))
-          .otherwise(raise_error(concat(
-            lit(s"powerSteps: ragged embedding (expected dim $dim, got "),
-            size(col("q")).cast("string"), lit(")"))).cast("long")))
+        aggregate(zip_with(col("q"), x2sArr, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
       .select(col("s2"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg(sum(col("qi") * col("s2")).as("x3"))
     (x2, x3)

@@ -45,9 +45,14 @@ class Round12Spec extends SparkTestBase {
 
     // regenerate the dataset AT THE SAME PATH with different content —
     // the stale-resurrection scenario: a path-only key would serve the
-    // old sum; the content fingerprint must force a rebuild
+    // old sum; the content fingerprint must force a rebuild. The
+    // fingerprint is session-memoized (datasets are immutable while a
+    // real session runs), so an in-JVM fixture mutation refreshes it
+    // explicitly — exactly what a between-sessions regeneration looks
+    // like to a fresh JVM.
     Seq(10L, 20L, 30L, 40L).toDF("v").coalesce(1)
       .write.mode("overwrite").parquet(data)
+    DerivedTable.refreshFingerprints()
     val s2 = DerivedTable
       .getOrBuild(spark, "r12_fp", dir.getAbsolutePath)(build())
       .head().getLong(0)
@@ -101,7 +106,9 @@ class Round12Spec extends SparkTestBase {
       .find(_.name == "q185_market_basket").get.fn(spark, sf).count()
     val q325 = graft.queries.Graph.defs
       .find(_.name == "q325_kcore").get.fn(spark, sf).count()
-    assert(q185 > 0 && q325 >= 0)
+    assert(q185 > 0 && q325 > 0,
+      "both queries return non-empty results at the test SF " +
+        "(q325's 3-core has 200 members at sf0.001)")
     assert(DerivedTable.builds.get() === builds,
       "q185/q325 must consume the shared artifact, not rebuild it")
   }
@@ -139,20 +146,20 @@ class Round12Spec extends SparkTestBase {
 
   test("powerSteps throws loudly on a ragged embedding dimension") {
     import spark.implicits._
-    // silent-corruption scenario the guard closes: zip_with null-pads
-    // the short vector, aggregate() nulls out its s2, and sum() would
-    // just drop its contribution to x3
+    // silent-corruption scenario the guard closes: a short vector
+    // silently vanishes from x2's missing high indices AND from x3
+    // (zip_with null-pads, aggregate() nulls out its s2) — the
+    // up-front dims guard must reject the input before EITHER output
+    // exists, so even an x2-only consumer cannot read corrupted sums
     val ragged = Seq(
       (1L, Seq(3L, -2L, 7L)),
       (2L, Seq(0L, 5L)), // one dim short
       (3L, Seq(1L, 1L, 1L))
     ).toDF("vec_id", "q")
-    val (_, x3) = graft.queries.Similarity.powerSteps(ragged)
-    val e = intercept[Exception] { x3.collect() }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("ragged")),
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Similarity.powerSteps(ragged)
+    }
+    assert(e.getMessage.contains("ragged"),
       s"expected the ragged-dimension error, got: $e")
     spark.catalog.clearCache() // powerSteps persists its inputs
 

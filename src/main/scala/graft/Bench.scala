@@ -36,20 +36,33 @@ object Bench {
     // of query names for single-query timing iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // dev-only warm min-of-N (the driver never sets it, default 1 is
+    // the exact driver behavior): repeat each query N times in THIS
+    // JVM and report the per-query minimum — the bench-discipline
+    // steady-state audit without relaunching a JVM per sample. The
+    // first iteration bills one-time artifact builds + JIT; the min
+    // reads warm cost. clearCache runs per ATTEMPT so per-query
+    // persists stay billed to their own query on every sample.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // per-query persist() caches (LSH/ANN pipelines) are billed to
-      // their own query, then dropped so later timings run cache-cold
-      spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-query persist() caches (LSH/ANN pipelines) are billed to
+        // their own query, then dropped so later timings run cache-cold
+        spark.catalog.clearCache()
+        if (ok) sec else -1.0
+      }
+      val good = secs.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -93,6 +93,31 @@ class Round12Spec extends SparkTestBase {
       "both versions coexist; neither rebuilds")
   }
 
+  test("DerivedTable serializes concurrent first callers of one artifact") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDatasetDir()
+    val data = s"${dir.getAbsolutePath}/vals.parquet"
+    Seq(1L, 2L, 3L, 4L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    val before = DerivedTable.builds.get()
+    // four parallel FIRST callers of the same artifact: the per-key
+    // lock must elect exactly one builder; the rest read the
+    // committed table — every result identical, builds + 1
+    val sums = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        DerivedTable
+          .getOrBuild(spark, "r12_conc", dir.getAbsolutePath)(
+            spark.read.parquet(data).agg(sum("v").as("s")))
+          .head().getLong(0)
+      })), 2.minutes)
+    assert(sums.forall(_ === 10L))
+    assert(DerivedTable.builds.get() === before + 1,
+      "exactly one concurrent caller pays the build")
+  }
+
   test("Baskets pair artifact builds exactly once; q185/q325 consume it") {
     import graft.queries.Baskets
     // force the artifact, then re-read: no rebuild

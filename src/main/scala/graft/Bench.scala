@@ -44,7 +44,8 @@ object Bench {
     // reads warm cost. clearCache runs per ATTEMPT so per-query
     // persists stay billed to their own query on every sample.
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -61,8 +62,11 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) sec else -1.0
       }
-      val good = secs.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      // ANY failed attempt keeps the -1 sentinel — a min over the
+      // successful attempts would hide an intermittent failure behind
+      // a clean timing, breaking the "-1 can never be mistaken for a
+      // timing" contract the records rely on
+      name -> (if (secs.forall(_ >= 0)) secs.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

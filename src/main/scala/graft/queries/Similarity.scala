@@ -61,21 +61,29 @@ object Similarity extends QueryPack {
       .withColumn("rs",
         aggregate(col("q"), lit(0L), (acc, v) => acc + v))
       .persist() // both power steps read it
-    // ragged-dimension guard UP FRONT: mixed lengths corrupt BOTH
-    // outputs (x2 silently drops a short vector from its missing high
-    // indices; x3's zip_with null-pads and nulls out s2) — one cheap
-    // aggregate over the just-persisted input makes the failure loud
-    // before either result exists. Empty input stays legal (both
-    // outputs empty).
+    // ragged/null guard UP FRONT: mixed lengths corrupt BOTH outputs
+    // (x2 silently drops a short vector from its missing high
+    // indices; x3's zip_with null-pads and nulls out s2), and a NULL
+    // vector or null ELEMENT silently vanishes from every sum
+    // (posexplode of null emits nothing; null products null out).
+    // One cheap aggregate over the just-persisted input makes all of
+    // it loud before either result exists: rs is null iff q is null
+    // or contains a null element, so count(rs) < count(*) is the
+    // null witness. Empty input stays legal (both outputs empty).
     val dims = qv.agg(min(size(col("q"))).as("lo"),
-      max(size(col("q"))).as("hi")).head()
-    if (!dims.isNullAt(0) && dims.getInt(0) != dims.getInt(1)) {
+      max(size(col("q"))).as("hi"),
+      count(lit(1)).as("n"), count(col("rs")).as("nr")).head()
+    def fail(msg: String): Nothing = {
       qv.unpersist() // don't leak the cache on the failure path
-      throw new IllegalArgumentException(
-        s"powerSteps: ragged embedding dimensions " +
-          s"[${dims.getInt(0)}, ${dims.getInt(1)}] — every vector " +
-          "must have the same length")
+      throw new IllegalArgumentException(s"powerSteps: $msg")
     }
+    if (dims.getLong(2) != dims.getLong(3))
+      fail(s"${dims.getLong(2) - dims.getLong(3)} of ${dims.getLong(2)} " +
+        "vectors are NULL or contain null elements")
+    if (!dims.isNullAt(0) && dims.getInt(0) != dims.getInt(1))
+      fail(s"ragged embedding dimensions " +
+        s"[${dims.getInt(0)}, ${dims.getInt(1)}] — every vector " +
+        "must have the same length")
     val x2 = qv
       .select(col("rs"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg(sum(col("qi") * col("rs")).as("x2"))

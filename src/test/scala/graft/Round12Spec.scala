@@ -188,6 +188,30 @@ class Round12Spec extends SparkTestBase {
       s"expected the ragged-dimension error, got: $e")
     spark.catalog.clearCache() // powerSteps persists its inputs
 
+    // a NULL vector (and a null ELEMENT) must also fail loudly: both
+    // would otherwise silently vanish from every sum (posexplode of
+    // null emits nothing; null products null out of rs)
+    val withNullVec = Seq(
+      (1L, Seq(3L, -2L, 7L)),
+      (2L, null.asInstanceOf[Seq[Long]])
+    ).toDF("vec_id", "q")
+    val eNull = intercept[IllegalArgumentException] {
+      graft.queries.Similarity.powerSteps(withNullVec)
+    }
+    assert(eNull.getMessage.toLowerCase.contains("null"),
+      s"expected the null-vector error, got: $eNull")
+    spark.catalog.clearCache()
+    val withNullElem = Seq(
+      (1L, Seq[java.lang.Long](3L, -2L, 7L)),
+      (2L, Seq[java.lang.Long](0L, null, 1L))
+    ).toDF("vec_id", "q")
+    val eElem = intercept[IllegalArgumentException] {
+      graft.queries.Similarity.powerSteps(withNullElem)
+    }
+    assert(eElem.getMessage.toLowerCase.contains("null"),
+      s"expected the null-element error, got: $eElem")
+    spark.catalog.clearCache()
+
     // and the uniform case is unaffected
     val uniform = Seq(
       (1L, Seq(3L, -2L, 7L)),

@@ -30,7 +30,7 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).write
         .format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // dev-only subset selector (the driver sets neither): comma list
     // of query names for single-query timing iteration
@@ -51,9 +51,12 @@ object Bench {
       .map { case (name, fn) =>
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/LinkageError mid-query leaves the JVM
+        // in an unknown state — every later timing would be suspect —
+        // so fatal errors must kill the run, not record -1 and continue
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val sec = (System.nanoTime() - t0) / 1e9

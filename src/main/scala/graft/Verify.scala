@@ -31,6 +31,13 @@ object Verify {
           graft.core.OutputLint.assertDriverComparable(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      // Throwable here is DELIBERATE (unlike Bench, which narrows to
+      // NonFatal): every Verify result is independently hash-compared
+      // by the driver, so a wrong result from a degraded JVM is
+      // fail-visible — while aborting the run on one query's fatal
+      // error would cost the whole round's correctness evidence.
+      // Bench timings have no such cross-check, so there a fatal
+      // error must kill the JVM.
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale result dir from a prior run would otherwise be

@@ -37,6 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DerivedTable {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Number of cache-miss builds this JVM has paid — observable so
     * tests can assert the build really is amortized. */
   val builds = new AtomicInteger(0)
@@ -112,7 +114,16 @@ object DerivedTable {
     * unrelated artifacts proceed concurrently. Bump `version` whenever
     * the build derivation changes semantics — it is part of the
     * artifact identity, so an old on-disk artifact is never served to
-    * new code. */
+    * new code.
+    *
+    * The dataset content fingerprint is memoized per session (see
+    * [[fpMemo]]); if you mutate a dataset in-place within one JVM
+    * (test fixtures, or an mtime/length-preserving replacement like
+    * `rsync -t`), call [[refreshFingerprints]] before the next
+    * getOrBuild or a stale artifact will be served for the JVM's
+    * lifetime. Each cache-miss build logs its resolved table name —
+    * the fingerprint hash is in the name — so a suspected stale-serve
+    * incident is diagnosable from the run log. */
   def getOrBuild(
       spark: SparkSession,
       artifact: String,
@@ -137,6 +148,11 @@ object DerivedTable {
           fs.delete(loc, true)
           build.write.mode("overwrite").parquet(loc.toString)
           builds.incrementAndGet()
+          // the table name embeds the (path, content-fingerprint,
+          // version) hash — logging it per build makes a stale-serve
+          // incident (see fpMemo's documented rsync -t gap)
+          // diagnosable from the run log after the fact
+          log.info(s"built artifact $tbl for $datasetDir v$version")
         }
         // register as an EXTERNAL table over the committed location:
         // a DROP TABLE (or a sibling session that never saw the

@@ -444,7 +444,10 @@ object Graph extends QueryPack {
         // the initial edge list IS q185's pair-support table (same
         // p1<p2 / co-order-count ≥ 2 definition) — consume the shared
         // Baskets artifact instead of re-running the within-order
-        // self-join; the oracle still derives it from scratch
+        // self-join; the oracle still derives it from scratch. The
+        // artifact contract (build-once, value-identity vs fresh
+        // recomputation) is pinned by Round12Spec's "Baskets pair
+        // artifact" tests — edits here must keep those asserts green
         var edges = Baskets.pairSupports(s, d)
           .select(col("p1").as("u"), col("p2").as("v"))
           .localCheckpoint() // truncate lineage per round (TreeClosure idiom)

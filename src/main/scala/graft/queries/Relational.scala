@@ -338,7 +338,11 @@ object Relational extends QueryPack {
         // same table — the oracle still derives it from scratch, so
         // hash equality certifies the amortization). The singleton
         // supports stay inline: a base artifact measured neutral-to-
-        // negative (see Baskets scaladoc)
+        // negative (see Baskets scaladoc). The artifact contract is
+        // pinned in Round12Spec ("Baskets pair artifact" tests:
+        // build-once, value-identity vs fresh recomputation, and this
+        // query's plan keeping no join conditioned on l_orderkey) —
+        // edits here must keep those asserts green
         val op = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
           .distinct()

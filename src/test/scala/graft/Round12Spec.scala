@@ -14,10 +14,27 @@ import graft.operators.{DerivedTable, RangeLayout}
   */
 class Round12Spec extends SparkTestBase {
 
-  private def freshDatasetDir(): java.io.File = {
-    val d = Files.createTempDirectory("r12_derived_").toFile
-    d.deleteOnExit()
+  // deleteOnExit can't remove non-empty directories, so the parquet
+  // fixture trees these tests write would leak into the system temp
+  // dir every run — track them and delete recursively in afterAll
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  private def trackedTempDir(prefix: String): java.io.File = {
+    val d = Files.createTempDirectory(prefix).toFile
+    tempDirs.synchronized { tempDirs += d }
     d
+  }
+
+  private def freshDatasetDir(): java.io.File = trackedTempDir("r12_derived_")
+
+  override def afterAll(): Unit = {
+    try tempDirs.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d)
+    } finally super.afterAll()
   }
 
   test("DerivedTable rebuilds when the dataset content changes at the same path") {
@@ -225,8 +242,7 @@ class Round12Spec extends SparkTestBase {
   test("curve layouts reject bits outside [1, 31] before any write") {
     import spark.implicits._
     val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
-    val out = Files.createTempDirectory("r12_layout_").toFile
-    out.deleteOnExit()
+    val out = trackedTempDir("r12_layout_")
     // bits = 0: grid = 1 makes the overflow guard vacuous and
     // `max + 1` wraps — must be rejected up front, loudly
     val e0 = intercept[IllegalArgumentException] {

@@ -34,8 +34,10 @@ object Baskets {
 
   /** Artifact identity version — bump on ANY semantic change to
     * [[buildPairSupports]] (part of the DerivedTable table-name hash
-    * alongside the dataset content fingerprint). */
-  private val BuildVersion = 1
+    * alongside the dataset content fingerprint). v2: the build
+    * pre-partitions by l_orderkey (same values, different physical
+    * row order in the artifact). */
+  private val BuildVersion = 2
 
   /** Undirected co-purchase pair supports (p1 < p2, support ≥ 2),
     * materialized once per (session, dataset). */
@@ -48,8 +50,18 @@ object Baskets {
     * compare the artifact against a fresh from-scratch recomputation. */
   private[graft] def buildPairSupports(s: SparkSession, d: String)
       : DataFrame = {
+    // pre-partition by l_orderkey straight off the scan (guide §2.4/
+    // §2.5): the driver tables are single-row-group parquet files, so
+    // the scan is ONE task and the distinct's map-side ran single-core
+    // over all of lineitem. Keying the spread on l_orderkey makes the
+    // distinct (clustering on a superset), BOTH pair-join legs and the
+    // join itself reuse this one exchange — same shuffle count at any
+    // scale (the distinct needed an exchange anyway; (orderkey,
+    // partkey) is already near-unique so map-side partial aggregation
+    // saved nothing), but the map side now runs on every core.
     val op = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
       .distinct()
     op.select(col("l_orderkey"), col("l_partkey").as("p1"))
       .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")),

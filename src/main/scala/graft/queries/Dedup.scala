@@ -702,7 +702,12 @@ object Dedup extends QueryPack {
                 greatest(lit(1), expr("(size(tk) * 3) div 5"))),
               " ").as("text"))
         val corpus = base.unionByName(snips)
+        // spread by doc_id before the gram kernel (guide §2.5): the
+        // tokenize + 8-gram md5 explode — this query's dominant cost —
+        // ran on the scan's single task; the na aggregate below is
+        // clustered by the same key and reuses the exchange.
         val dg = corpus
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             explode(array_distinct(
               graft.functions.HashFunctions.ngramMd5(
@@ -1013,8 +1018,14 @@ object Dedup extends QueryPack {
       "q216_minhash_calibration",
       (s, d) => {
         val M = 2147483647L
+        // spread by doc_id off the single-task scan (guide §2.4/§2.5):
+        // the shingle+md5+8-lane kernel below ran on one core and the
+        // persisted sigs cache froze that single partition; keyed on
+        // doc_id, the two sig-side candidate joins reuse this
+        // partitioning with no further exchange.
         val docs = t(s, d, "documents")
           .filter(col("doc_id") % 4 === 0)
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             array_distinct(wordShingles(col("text"), 2)).as("sh"))
           .filter(size(col("sh")) >= 1)

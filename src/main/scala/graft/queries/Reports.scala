@@ -1131,12 +1131,18 @@ object Reports extends QueryPack {
     QueryDef(
       "q282_abc_xyz",
       (s, d) => {
+        // spread by l_partkey off the single-task scan (guide §2.4):
+        // both keyed aggregates below (rev by l_partkey, wkAgg by
+        // (l_partkey, wk)) are clustered by this one exchange and run
+        // with no further shuffle, and the cache — read by both —
+        // holds 32-way partitions instead of the scan's single one.
         val li = t(s, d, "lineitem")
           .select(col("l_partkey"),
             round(col("l_extendedprice") * 100).cast("long").as("r"),
             col("l_quantity").cast("long").as("q"),
             (datediff(col("l_shipdate").cast("date"),
               lit("1970-01-01").cast("date")) / 7).cast("long").as("wk"))
+          .repartition(col("l_partkey"))
           .persist()
         val rev = li.groupBy("l_partkey").agg(sum(col("r")).as("x"))
           .withColumn("negx", -col("x")).persist()
@@ -1240,6 +1246,12 @@ object Reports extends QueryPack {
             datediff(col("o_orderdate").cast("date"),
               lit("1970-01-01").cast("date")).cast("long").as("dk"),
             round(col("l_extendedprice") * 100).cast("long").as("r"))
+          // spread by dk (deterministic, ~2.4k distinct day keys)
+          // before persisting (guide §2.5): all dimension joins above
+          // broadcast, so the cache inherited the scan's single
+          // partition and every one of the six aggregate passes over
+          // it ran single-core.
+          .repartition(col("dk"))
           .persist()
         val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
         val halved = li.crossJoin(broadcast(rng))
@@ -1778,9 +1790,17 @@ object Reports extends QueryPack {
         // %997 projection forces its own distinct SHUFFLE either way —
         // see the Baskets scaladoc), so the extra artifact write was
         // pure overhead
+        // spread by l_orderkey off the single-task scan (guide §2.4/
+        // §2.5): the distinct reuses this exchange (clustering on a
+        // key subset), the three join legs join on l_orderkey with NO
+        // further exchange, and the persisted cache holds 32-way
+        // partitions instead of the scan's one — previously all four
+        // passes over the cache ran single-core.
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"),
-            (col("l_partkey") % 997).as("l_partkey")).distinct()
+            (col("l_partkey") % 997).as("l_partkey"))
+          .repartition(col("l_orderkey"))
+          .distinct()
           .persist() // read 4x: three join legs + singleton supports
         val nOrders = li.select("l_orderkey").distinct().count()
         val single = li.groupBy("l_partkey")

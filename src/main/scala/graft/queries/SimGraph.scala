@@ -34,8 +34,10 @@ object SimGraph {
   /** Artifact identity version — bump on ANY semantic change to
     * [[buildPairs]] so a committed on-disk artifact from older code is
     * never served to new code (part of the DerivedTable table-name
-    * hash alongside the dataset content fingerprint). */
-  private val BuildVersion = 1
+    * hash alongside the dataset content fingerprint). v2: the build
+    * pre-partitions the corpus by doc_id (same values, different
+    * physical row order in the artifact). */
+  private val BuildVersion = 2
 
   /** Undirected pair aggregate: (u, v, dot, ns) with u < v, dot =
     * Σ tf_u·tf_v over shared rare grams, ns = #shared rare grams.
@@ -54,7 +56,17 @@ object SimGraph {
     // to the HOF form; duplicates kept — tf needs them)
     val grams = graft.functions.HashFunctions
       .ngramJoin(tokens(lower(col("text"))), 3)
+    // pre-partition the corpus by doc_id before the gram kernel
+    // (guide §2.4/§2.5): the single-row-group driver file scans as ONE
+    // task, so tokenize+shingle+explode and the tf partial aggregate
+    // all ran on one core. Partitioning on doc_id satisfies the
+    // (doc_id, g) grouping's clustering requirement, so the tf
+    // aggregate's own exchange disappears — the shuffle moved earlier
+    // (skinny (doc_id, text) rows instead of exploded gram rows, i.e.
+    // FEWER bytes), and the gram pass now runs on every core.
     val tf = t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("tf"))

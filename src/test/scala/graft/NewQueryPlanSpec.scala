@@ -618,8 +618,15 @@ class NewQueryPlanSpec extends SparkTestBase {
   test("q111 decontaminate: bench broadcasts, excision mask is honest") {
     val df = SparkEntry.queries("q111_decontaminate")(spark, sf)
     df.collect()
+    // full adaptive plan string, NOT truncated at the first
+    // "== Initial Plan ==" marker: the r13 input-spread repartition
+    // nests an AdaptiveSparkPlan inside the InMemoryRelation, so the
+    // first marker now belongs to the cached subplan and truncating
+    // there would cut the hits subtree (and its broadcast) out of the
+    // asserted text. Both asserts are safe on the full string — the
+    // positive one only needs one occurrence, and neither the initial
+    // nor the final plan may degenerate to a product.
     val p = df.queryExecution.executedPlan.toString()
-      .split("== Initial Plan ==")(0)
     // the benchmark shingle set must broadcast to the gram stream —
     // never a shuffled or nested-loop join against the corpus
     assert(p.contains("BroadcastHashJoin"),

@@ -70,12 +70,21 @@ object Curation extends QueryPack {
     * small int).
     */
   def ngramDupStats(docs: DataFrame, n: Int): DataFrame = {
-    val gc = docs
+    // conditional input spread (no-op on a parallel scan) + persist:
+    // the spread parallelizes the gram-md5 kernel but also collapses
+    // the (doc_id, g) aggregate to an exchange-free complete form —
+    // which removes the ReusedExchange sharing point that used to let
+    // gc's TWO consumers (per-gram df + the join-back) share one
+    // kernel pass (measured: spread alone was 2.14 → 2.71 s at sf0.1,
+    // a real regression). Persisting gc restores build-once with the
+    // 32-way layout (QueryDef contract: embedders clearCache/query).
+    val gc = graft.operators.InputSpread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.HashFunctions.ngramMd5(toks(col("text")), n))
           .as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("c"))
+      .persist()
     val perGram = gc
       .groupBy("g")
       .agg(count(lit(1)).as("ndocs"))
@@ -95,7 +104,13 @@ object Curation extends QueryPack {
     * splits the corpus.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    // conditional input spread (no-op on a parallel scan): doc_id
+    // partitioning clusters every (doc_id, g) gram count, every
+    // per-doc rollup AND both per-doc joins below — after it the whole
+    // operator is exchange-free — and the three tokenize passes run on
+    // every core instead of the single scan task.
+    val base = graft.operators.InputSpread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("tk"))
     // unigrams explode the token array directly; 2/3-grams go through
     // the compiled positional-gram pass (NgramJoin; HOF-equivalence-
     // tested against `ngrams`)
@@ -1078,8 +1093,14 @@ object Curation extends QueryPack {
         val tgt = (hexpos(substring(
           md5(concat(lit("tgt:"), col("source"))), 1, 1)) < 6)
           .cast("long")
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
+        // conditional input spread (no-op on a parallel scan): doc_id
+        // partitioning clusters the (doc_id, is_target, b) bucket
+        // count, the per-doc score rollup and the final join-back, and
+        // the bigram-md5 kernel runs on every core
+        val docs = graft.operators.InputSpread.byKey(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
           .withColumn("is_target", tgt)
         val db = docs
           .select(col("doc_id"), col("is_target"),
@@ -1460,9 +1481,14 @@ object Curation extends QueryPack {
       "q108_corpus_to_shards",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // conditional input spread (no-op on a parallel scan): the
+        // curation kernel (tokenize + quality gates + PII redaction +
+        // fingerprint) ran on the single scan task
         val curated = graft.streaming.CurationStream.curate(
-          t(s, d, "documents")
-            .select(col("doc_id"), col("text"), col("source")))
+          graft.operators.InputSpread.byKey(
+            t(s, d, "documents")
+              .select(col("doc_id"), col("text"), col("source")),
+            col("doc_id")))
         // skinny BEFORE any exchange: (id, source, count, 32-hex fp)
         val slim = curated
           .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))

@@ -52,8 +52,12 @@ object Dedup extends QueryPack {
     // bucket table (16 longs/doc) feeds the two self-join sides and
     // embeds the minhash cost; the shingle table feeds the bucket
     // build plus the two verify re-attach joins (at sf0.1 it is ~2 MB
-    // of string arrays — far cheaper cached than re-tokenized 3×)
-    val sh = shingled(docs).persist()
+    // of string arrays — far cheaper cached than re-tokenized 3×).
+    // Spread by doc_id off the single-task scan first (guide §2.4/
+    // §2.5): the shingle + 64-hash minhash kernel ran on one core and
+    // both caches froze that layout; the two verify re-attach joins
+    // are doc-keyed and reuse this partitioning.
+    val sh = shingled(docs.repartition(col("doc_id"))).persist()
     val buckets = sh
       .select(
         col("doc_id"),
@@ -165,7 +169,11 @@ object Dedup extends QueryPack {
     * ~|vocab|²/2⁶⁴ and the string-space oracle would flag distortion).
     */
   private def hashedTokenSets(docs: DataFrame): DataFrame =
-    docs.select(
+    // spread by doc_id off the single-task scan (guide §2.5): both
+    // callers persist this frame and re-join it by doc id, so the
+    // tokenize+hash kernel and every cached pass ran on one core
+    // before; the id-keyed re-attach joins reuse the partitioning.
+    docs.repartition(col("doc_id")).select(
       col("doc_id"),
       col("lang"),
       array_sort(transform(array_distinct(tokens(col("text"))),
@@ -524,8 +532,13 @@ object Dedup extends QueryPack {
     QueryDef(
       "q97_winnowing",
       (s, d) => {
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
+        // conditional input spread (no-op on a parallel 100 TB scan):
+        // the gram-md5 + window-min winnowing kernel is this query's
+        // dominant cost and ran on the single scan task
+        val base = graft.operators.InputSpread.byKey(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
         val quotes = base
           .filter(col("doc_id") % 7 === 0)
           .select(col("doc_id"), tokens(col("text")).as("tk"))

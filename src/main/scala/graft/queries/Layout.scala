@@ -96,11 +96,17 @@ object Layout extends QueryPack {
       "q190_revenue_gini",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // persisted: three SEPARATE actions (the n count, the stripe
+        // offsets collect, the final aggregate) otherwise each re-run
+        // the full lineitem scan+aggregate — ReusedExchange only
+        // dedupes within one job, never across actions. ~20k rows
+        // cached (QueryDef contract: embedders clearCache per query).
         val rev = t(s, d, "lineitem")
           .select(col("l_partkey"),
             round(col("l_extendedprice") * 100).cast("long").as("ec"))
           .groupBy("l_partkey")
           .agg(sum(col("ec")).as("v"))
+          .persist()
         val n = rev.count()
         // global rank WITHOUT an unpartitioned window (the repo lint
         // forbids those for cause): the q61 two-phase shape — rank

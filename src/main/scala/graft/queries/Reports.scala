@@ -913,12 +913,20 @@ object Reports extends QueryPack {
             col("l_quantity").cast("long").as("q"),
             round(col("l_extendedprice") * 100).cast("long").as("r"))
         val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
-        val per = li.crossJoin(broadcast(rng))
+        // spread by l_partkey (guide §2.4: orders broadcasts, so the
+        // stream side kept the scan's single partition) — the period
+        // aggregate below is then clustered (no exchange), and the
+        // persisted ~2-rows-per-part result serves BOTH period
+        // branches and the part-keyed full-outer join without
+        // re-running the corpus pass per branch or re-shuffling.
+        val per = li.repartition(col("l_partkey"))
+          .crossJoin(broadcast(rng))
           .withColumn("h",
             when(col("dk") * 2 <= col("lo") + col("hi"), 1L)
               .otherwise(2L))
           .groupBy("l_partkey", "h")
           .agg(sum(col("q")).as("q"), sum(col("r")).as("r"))
+          .persist()
         val p1 = per.filter(col("h") === 1)
           .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
         val p2 = per.filter(col("h") === 2)

@@ -259,7 +259,12 @@ object Similarity extends QueryPack {
       transform(col("embedding"),
         (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
         .as("embedding"))
-    base.unionByName(twins)
+    // spread by vec_id (guide §2.5): every consumer persists this
+    // corpus and runs hash/distance kernels over the cache — off the
+    // single-task scan the union was 1+1 partitions and those kernels
+    // ran on one core; id-keyed probe re-attach joins downstream
+    // reuse the partitioning.
+    base.unionByName(twins).repartition(col("vec_id"))
   }
 
   /** Base corpus + TopK planted twins per probe, built identically in
@@ -275,7 +280,9 @@ object Similarity extends QueryPack {
         transform(col("embedding"),
           (x, i) => when(i === col("j"), lit(0.0f)).otherwise(x))
           .as("embedding"))
+    // spread by vec_id — same rationale as plantedNeardupCorpus
     e.select(col("vec_id"), col("embedding")).unionByName(twins)
+      .repartition(col("vec_id"))
   }
 
   /** The shared oracle prelude: the planted corpus in DuckDB SQL. */
@@ -364,8 +371,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q24_knn_brute",
       (s, d) => {
+        // spread the corpus side by vec_id (guide §2.5): the probes
+        // broadcast, so the 200k-pair cosine fold otherwise runs on
+        // the scan's single task.
         val e = emb(s, d)
-        bruteForceTopK(e.filter(col("vec_id") < NumProbes), e, TopK)
+        bruteForceTopK(e.filter(col("vec_id") < NumProbes),
+          e.repartition(col("vec_id")), TopK)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -736,7 +747,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q105_kmeans_refine",
       (s, d) => {
-        val qe = emb(s, d).select(col("vec_id"),
+        // conditional input spread (no-op on a parallel scan): both
+        // broadcast-assign passes fold 8×64-long distances per row off
+        // the scan's single task otherwise
+        val qe = graft.operators.InputSpread
+          .byKey(emb(s, d), col("vec_id"))
+          .select(col("vec_id"),
           transform(col("embedding"), x =>
             floor(x.cast("double") * 1048576.0 + 0.5).cast("long"))
             .as("qv"))
@@ -900,7 +916,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q117_pq_search",
       (s, d) => {
-        val qe = emb(s, d).select(col("vec_id"),
+        // conditional input spread (no-op on a parallel scan): the
+        // encode pass folds 4×16 sub-distances against 16 seeds per
+        // row off the scan's single task otherwise
+        val qe = graft.operators.InputSpread
+          .byKey(emb(s, d), col("vec_id"))
+          .select(col("vec_id"),
           transform(col("embedding"), x =>
             floor(x.cast("double") * 1048576.0 + 0.5).cast("long"))
             .as("qv"))
@@ -1229,7 +1250,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q233_power_iteration",
       (s, d) => {
+        // spread by vec_id off the single-task scan (guide §2.5): the
+        // quantize kernel, the rs row-sum and both cached power-step
+        // passes inside powerSteps otherwise run single-core off the
+        // scan's one frozen partition.
         val quantized = emb(s, d)
+          .repartition(col("vec_id"))
           .select(col("vec_id"),
             transform(col("embedding"),
               x => round(x.cast("double") * 100).cast("long")).as("q"))

@@ -1253,9 +1253,14 @@ object Temporal extends QueryPack {
     QueryDef(
       "q165_equidepth_hist",
       (s, d) => {
-        val ev = t(s, d, "events")
-          .select(round(col("value") * 100).cast("long").as("c"))
-          .filter(col("c").isNotNull)
+        // conditional input spread (no-op on a parallel scan): the
+        // cache froze the scan's single partition, so every
+        // DistributedSelect narrowing pass ran single-core
+        val ev = graft.operators.InputSpread.byKey(
+          t(s, d, "events")
+            .select(round(col("value") * 100).cast("long").as("c"))
+            .filter(col("c").isNotNull),
+          col("c"))
           .persist()
         try {
           val n = ev.count()

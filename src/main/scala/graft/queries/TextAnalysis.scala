@@ -165,11 +165,12 @@ object TextAnalysis extends QueryPack {
     //      H = Σ n_c · (⌊log2 N⌋ − ⌊log2 n_c⌋), exact bigints in both
     //      engines (no float log anywhere). The 26 per-letter counts
     //      come from length-minus-replace over the lowered text — 26
-    //      codegen'd passes, still map-only and shuffle-free
-    //      (plan-asserted); a single-pass fused histogram Expression is
-    //      the obvious upgrade if this ever dominates a profile, but
-    //      the operator's scale story (pure per-row, linear scan) is
-    //      already the right one. ----
+    //      codegen'd passes, map-only off a parallel scan (the only
+    //      exchange is the conditional InputSpread, a no-op whenever
+    //      the scan itself is parallel — plan-asserted); a single-pass
+    //      fused histogram Expression is the obvious upgrade if this
+    //      ever dominates a profile, but the operator's scale story
+    //      (pure per-row, linear scan) is already the right one. ----
     QueryDef(
       "q114_char_entropy",
       (s, d) => {
@@ -179,7 +180,10 @@ object TextAnalysis extends QueryPack {
             length(expr(s"replace(lt, '$c', '')"))).cast("long")): _*)
         val bits = (c: org.apache.spark.sql.Column) =>
           (length(bin(c)) - 1).cast("long")
-        t(s, d, "documents")
+        graft.operators.InputSpread.byKey(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
           .select(col("doc_id"), col("source"),
             lower(col("text")).as("lt"))
           .select(col("doc_id"), col("source"), cnts.as("cnts"))
@@ -572,7 +576,13 @@ object TextAnalysis extends QueryPack {
         // duplicates kept for tf, one codegen'd pass per row
         val grams = graft.functions.HashFunctions
           .ngramJoin(tokens(lower(col("text"))), 3)
-        val sv = t(s, d, "documents")
+        // conditional input spread (no-op on a parallel scan): the
+        // shingle kernel and the distinct's map-side dedup ran on the
+        // single scan task
+        val sv = graft.operators.InputSpread.byKey(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
           .select(col("source"), explode(grams).as("g"))
           .distinct()
         val vocab = sv.groupBy("source").agg(count(lit(1)).as("v"))

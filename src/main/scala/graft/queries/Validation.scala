@@ -564,16 +564,23 @@ object Validation extends QueryPack {
         val nn = (c: Column) => coalesce(c.cast("string"), lit("<NULL>"))
         val cents = (c: Column) =>
           nn((c.cast("decimal(18,2)") * 100).cast("long"))
-        cksum(t(s, d, "orders"), "orders",
+        // conditional input spreads (no-ops on a parallel scan): the
+        // md5 canonicalization kernel is the whole cost and ran on one
+        // scan task per table; the checksum sums are commutative so
+        // the spread cannot move the result
+        val spread = graft.operators.InputSpread.byKey _
+        cksum(spread(t(s, d, "orders"), col("o_orderkey")), "orders",
           concat_ws("|", nn(col("o_orderkey")),
             nn(col("o_custkey")), nn(col("o_orderstatus")),
             cents(col("o_totalprice"))))
-          .unionByName(cksum(t(s, d, "lineitem"), "lineitem",
+          .unionByName(cksum(
+            spread(t(s, d, "lineitem"), col("l_orderkey")), "lineitem",
             concat_ws("|", nn(col("l_orderkey")),
               nn(col("l_partkey")),
               nn(col("l_suppkey")),
               cents(col("l_quantity")), cents(col("l_extendedprice")))))
-          .unionByName(cksum(t(s, d, "customer"), "customer",
+          .unionByName(cksum(
+            spread(t(s, d, "customer"), col("c_custkey")), "customer",
             concat_ws("|", nn(col("c_custkey")), nn(col("c_name")),
               nn(col("c_nationkey")))))
       },
@@ -2488,6 +2495,10 @@ object Validation extends QueryPack {
             when(col("event_type") === "purchase", 1L).otherwise(0L)
               .as("pos"))
         val features = Seq("cents", "hour", "dow")
+        // deliberately kept as a 3-branch union: the branches are
+        // independent single-column scans that run as CONCURRENT
+        // stages; an explode-based single-scan melt was A/B-measured
+        // SLOWER at sf0.1 (4.15 → 4.60 s) and was reverted.
         val melted = features.zip(Seq("f_cents", "f_hour", "f_dow"))
           .map { case (nm, c) =>
             ev.select(lit(nm).as("feature"), col(c).as("x"), col("pos"))
@@ -2925,8 +2936,13 @@ object Validation extends QueryPack {
     QueryDef(
       "q313_catalog_audit",
       (s, d) => {
+        // conditional spread by the audited key (no-op on a parallel
+        // scan): the countDistinct dedup phase ran on each table's
+        // single scan task; keyed on the audit key it dedups in place
+        // with no further exchange before the 1-row rollup
         def arm(tbl: String, keyExpr: String) =
-          t(s, d, tbl).agg(count(lit(1)).as("n_rows"),
+          graft.operators.InputSpread.byKey(t(s, d, tbl), expr(keyExpr))
+            .agg(count(lit(1)).as("n_rows"),
             countDistinct(expr(keyExpr)).as("n_keys"))
             .select(lit(tbl).as("tbl"), col("n_rows"), col("n_keys"),
               when(col("n_rows") === col("n_keys"), 1L).otherwise(0L)

@@ -36,6 +36,9 @@ class CorpusSpec extends SparkTestBase {
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val once = q.fn(spark, dir).collect().toSet
     docs.repartition(16).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the dataset was regenerated in place — drop the memoized table
+    // handle (Tables.t contract: datasets are immutable per JVM)
+    graft.core.Tables.refreshTables()
     val again = q.fn(spark, dir).collect().toSet
     assert(once === again)
   }
@@ -51,6 +54,8 @@ class CorpusSpec extends SparkTestBase {
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val once = q.fn(spark, dir).collect().toSet
     docs.repartition(16).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // regenerated in place — drop the memoized table handle
+    graft.core.Tables.refreshTables()
     val again = q.fn(spark, dir).collect().toSet
     assert(once === again)
     val perLang = once.groupBy(_.getString(0)).view.mapValues(_.size).toMap

@@ -529,11 +529,14 @@ class NewQueryPlanSpec extends SparkTestBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==")(0)
-    // the whole 5-stage composition pays exactly two shuffles: the fp
-    // dedup window and the (source, shard) packing window; the final
-    // manifest groupBy must reuse the packing partitioning
-    assert(p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 2,
+    // the whole 5-stage composition pays exactly two shuffles beyond
+    // the r13 conditional input spread (REPARTITION_BY_COL, a no-op on
+    // a parallel scan): the fp dedup window and the (source, shard)
+    // packing window; the final manifest groupBy must reuse the
+    // packing partitioning
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_COL")) == 2,
       s"expected exactly the 2 window exchanges:\n$p")
     assert(!p.contains("Join"), s"the composition must not join:\n$p")
     // document text must never enter a window (the q88 discipline)
@@ -700,9 +703,19 @@ class NewQueryPlanSpec extends SparkTestBase {
   }
 
   test("q114 char entropy: map-only, shuffle-free, scan prunes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Join => LJoin, RepartitionOperation}
     val df = SparkEntry.queries("q114_char_entropy")(spark, sf)
+    // map-only up to the r13 conditional input spread (a no-op on a
+    // parallel scan): at most ONE repartition, no joins, and no other
+    // exchange-introducing operator in the optimized plan
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case j: LJoin => j }.isEmpty,
+      s"entropy gate joins:\n$opt")
+    val reparts = opt.collect { case r: RepartitionOperation => r }
+    assert(reparts.size <= 1,
+      s"entropy gate shuffles beyond the input spread:\n$opt")
     val p = df.queryExecution.executedPlan.toString()
-    assert(!p.contains("Exchange"), s"entropy gate shuffles:\n$p")
     assert(!p.contains("Join"), s"entropy gate joins:\n$p")
     val rows = df.collect()
     assert(rows.nonEmpty)

@@ -1254,12 +1254,11 @@ object Reports extends QueryPack {
             datediff(col("o_orderdate").cast("date"),
               lit("1970-01-01").cast("date")).cast("long").as("dk"),
             round(col("l_extendedprice") * 100).cast("long").as("r"))
-          // spread by dk (deterministic, ~2.4k distinct day keys)
-          // before persisting (guide §2.5): all dimension joins above
-          // broadcast, so the cache inherited the scan's single
-          // partition and every one of the six aggregate passes over
-          // it ran single-core.
-          .repartition(col("dk"))
+          // NOT spread before the persist: a dk-keyed repartition was
+          // A/B-measured SLOWER in the same-window suite (2.91 →
+          // 3.51 s at sf0.1) — the added exchange + 32-way cache write
+          // cost more than the six single-partition aggregate passes
+          // it parallelized. Reverted r13.
           .persist()
         val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
         val halved = li.crossJoin(broadcast(rng))

@@ -61,15 +61,20 @@ object SimGraph {
     // task, so tokenize+shingle+explode and the tf partial aggregate
     // all ran on one core. Partitioning on doc_id satisfies the
     // (doc_id, g) grouping's clustering requirement, so the tf
-    // aggregate's own exchange disappears — the shuffle moved earlier
-    // (skinny (doc_id, text) rows instead of exploded gram rows, i.e.
-    // FEWER bytes), and the gram pass now runs on every core.
+    // aggregate's own exchange disappears — but that exchange was also
+    // the ReusedExchange sharing point between tf's THREE consumers
+    // (rare + both posting sides), so tf is persisted to keep the gram
+    // pass build-once (same-window suite A/B caught the kernel running
+    // twice without it). The build runs once per (session, dataset);
+    // the embedder's clearCache releases the cache after the first
+    // consumer materializes the artifact.
     val tf = t(s, d, "documents")
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 50)
     val posting = tf.join(broadcast(rare.select("g")), Seq("g"))

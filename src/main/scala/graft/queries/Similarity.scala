@@ -259,12 +259,12 @@ object Similarity extends QueryPack {
       transform(col("embedding"),
         (x, i) => when(i % 32 === 0, lit(0.0f)).otherwise(x))
         .as("embedding"))
-    // spread by vec_id (guide §2.5): every consumer persists this
-    // corpus and runs hash/distance kernels over the cache — off the
-    // single-task scan the union was 1+1 partitions and those kernels
-    // ran on one core; id-keyed probe re-attach joins downstream
-    // reuse the partitioning.
-    base.unionByName(twins).repartition(col("vec_id"))
+    // NOT spread: unlike plantedAnnCorpus below, a vec_id repartition
+    // here was A/B-measured neutral-to-slower in the same-window
+    // suite (q26 ~1.0×, q78 0.54 → 0.66 s) — the 16-bit hash kernels
+    // its consumers run are too cheap to amortize the exchange.
+    // Reverted r13.
+    base.unionByName(twins)
   }
 
   /** Base corpus + TopK planted twins per probe, built identically in
@@ -1250,12 +1250,11 @@ object Similarity extends QueryPack {
     QueryDef(
       "q233_power_iteration",
       (s, d) => {
-        // spread by vec_id off the single-task scan (guide §2.5): the
-        // quantize kernel, the rs row-sum and both cached power-step
-        // passes inside powerSteps otherwise run single-core off the
-        // scan's one frozen partition.
+        // NOT spread: a vec_id repartition before powerSteps was
+        // A/B-measured SLOWER in the same-window suite (0.76 → 1.12 s
+        // at sf0.1) — the 2k-vector kernel is too small to amortize
+        // the exchange. Reverted r13.
         val quantized = emb(s, d)
-          .repartition(col("vec_id"))
           .select(col("vec_id"),
             transform(col("embedding"),
               x => round(x.cast("double") * 100).cast("long")).as("q"))

@@ -1253,14 +1253,14 @@ object Temporal extends QueryPack {
     QueryDef(
       "q165_equidepth_hist",
       (s, d) => {
-        // conditional input spread (no-op on a parallel scan): the
-        // cache froze the scan's single partition, so every
-        // DistributedSelect narrowing pass ran single-core
-        val ev = graft.operators.InputSpread.byKey(
-          t(s, d, "events")
-            .select(round(col("value") * 100).cast("long").as("c"))
-            .filter(col("c").isNotNull),
-          col("c"))
+        // NOT spread: a keyed repartition before the persist was
+        // A/B-measured slightly SLOWER in the same-window suite
+        // (1.59 → 1.71 s at sf0.1) — the narrowing passes aggregate
+        // tiny amounts per round, so the exchange never pays for
+        // itself. Reverted r13.
+        val ev = t(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("c"))
+          .filter(col("c").isNotNull)
           .persist()
         try {
           val n = ev.count()

@@ -1265,25 +1265,43 @@ object Reports extends QueryPack {
           .withColumn("h",
             when(col("dk") * 2 <= col("lo") + col("hi"), 1L)
               .otherwise(2L))
-        def dim(name: String, c: String) = {
-          val per = halved.groupBy(col(c).as("v"))
-            .agg(sum(when(col("h") === 1, col("r")).otherwise(0L))
-              .as("r1"),
-              sum(when(col("h") === 2, col("r")).otherwise(0L))
-                .as("r2"))
-            .withColumn("delta", col("r2") - col("r1"))
-          val summary = per.agg(count(lit(1)).as("n_values"),
+        // r13 shape: the per-dimension branches each re-scanned the
+        // cached build TWICE (summary + top-1 subtree), 6 full cache
+        // passes plus rng's — melt the three dimension columns into
+        // (dim, v) rows with ONE explode pass instead, so the cache is
+        // read once for all three dimensions and the shared
+        // groupBy(dim, v) Exchange is the ReusedExchange point for the
+        // summary and top-1 branches. Same 3-row result (hash-exact vs
+        // the unchanged per-dimension oracle); union of three
+        // dimension plans → one melted plan.
+        val per = halved
+          .select(col("h"), col("r"), explode(array(
+            struct(lit("brand").as("dim"), col("p_brand").as("v")),
+            struct(lit("priority").as("dim"),
+              col("o_orderpriority").as("v")),
+            struct(lit("nation").as("dim"), col("n_name").as("v"))))
+            .as("dv"))
+          .select(col("dv.dim").as("dim"), col("dv.v").as("v"),
+            col("h"), col("r"))
+          .groupBy("dim", "v")
+          .agg(sum(when(col("h") === 1, col("r")).otherwise(0L))
+            .as("r1"),
+            sum(when(col("h") === 2, col("r")).otherwise(0L))
+              .as("r2"))
+          .withColumn("delta", col("r2") - col("r1"))
+        val summary = per.groupBy("dim")
+          .agg(count(lit(1)).as("n_values"),
             sum(abs(col("delta"))).as("sum_abs_delta"))
-          val top = per.orderBy(abs(col("delta")).desc, col("v"))
-            .limit(1).select(col("v").as("top_value"),
-              col("delta").as("top_delta"))
-          summary.crossJoin(broadcast(top))
-            .select(lit(name).as("dim"), col("n_values"),
-              col("sum_abs_delta"), col("top_value"), col("top_delta"))
-        }
-        dim("brand", "p_brand")
-          .unionByName(dim("priority", "o_orderpriority"))
-          .unionByName(dim("nation", "n_name"))
+        val top = per
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("dim")
+              .orderBy(abs(col("delta")).desc, col("v"))))
+          .filter(col("rk") === 1)
+          .select(col("dim"), col("v").as("top_value"),
+            col("delta").as("top_delta"))
+        summary.join(broadcast(top), Seq("dim"))
+          .select(col("dim"), col("n_values"), col("sum_abs_delta"),
+            col("top_value"), col("top_delta"))
       },
       Some("""
         WITH li AS (
@@ -1424,9 +1442,21 @@ object Reports extends QueryPack {
     //      cancels the denominators: num = (q2−q1)·(c1·q2 + c2·q1),
     //      den = (q2+q1)·(c2·q1 − c1·q2) — both exact int64 (revenue
     //      cents ~1e7 × quantity ~1e3 × quantity-sum ~1e3 ≪ 2^63).
-    //      The month pairing is an equi-join on (part, mkey+1) —
-    //      never a range join. Rows with den = 0 (equal unit price)
-    //      are excluded by stated semantics. ----
+    //      The month pairing is consecutive-month matching on
+    //      (part, mkey+1) — never a range join. Rows with den = 0
+    //      (equal unit price) are excluded by stated semantics.
+    //
+    //      r13 shape: the original self-join of pm with itself paid
+    //      the aggregate's final stage twice plus TWO join exchanges
+    //      on different keys ((l_partkey, mkey) vs (l_partkey,
+    //      mkey−1) — expressions differ, so ReusedExchange cannot
+    //      dedupe them). Since (l_partkey, mkey) is unique after the
+    //      groupBy, "the row with mkey+1" IS lead(1) over
+    //      (partition l_partkey, order mkey) filtered to
+    //      lead(mkey) = mkey+1 — one aggregate, one skinny window,
+    //      guard filter proves equivalence (hash-exact vs the
+    //      unchanged self-join oracle). Plan: 3 Exchange → 2, SMJ →
+    //      Window, aggregate computed once. ----
     QueryDef(
       "q307_arc_elasticity",
       (s, d) => {
@@ -1438,11 +1468,13 @@ object Reports extends QueryPack {
               .as("cents"))
           .groupBy("l_partkey", "mkey")
           .agg(sum(col("q")).as("q"), sum(col("cents")).as("c"))
-        val a = pm.select(col("l_partkey"), col("mkey"),
-          col("q").as("q1"), col("c").as("c1"))
-        val b = pm.select(col("l_partkey"), (col("mkey") - 1).as("mkey"),
-          col("q").as("q2"), col("c").as("c2"))
-        a.join(b, Seq("l_partkey", "mkey"))
+        val w = Window.partitionBy("l_partkey").orderBy("mkey")
+        pm.select(col("l_partkey"), col("mkey"),
+            col("q").as("q1"), col("c").as("c1"),
+            lead(col("mkey"), 1).over(w).as("mk2"),
+            lead(col("q"), 1).over(w).as("q2"),
+            lead(col("c"), 1).over(w).as("c2"))
+          .filter(col("mk2") === col("mkey") + 1)
           .withColumn("num", expr("(q2 - q1) * (c1 * q2 + c2 * q1)"))
           .withColumn("den", expr("(q2 + q1) * (c2 * q1 - c1 * q2)"))
           .filter(col("den") =!= 0)

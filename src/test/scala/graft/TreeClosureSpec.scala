@@ -22,6 +22,20 @@ class TreeClosureSpec extends SparkTestBase {
     assert(anc.length === expect.size, "no duplicate closure rows")
   }
 
+  test("diamond DAG: multi-path ancestors still deduplicate") {
+    // 4 has TWO parents (2, 3) that share parent 1 — ancestor 1 is
+    // reachable from 4 along two paths. The quadrupled round composes
+    // an un-deduped union with itself, so this shape is the one that
+    // would surface duplicate pairs if the in-plan distincts slipped.
+    val edges = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("child", "parent")
+    val anc = TreeClosure.ancestors(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(anc.toSet === Set((4L, 2L), (4L, 3L), (4L, 1L),
+      (2L, 1L), (3L, 1L)))
+    assert(anc.length === 5, "exactly one row per (node, anc) pair")
+  }
+
   test("forest with branching: ancestors never cross trees") {
     // tree A: 1 <- {2, 3}, 2 <- 4 ; tree B: 10 <- 11
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (11L, 10L))

@@ -932,20 +932,34 @@ object TextAnalysis extends QueryPack {
     QueryDef(
       "q304_skipgram_counts",
       (s, d) => {
-        val tokpos = t(s, d, "documents")
+        // r13: the ±k neighbor is lead(tok, k) over (doc_id, pos) —
+        // one window pass replaces the two position self-joins
+        // (guide §3.3: exploding 1M token positions and shuffling
+        // them through join exchanges just to look ±2 slots sideways
+        // in the SAME document's sequence). The 4 directed pair
+        // types then emit from ONE codegen'd generator (explode of a
+        // 4-struct array — deliberately NOT a filter() HOF, which
+        // runs interpreted per element) with document edges dropped
+        // by a plain null filter. Hash-exact vs the unchanged 4-way
+        // self-join oracle. Plan: 4 Exchange → 2, SMJ×2 → 1 Window.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val pairs = t(s, d, "documents")
           .select(col("doc_id"),
             posexplode(split(trim(lower(col("text"))), "\\s+")))
           .select(col("doc_id"), col("pos"), col("col").as("tok"))
-        val pairs = Seq(1, 2).map { k =>
-          val a = tokpos.select(col("doc_id"), col("pos"),
-            col("tok").as("tok_a"))
-          val b = tokpos.select(col("doc_id"),
-            (col("pos") - k).as("pos"), col("tok").as("tok_b"))
-          val j = a.join(b, Seq("doc_id", "pos"))
-          j.select(col("tok_a").as("center"), col("tok_b").as("context"))
-            .unionByName(j.select(col("tok_b").as("center"),
-              col("tok_a").as("context")))
-        }.reduce(_.unionByName(_))
+          .select(col("tok"),
+            lead(col("tok"), 1).over(w).as("c1"),
+            lead(col("tok"), 2).over(w).as("c2"))
+          .select(explode(array(
+            struct(col("tok").as("center"), col("c1").as("context")),
+            struct(col("c1").as("center"), col("tok").as("context")),
+            struct(col("tok").as("center"), col("c2").as("context")),
+            struct(col("c2").as("center"), col("tok").as("context"))))
+            .as("p"))
+          .select(col("p.center").as("center"),
+            col("p.context").as("context"))
+          .filter(col("center").isNotNull && col("context").isNotNull)
         pairs.groupBy("center", "context")
           .agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 20)

@@ -32,6 +32,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to DISK-backed temp files: every
+  // ImageIO.read/write otherwise creates (and deletes) a file under
+  // java.io.tmpdir PER CALL — for the codec queries that is tens of
+  // thousands of filesystem round trips per scan for images that are
+  // a few hundred bytes. Memory-backed streams decode/encode the
+  // identical bytes (golden fixtures + the q158/q326 oracles prove
+  // it); the JVM-global setter is idempotent and this object is the
+  // only ImageIO entry point in the engine.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to every media payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

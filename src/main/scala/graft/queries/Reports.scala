@@ -1446,17 +1446,18 @@ object Reports extends QueryPack {
     //      (part, mkey+1) — never a range join. Rows with den = 0
     //      (equal unit price) are excluded by stated semantics.
     //
-    //      r13 shape: the original self-join of pm with itself paid
-    //      the aggregate's final stage twice plus TWO join exchanges
-    //      on different keys ((l_partkey, mkey) vs (l_partkey,
-    //      mkey−1) — expressions differ, so ReusedExchange cannot
-    //      dedupe them). Since (l_partkey, mkey) is unique after the
-    //      groupBy, "the row with mkey+1" IS lead(1) over
-    //      (partition l_partkey, order mkey) filtered to
-    //      lead(mkey) = mkey+1 — one aggregate, one skinny window,
-    //      guard filter proves equivalence (hash-exact vs the
-    //      unchanged self-join oracle). Plan: 3 Exchange → 2, SMJ →
-    //      Window, aggregate computed once. ----
+    //      r13 shape: the original self-join of pm with itself
+    //      planned the scan + two-level aggregate chain TWICE (the
+    //      legs' pushed null filters differ — isnotnull(mkey) vs
+    //      isnotnull(mkey−1) — so ReusedExchange cannot dedupe them)
+    //      plus a BroadcastExchange of the second aggregated leg.
+    //      Since (l_partkey, mkey) is unique after the groupBy, "the
+    //      row with mkey+1" IS lead(1) over (partition l_partkey,
+    //      order mkey) filtered to lead(mkey) = mkey+1 — one
+    //      aggregate, one skinny window, guard filter proves
+    //      equivalence (hash-exact vs the unchanged self-join
+    //      oracle). Plan: two scans/aggregates + BroadcastHashJoin →
+    //      one scan/aggregate + l_partkey Exchange + Window. ----
     QueryDef(
       "q307_arc_elasticity",
       (s, d) => {

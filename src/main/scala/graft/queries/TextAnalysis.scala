@@ -934,14 +934,17 @@ object TextAnalysis extends QueryPack {
       (s, d) => {
         // r13: the ±k neighbor is lead(tok, k) over (doc_id, pos) —
         // one window pass replaces the two position self-joins
-        // (guide §3.3: exploding 1M token positions and shuffling
-        // them through join exchanges just to look ±2 slots sideways
-        // in the SAME document's sequence). The 4 directed pair
-        // types then emit from ONE codegen'd generator (explode of a
-        // 4-struct array — deliberately NOT a filter() HOF, which
-        // runs interpreted per element) with document edges dropped
-        // by a plain null filter. Hash-exact vs the unchanged 4-way
-        // self-join oracle. Plan: 4 Exchange → 2, SMJ×2 → 1 Window.
+        // (guide §3.3: the old plan ran the tokenize+posexplode
+        // generator EIGHT times — 4 union branches × 2 join sides —
+        // and broadcast the full exploded position table four times,
+        // one BroadcastHashJoin per branch, just to look ±2 slots
+        // sideways in the SAME document's sequence). The 4 directed
+        // pair types then emit from ONE codegen'd generator (explode
+        // of a 4-struct array — deliberately NOT a filter() HOF,
+        // which runs interpreted per element) with document edges
+        // dropped by a plain null filter. Hash-exact vs the unchanged
+        // 4-way self-join oracle. Plan: generator once, one doc_id
+        // Exchange + Window, zero joins.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")
         val pairs = t(s, d, "documents")

@@ -81,8 +81,13 @@ object PrefixScan {
         acc.withColumn(s"scan_local_$i", sum(col(v)).over(w))
     }
     // 3. band totals -> exclusive offsets; <= nBands rows by
-    //    construction, the bounded-collect contract
-    val totals = local.groupBy(bandCol)
+    //    construction, the bounded-collect contract. Aggregated over
+    //    `banded`, NOT `local`: the per-band totals sum the RAW value
+    //    columns, so running this action over the windowed frame made
+    //    the collect pay the within-band sort + window a second time
+    //    for nothing (r13 — the window now executes once, in the
+    //    caller's own action).
+    val totals = banded.groupBy(bandCol)
       .agg(cols.zipWithIndex.map { case ((v, _), i) =>
         sum(col(v)).as(s"t_$i") }.head,
         cols.zipWithIndex.tail.map { case ((v, _), i) =>

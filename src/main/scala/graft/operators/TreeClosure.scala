@@ -25,6 +25,7 @@ object TreeClosure {
   def ancestors(edges: DataFrame): DataFrame = {
     val base = edges.toDF("node", "anc").localCheckpoint()
     var closure = base
+    var closureCount = base.count()
     var grew = true
     while (grew) {
       // compose TWO doubling steps per checkpointed round (reach
@@ -42,8 +43,12 @@ object TreeClosure {
           .select(col("node"), col("anc2").as("anc")))
         .distinct()
       val next = jump(jump(closure)).localCheckpoint()
-      // closure is monotone — growth check by count, not except()
-      grew = next.count() > closure.count()
+      // closure is monotone — growth check by count, not except();
+      // carry the previous round's count instead of re-counting the
+      // old checkpoint (one fewer job per round)
+      val nextCount = next.count()
+      grew = nextCount > closureCount
+      closureCount = nextCount
       closure.unpersist()
       closure = next
     }

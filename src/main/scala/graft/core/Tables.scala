@@ -28,15 +28,19 @@ object Tables {
     * regenerates a fixture at the same path in-JVM calls
     * [[refreshTables]] first. */
   private val tableMemo =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   /** Drop memoized table handles — for tests that regenerate a fixture
     * dataset at the same path within one JVM. */
   private[graft] def refreshTables(): Unit = tableMemo.clear()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    // keyed on the session OBJECT (reference equality), not its
+    // identity hash: identity hashes can recur after GC, so a
+    // long-lived JVM creating many sessions could be served a frame
+    // bound to a stopped session under a hash-string key
     tableMemo.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, dir, name), {
+      (spark, dir, name), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // Only `events` carries the event-time column whose physical type
       // has varied across testdata vintages; gating on the table name

@@ -33,8 +33,17 @@ object InputSpread {
     * the physical plan without running a job for such frames; a frame
     * that already contains an exchange would have to materialize
     * query stages to answer it under AQE. */
-  def byKey(df: DataFrame, key: Column): DataFrame = {
-    val native = df.rdd.getNumPartitions
+  def byKey(df: DataFrame, key: Column): DataFrame = byKey(df, key, df)
+
+  /** Same gate, but the native-parallelism probe reads a SEPARATE
+    * exchange-free frame (normally the base-table scan feeding `df`).
+    * For a `df` that already contains a join, `df.rdd.getNumPartitions`
+    * would have to materialize query stages under AQE (running real
+    * work at plan-build time); probing the scan keeps the gate job-free
+    * while answering the question that actually matters — whether the
+    * INPUT arrives unsplittably. */
+  def byKey(df: DataFrame, key: Column, probe: DataFrame): DataFrame = {
+    val native = probe.rdd.getNumPartitions
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (native < target) df.repartition(key) else df
   }

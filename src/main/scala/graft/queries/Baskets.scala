@@ -50,18 +50,22 @@ object Baskets {
     * compare the artifact against a fresh from-scratch recomputation. */
   private[graft] def buildPairSupports(s: SparkSession, d: String)
       : DataFrame = {
-    // pre-partition by l_orderkey straight off the scan (guide §2.4/
-    // §2.5): the driver tables are single-row-group parquet files, so
-    // the scan is ONE task and the distinct's map-side ran single-core
-    // over all of lineitem. Keying the spread on l_orderkey makes the
-    // distinct (clustering on a superset), BOTH pair-join legs and the
-    // join itself reuse this one exchange — same shuffle count at any
-    // scale (the distinct needed an exchange anyway; (orderkey,
-    // partkey) is already near-unique so map-side partial aggregation
-    // saved nothing), but the map side now runs on every core.
-    val op = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey"))
+    // conditional pre-partition by l_orderkey straight off the scan
+    // (guide §2.4/§2.5): the driver tables are single-row-group parquet
+    // files, so the scan is ONE task and the distinct's map-side ran
+    // single-core over all of lineitem. Keying the spread on l_orderkey
+    // makes the distinct (clustering on a superset), BOTH pair-join
+    // legs and the join itself reuse this one exchange — same shuffle
+    // count at any scale (the distinct needed an exchange anyway;
+    // (orderkey, partkey) is already near-unique so map-side partial
+    // aggregation saved nothing), but the map side now runs on every
+    // core. On a many-file table the gate makes it a no-op, so raw
+    // rows are never shuffled where the distinct's partial aggregation
+    // would have shipped less.
+    val op = graft.operators.InputSpread.byKey(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"))
       .distinct()
     op.select(col("l_orderkey"), col("l_partkey").as("p1"))
       .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")),

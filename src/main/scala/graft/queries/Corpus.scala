@@ -428,14 +428,16 @@ object Corpus extends QueryPack {
         // grams, corpus grams, the reassembly join-back) — cache it
         // once instead of re-splitting the text each time (embedders
         // clearCache per query, QueryDef contract)
-        // spread by doc_id off the single-task scan (guide §2.4/§2.5):
-        // the tokenize kernel and all THREE cached passes previously
-        // ran single-core (the scan is one task and persist freezes
-        // that layout). Keying on doc_id lets the hits aggregate and
-        // the final doc-keyed join-back reuse this partitioning with
-        // no further exchange.
-        val docs = t(s, d, "documents")
-          .repartition(col("doc_id"))
+        // conditional spread by doc_id off the single-task scan (guide
+        // §2.4/§2.5): the tokenize kernel and all THREE cached passes
+        // previously ran single-core (the scan is one task and persist
+        // freezes that layout). Keying on doc_id lets the hits
+        // aggregate and the final doc-keyed join-back reuse this
+        // partitioning with no further exchange; on a many-file table
+        // the gate makes it a no-op — raw text rows are never shuffled
+        // just to spread them.
+        val docs = graft.operators.InputSpread.byKey(
+            t(s, d, "documents"), col("doc_id"))
           .select(col("doc_id"), rawTokens(col("text")).as("toks"))
           .persist()
         // gram fingerprints: compiled positional gram kernel + codegen
@@ -881,14 +883,16 @@ object Corpus extends QueryPack {
       "q333_pps_systematic",
       (s, d) => {
         val n = 500L
-        // spread by o_orderkey off the single-task scan (guide §2.5):
-        // both PrefixScan passes over the cache (the percentile cut
-        // aggregate and the banded window input) previously ran
-        // single-core off the scan's one frozen partition.
-        val w = t(s, d, "orders")
-          .select(col("o_orderkey"),
-            round(col("o_totalprice") * 100).cast("long").as("w_cents"))
-          .repartition(col("o_orderkey"))
+        // conditional spread by o_orderkey off the single-task scan
+        // (guide §2.5): both PrefixScan passes over the cache (the
+        // percentile cut aggregate and the banded window input)
+        // previously ran single-core off the scan's one frozen
+        // partition; no-op on a many-file table (the gate).
+        val w = graft.operators.InputSpread.byKey(
+            t(s, d, "orders")
+              .select(col("o_orderkey"),
+                round(col("o_totalprice") * 100).cast("long").as("w_cents")),
+            col("o_orderkey"))
           .persist() // PrefixScan reads it twice (cuts + scan)
         val cum = graft.operators.PrefixScan.runningSums(
           w, "o_orderkey", Seq.empty, Seq("w_cents" -> "cum_cents"))

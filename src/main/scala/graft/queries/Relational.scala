@@ -439,14 +439,16 @@ object Relational extends QueryPack {
       "q302_only_late_supplier",
       (s, d) => {
         val late = expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS")
-        // spread by l_orderkey off the single-task scan (guide §2.4):
-        // orders broadcasts, so j inherits this partitioning — the
-        // perOrder aggregate, the late-pair distinct (key subset) and
-        // the join-back are ALL clustered by this one exchange; before
-        // it each paid its own shuffle off a one-partition stream.
-        val j = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-          .repartition(col("l_orderkey"))
+        // conditional spread by l_orderkey off the single-task scan
+        // (guide §2.4): orders broadcasts, so j inherits this
+        // partitioning — the perOrder aggregate, the late-pair distinct
+        // (key subset) and the join-back are ALL clustered by this one
+        // exchange; before it each paid its own shuffle off a
+        // one-partition stream. No-op on a many-file table (the gate).
+        val j = graft.operators.InputSpread.byKey(
+            t(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")),
+            col("l_orderkey"))
           .join(t(s, d, "orders")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))

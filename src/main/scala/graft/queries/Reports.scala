@@ -913,13 +913,18 @@ object Reports extends QueryPack {
             col("l_quantity").cast("long").as("q"),
             round(col("l_extendedprice") * 100).cast("long").as("r"))
         val rng = li.agg(min(col("dk")).as("lo"), max(col("dk")).as("hi"))
-        // spread by l_partkey (guide §2.4: orders broadcasts, so the
-        // stream side kept the scan's single partition) — the period
-        // aggregate below is then clustered (no exchange), and the
-        // persisted ~2-rows-per-part result serves BOTH period
-        // branches and the part-keyed full-outer join without
-        // re-running the corpus pass per branch or re-shuffling.
-        val per = li.repartition(col("l_partkey"))
+        // conditional spread by l_partkey (guide §2.4: orders
+        // broadcasts, so the stream side kept the scan's single
+        // partition) — the period aggregate below is then clustered
+        // (no exchange), and the persisted ~2-rows-per-part result
+        // serves BOTH period branches and the part-keyed full-outer
+        // join without re-running the corpus pass per branch or
+        // re-shuffling. The gate probes the lineitem SCAN (li itself
+        // contains a join, which can't answer getNumPartitions without
+        // materializing query stages); no-op on a many-file table.
+        val per = graft.operators.InputSpread.byKey(
+            li, col("l_partkey"),
+            probe = t(s, d, "lineitem").select(col("l_partkey")))
           .crossJoin(broadcast(rng))
           .withColumn("h",
             when(col("dk") * 2 <= col("lo") + col("hi"), 1L)
@@ -1139,18 +1144,20 @@ object Reports extends QueryPack {
     QueryDef(
       "q282_abc_xyz",
       (s, d) => {
-        // spread by l_partkey off the single-task scan (guide §2.4):
-        // both keyed aggregates below (rev by l_partkey, wkAgg by
-        // (l_partkey, wk)) are clustered by this one exchange and run
-        // with no further shuffle, and the cache — read by both —
-        // holds 32-way partitions instead of the scan's single one.
-        val li = t(s, d, "lineitem")
-          .select(col("l_partkey"),
-            round(col("l_extendedprice") * 100).cast("long").as("r"),
-            col("l_quantity").cast("long").as("q"),
-            (datediff(col("l_shipdate").cast("date"),
-              lit("1970-01-01").cast("date")) / 7).cast("long").as("wk"))
-          .repartition(col("l_partkey"))
+        // conditional spread by l_partkey off the single-task scan
+        // (guide §2.4): both keyed aggregates below (rev by l_partkey,
+        // wkAgg by (l_partkey, wk)) are clustered by this one exchange
+        // and run with no further shuffle, and the cache — read by
+        // both — holds 32-way partitions instead of the scan's single
+        // one. No-op on a many-file table (the gate).
+        val li = graft.operators.InputSpread.byKey(
+            t(s, d, "lineitem")
+              .select(col("l_partkey"),
+                round(col("l_extendedprice") * 100).cast("long").as("r"),
+                col("l_quantity").cast("long").as("q"),
+                (datediff(col("l_shipdate").cast("date"),
+                  lit("1970-01-01").cast("date")) / 7).cast("long").as("wk")),
+            col("l_partkey"))
           .persist()
         val rev = li.groupBy("l_partkey").agg(sum(col("r")).as("x"))
           .withColumn("negx", -col("x")).persist()
@@ -1830,16 +1837,18 @@ object Reports extends QueryPack {
         // %997 projection forces its own distinct SHUFFLE either way —
         // see the Baskets scaladoc), so the extra artifact write was
         // pure overhead
-        // spread by l_orderkey off the single-task scan (guide §2.4/
-        // §2.5): the distinct reuses this exchange (clustering on a
-        // key subset), the three join legs join on l_orderkey with NO
-        // further exchange, and the persisted cache holds 32-way
-        // partitions instead of the scan's one — previously all four
-        // passes over the cache ran single-core.
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"),
-            (col("l_partkey") % 997).as("l_partkey"))
-          .repartition(col("l_orderkey"))
+        // conditional spread by l_orderkey off the single-task scan
+        // (guide §2.4/§2.5): the distinct reuses this exchange
+        // (clustering on a key subset), the three join legs join on
+        // l_orderkey with NO further exchange, and the persisted cache
+        // holds 32-way partitions instead of the scan's one —
+        // previously all four passes over the cache ran single-core.
+        // No-op on a many-file table (the gate).
+        val li = graft.operators.InputSpread.byKey(
+            t(s, d, "lineitem")
+              .select(col("l_orderkey"),
+                (col("l_partkey") % 997).as("l_partkey")),
+            col("l_orderkey"))
           .distinct()
           .persist() // read 4x: three join legs + singleton supports
         val nOrders = li.select("l_orderkey").distinct().count()

@@ -43,34 +43,52 @@ object SimGraph {
     * Σ tf_u·tf_v over shared rare grams, ns = #shared rare grams.
     * First call per (session, dataset) pays the corpus pass;
     * subsequent calls scan the materialized table. */
-  def pairs(s: SparkSession, d: String): DataFrame =
-    DerivedTable.getOrBuild(s, "sim_pairs", d, BuildVersion)(
-      buildPairs(s, d))
+  def pairs(s: SparkSession, d: String): DataFrame = {
+    // the build persists a corpus-sized (doc_id, gram, tf) frame; once
+    // getOrBuild has materialized the artifact that cache serves
+    // nothing and would otherwise stay pinned until the embedder's
+    // clearCache — release it HERE, but only when this call actually
+    // performed the build (the handle is only set on a cache miss)
+    var tfToRelease: Option[DataFrame] = None
+    val out = DerivedTable.getOrBuild(s, "sim_pairs", d, BuildVersion) {
+      val (p, tf) = buildPairsImpl(s, d)
+      tfToRelease = Some(tf)
+      p
+    }
+    tfToRelease.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** The one-corpus-pass pair derivation itself — a PURE function of
     * the dataset dir (the DerivedTable contract); exposed so the
     * integrity spec can compare the materialized artifact against a
     * fresh recomputation value-for-value. */
-  private[graft] def buildPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def buildPairs(s: SparkSession, d: String): DataFrame =
+    buildPairsImpl(s, d)._1
+
+  /** Returns (pairs, tf-handle): the second element is the persisted
+    * intermediate [[pairs]] unpersists after materialization. */
+  private def buildPairsImpl(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     // compiled one-pass POSITIONAL shingle kernel (string-identical
     // to the HOF form; duplicates kept — tf needs them)
     val grams = graft.functions.HashFunctions
       .ngramJoin(tokens(lower(col("text"))), 3)
-    // pre-partition the corpus by doc_id before the gram kernel
-    // (guide §2.4/§2.5): the single-row-group driver file scans as ONE
-    // task, so tokenize+shingle+explode and the tf partial aggregate
-    // all ran on one core. Partitioning on doc_id satisfies the
+    // conditional pre-partition of the corpus by doc_id before the
+    // gram kernel (guide §2.4/§2.5): the single-row-group driver file
+    // scans as ONE task, so tokenize+shingle+explode and the tf
+    // partial aggregate all ran on one core; the gate makes it a no-op
+    // on a many-file table. Partitioning on doc_id satisfies the
     // (doc_id, g) grouping's clustering requirement, so the tf
     // aggregate's own exchange disappears — but that exchange was also
     // the ReusedExchange sharing point between tf's THREE consumers
     // (rare + both posting sides), so tf is persisted to keep the gram
     // pass build-once (same-window suite A/B caught the kernel running
     // twice without it). The build runs once per (session, dataset);
-    // the embedder's clearCache releases the cache after the first
-    // consumer materializes the artifact.
-    val tf = t(s, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    // [[pairs]] unpersists tf as soon as the artifact is materialized.
+    val tf = graft.operators.InputSpread.byKey(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("tf"))
@@ -78,7 +96,7 @@ object SimGraph {
     val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 50)
     val posting = tf.join(broadcast(rare.select("g")), Seq("g"))
-    posting
+    val out = posting
       .select(col("g"), col("doc_id").as("u"), col("tf").as("tf_u"))
       .join(posting.select(col("g"), col("doc_id").as("v"),
         col("tf").as("tf_v")), Seq("g"))
@@ -86,6 +104,7 @@ object SimGraph {
       .groupBy("u", "v")
       .agg(sum(col("tf_u") * col("tf_v")).as("dot"),
         count(lit(1)).as("ns"))
+    (out, tf)
   }
 
   /** Directed view: both orientations of [[pairs]] — what per-doc

@@ -280,9 +280,11 @@ object Similarity extends QueryPack {
         transform(col("embedding"),
           (x, i) => when(i === col("j"), lit(0.0f)).otherwise(x))
           .as("embedding"))
-    // spread by vec_id — same rationale as plantedNeardupCorpus
-    e.select(col("vec_id"), col("embedding")).unionByName(twins)
-      .repartition(col("vec_id"))
+    // conditional spread by vec_id (no-op on a parallel scan) — the
+    // consumers' distance folds otherwise run on the single scan task
+    graft.operators.InputSpread.byKey(
+      e.select(col("vec_id"), col("embedding")).unionByName(twins),
+      col("vec_id"))
   }
 
   /** The shared oracle prelude: the planted corpus in DuckDB SQL. */
@@ -371,12 +373,12 @@ object Similarity extends QueryPack {
     QueryDef(
       "q24_knn_brute",
       (s, d) => {
-        // spread the corpus side by vec_id (guide §2.5): the probes
-        // broadcast, so the 200k-pair cosine fold otherwise runs on
-        // the scan's single task.
+        // conditional spread of the corpus side by vec_id (guide §2.5):
+        // the probes broadcast, so the 200k-pair cosine fold otherwise
+        // runs on the scan's single task; no-op on a many-file table.
         val e = emb(s, d)
         bruteForceTopK(e.filter(col("vec_id") < NumProbes),
-          e.repartition(col("vec_id")), TopK)
+          graft.operators.InputSpread.byKey(e, col("vec_id")), TopK)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -568,7 +568,8 @@ object Validation extends QueryPack {
         // md5 canonicalization kernel is the whole cost and ran on one
         // scan task per table; the checksum sums are commutative so
         // the spread cannot move the result
-        val spread = graft.operators.InputSpread.byKey _
+        val spread = (df: org.apache.spark.sql.DataFrame, k: Column) =>
+          graft.operators.InputSpread.byKey(df, k)
         cksum(spread(t(s, d, "orders"), col("o_orderkey")), "orders",
           concat_ws("|", nn(col("o_orderkey")),
             nn(col("o_custkey")), nn(col("o_orderstatus")),

@@ -60,14 +60,23 @@ object PrefixFilterJoin {
     val tok = ids.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("tok"))
       .select(col("id"), col("sz"), xxhash64(col("tok")).as("th"))
-    // class document frequency — the global-order key (rarest first)
-    val dfreq = tok.groupBy("th").agg(count(lit(1)).as("df"))
+    // class document frequency — the global-order key (rarest first).
+    // Computed as a count over a th-partitioned window, NOT a
+    // groupBy(th) + join back (the r14 change): the join form ran the
+    // token-explode kernel TWICE (once per join side — the partial
+    // aggregate and the raw side canonicalize differently, so
+    // ReusedExchange cannot dedupe them) and paid a second th
+    // exchange; the window ships every token row through ONE th
+    // exchange and reads df in place. Same value: tok holds one row
+    // per (id, class instance) with per-doc-distinct tokens, so the
+    // partition row count IS the class df.
+    val wdf = Window.partitionBy("th")
     // per-doc prefix: first sz − ceil(t·sz) + 1 rows under the
     // (df, th) class order; ties inside one class are interchangeable
     // because only `th` survives to the join. df = 1 classes cannot
     // form a pair — drop them before the candidate shuffle.
     val w = Window.partitionBy("id").orderBy(col("df"), col("th"))
-    val prefixes = tok.join(dfreq, Seq("th"))
+    val prefixes = tok.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <=
         col("sz") - expr(s"(sz * $p + ${q - 1}) div $q") + 1)

@@ -70,26 +70,25 @@ object Curation extends QueryPack {
     * small int).
     */
   def ngramDupStats(docs: DataFrame, n: Int): DataFrame = {
-    // conditional input spread (no-op on a parallel scan) + persist:
-    // the spread parallelizes the gram-md5 kernel but also collapses
-    // the (doc_id, g) aggregate to an exchange-free complete form —
-    // which removes the ReusedExchange sharing point that used to let
-    // gc's TWO consumers (per-gram df + the join-back) share one
-    // kernel pass (measured: spread alone was 2.14 → 2.71 s at sf0.1,
-    // a real regression). Persisting gc restores build-once with the
-    // 32-way layout (QueryDef contract: embedders clearCache/query).
+    // conditional input spread (no-op on a parallel scan), then ONE
+    // consumer of the (doc_id, g) counts: per-gram ndocs is a count
+    // over a g-partitioned window, NOT a groupBy(g) + join back
+    // (r14). The join form needed gc twice — r13 persisted it to keep
+    // the kernel build-once after the spread removed its
+    // ReusedExchange point. The window makes the sharing problem
+    // disappear: gc flows through ONE g exchange, df is read in
+    // place, no cache write, one fewer exchange, strictly fewer
+    // shuffled bytes at any scale. Same value: gc holds one row per
+    // (doc_id, g), so the g partition row count IS ndocs.
     val gc = graft.operators.InputSpread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.HashFunctions.ngramMd5(toks(col("text")), n))
           .as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("c"))
-      .persist()
-    val perGram = gc
-      .groupBy("g")
-      .agg(count(lit(1)).as("ndocs"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     gc
-      .join(perGram, Seq("g"))
+      .withColumn("ndocs", count(lit(1)).over(wg))
       .groupBy("doc_id")
       .agg(
         sum(col("c")).as("n_grams"),

@@ -53,11 +53,13 @@ object Dedup extends QueryPack {
     // embeds the minhash cost; the shingle table feeds the bucket
     // build plus the two verify re-attach joins (at sf0.1 it is ~2 MB
     // of string arrays — far cheaper cached than re-tokenized 3×).
-    // Spread by doc_id off the single-task scan first (guide §2.4/
-    // §2.5): the shingle + 64-hash minhash kernel ran on one core and
-    // both caches froze that layout; the two verify re-attach joins
-    // are doc-keyed and reuse this partitioning.
-    val sh = shingled(docs.repartition(col("doc_id"))).persist()
+    // Conditional spread by doc_id off the single-task scan first
+    // (guide §2.4/§2.5): the shingle + 64-hash minhash kernel ran on
+    // one core and both caches froze that layout; the two verify
+    // re-attach joins are doc-keyed and reuse this partitioning.
+    // No-op on a many-file table (the gate).
+    val sh = shingled(
+      graft.operators.InputSpread.byKey(docs, col("doc_id"))).persist()
     val buckets = sh
       .select(
         col("doc_id"),
@@ -169,11 +171,12 @@ object Dedup extends QueryPack {
     * ~|vocab|²/2⁶⁴ and the string-space oracle would flag distortion).
     */
   private def hashedTokenSets(docs: DataFrame): DataFrame =
-    // spread by doc_id off the single-task scan (guide §2.5): both
-    // callers persist this frame and re-join it by doc id, so the
-    // tokenize+hash kernel and every cached pass ran on one core
-    // before; the id-keyed re-attach joins reuse the partitioning.
-    docs.repartition(col("doc_id")).select(
+    // conditional spread by doc_id off the single-task scan (guide
+    // §2.5): both callers persist this frame and re-join it by doc id,
+    // so the tokenize+hash kernel and every cached pass ran on one
+    // core before; the id-keyed re-attach joins reuse the
+    // partitioning. No-op on a many-file table (the gate).
+    graft.operators.InputSpread.byKey(docs, col("doc_id")).select(
       col("doc_id"),
       col("lang"),
       array_sort(transform(array_distinct(tokens(col("text"))),
@@ -715,18 +718,29 @@ object Dedup extends QueryPack {
                 greatest(lit(1), expr("(size(tk) * 3) div 5"))),
               " ").as("text"))
         val corpus = base.unionByName(snips)
-        // spread by doc_id before the gram kernel (guide §2.5): the
-        // tokenize + 8-gram md5 explode — this query's dominant cost —
-        // ran on the scan's single task; the na aggregate below is
-        // clustered by the same key and reuses the exchange.
-        val dg = corpus
-          .repartition(col("doc_id"))
+        // conditional spread by doc_id before the gram kernel (guide
+        // §2.5): the tokenize + 8-gram md5 explode — this query's
+        // dominant cost — ran on the scan's single task; the na
+        // aggregate below is clustered by the same key and reuses the
+        // exchange. No-op on a many-file table (the gate).
+        val dg = graft.operators.InputSpread.byKey(corpus, col("doc_id"))
           .select(col("doc_id"),
             explode(array_distinct(
               graft.functions.HashFunctions.ngramMd5(
                 tokens(col("text")), 8))).as("g"))
-        val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df"))
-        val keep = dg.join(dfreq.filter(col("df") <= 50), Seq("g"))
+        // per-gram df as a count over a g-partitioned window, NOT a
+        // groupBy(g) + join back (r14): the join form ran the gram
+        // kernel TWICE — the partial-aggregate side and the raw join
+        // side canonicalize differently, so ReusedExchange cannot
+        // dedupe them, and the r13 persist attempt (caching the
+        // exploded rows) measured WORSE. The window ships each
+        // (doc_id, g) row through ONE g exchange and reads df in
+        // place — one kernel pass, one fewer exchange, strictly fewer
+        // shuffled bytes at any scale. Same value: dg is per-doc
+        // distinct, so the partition row count IS the df.
+        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        val keep = dg.withColumn("df", count(lit(1)).over(wg))
+          .filter(col("df") <= 50)
           .select(col("doc_id"), col("g"))
         val na = keep.filter(col("doc_id") >= off)
           .groupBy("doc_id").agg(count(lit(1)).as("na"))
@@ -1031,14 +1045,15 @@ object Dedup extends QueryPack {
       "q216_minhash_calibration",
       (s, d) => {
         val M = 2147483647L
-        // spread by doc_id off the single-task scan (guide §2.4/§2.5):
-        // the shingle+md5+8-lane kernel below ran on one core and the
-        // persisted sigs cache froze that single partition; keyed on
-        // doc_id, the two sig-side candidate joins reuse this
-        // partitioning with no further exchange.
-        val docs = t(s, d, "documents")
-          .filter(col("doc_id") % 4 === 0)
-          .repartition(col("doc_id"))
+        // conditional spread by doc_id off the single-task scan (guide
+        // §2.4/§2.5): the shingle+md5+8-lane kernel below ran on one
+        // core and the persisted sigs cache froze that single
+        // partition; keyed on doc_id, the two sig-side candidate joins
+        // reuse this partitioning with no further exchange. No-op on a
+        // many-file table (the gate).
+        val docs = graft.operators.InputSpread.byKey(
+            t(s, d, "documents").filter(col("doc_id") % 4 === 0),
+            col("doc_id"))
           .select(col("doc_id"),
             array_distinct(wordShingles(col("text"), 2)).as("sh"))
           .filter(size(col("sh")) >= 1)
@@ -1359,18 +1374,31 @@ object Dedup extends QueryPack {
     //      plan assert. ----
     QueryDef(
       "q291_setsim_join",
-      (s, d) =>
-        PrefixFilterJoin.selfJoin(
-          t(s, d, "documents")
-            .select(col("doc_id").as("id"),
-              wordShingles(col("text"), ShingleN).as("toks"))
-            .filter(size(col("toks")) > 0),
-          p = 9, q = 10)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          col("inter").cast("long").as("inter"),
-          col("size_a").cast("long").as("size_a"),
-          col("size_b").cast("long").as("size_b"),
-          col("jaccard")),
+      (s, d) => {
+        // conditional spread + persist (r14): selfJoin consumes this
+        // frame THREE times (the token explode feeding the prefix
+        // stage + the two verify re-attach joins), and each pass
+        // re-ran the tokenize+shingle kernel on the scan's single
+        // task. Spread by id so the kernel and the cache are 32-way
+        // and the id-keyed verify joins reuse the partitioning; the
+        // persisted frame is one row per doc (the lshCandidates
+        // precedent — NOT an exploded intermediate, which the r13
+        // boundary says never to cache). Embedders clearCache per
+        // query (QueryDef contract).
+        val ids = graft.operators.InputSpread.byKey(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            col("doc_id"))
+          .select(col("doc_id").as("id"),
+            wordShingles(col("text"), ShingleN).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .persist()
+        PrefixFilterJoin.selfJoin(ids, p = 9, q = 10)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("inter").cast("long").as("inter"),
+            col("size_a").cast("long").as("size_a"),
+            col("size_b").cast("long").as("size_b"),
+            col("jaccard"))
+      },
       Some("""
         WITH t AS (
           SELECT doc_id,

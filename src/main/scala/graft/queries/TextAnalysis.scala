@@ -668,13 +668,24 @@ object TextAnalysis extends QueryPack {
     QueryDef(
       "q217_ngram_novelty",
       (s, d) => {
-        val grams = t(s, d, "documents")
+        // conditional spread (no-op on a parallel scan): the shingle
+        // kernel otherwise runs on the scan's single task
+        val grams = graft.operators.InputSpread.byKey(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            col("doc_id"))
           .select(col("doc_id"),
             explode(array_distinct(wordShingles(col("text"), 3)))
               .as("g"))
-        val df = grams.groupBy("g")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        grams.join(df, Seq("g"))
+        // per-gram df as a count over a g-partitioned window, NOT a
+        // groupBy(g) + join back (r14): the join form ran the shingle
+        // kernel TWICE (partial-agg side vs raw join side — no
+        // ReusedExchange point) and the r13 persist attempt measured
+        // WORSE (2.30 → 2.48 s — caching exploded rows loses). The
+        // window ships each row through ONE g exchange and reads df in
+        // place. Same value: grams is per-doc distinct, so the g
+        // partition row count IS countDistinct(doc_id).
+        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        grams.withColumn("df", count(lit(1)).over(wg))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

@@ -235,19 +235,23 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
-  test("q72's gram join carries only (gram, id, count) — never text") {
-    import org.apache.spark.sql.catalyst.plans.logical.Join
+  test("q72's gram stage carries only (gram, id, count) — never text") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     val df = SparkEntry.queries("q72_ngram_corpus_dedup")(spark, sf)
     // the width contract is a logical-plan property (column pruning),
-    // and the optimized logical plan is not hidden behind AQE stages
+    // and the optimized logical plan is not hidden behind AQE stages.
+    // r14 replaced the per-gram df join-back with a g-partitioned
+    // window count, so the stronger contract holds: NO join exists at
+    // all, and the window (the one gram-keyed exchange) sees only the
+    // skinny (doc_id, g, c) rows.
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-    assert(joins.nonEmpty)
-    joins.foreach { j =>
-      j.children.foreach { c =>
-        assert(c.output.size <= 3, s"join input too wide:\n$j")
-        assert(!c.output.exists(_.name == "text"),
-          s"document text crossed into the gram join:\n$j")
-      }
+    assert(joins.isEmpty, s"q72 should be join-free since r14:\n$joins")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.output.size <= 3, s"window input too wide:\n$w")
+      assert(!w.child.output.exists(_.name == "text"),
+        s"document text crossed into the gram window:\n$w")
     }
   }
 }

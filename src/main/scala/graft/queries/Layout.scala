@@ -23,13 +23,29 @@ object Layout extends QueryPack {
     QueryDef(
       "q51_bucketed_join",
       (s, d) => {
-        val buckets = 8
+        // bucket count follows the session's parallelism (floor 8, the
+        // historical layout): with 8 buckets on a 32-core session the
+        // write ran 8 tasks and the read-side scan + SortMergeJoin +
+        // aggregate all ran 8-way. The RESULT is bucket-count
+        // independent (plain equi-join + per-key aggregate) and the
+        // plan shape is identical — zero exchanges either way.
+        val buckets = math.max(8, s.sparkContext.defaultParallelism)
         val orders = t(s, d, "orders")
           .select(col("o_orderkey").as("key"), col("o_totalprice"))
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey").as("key"), col("l_quantity"))
-        Bucketing.writeBucketed(orders, "g_orders_bkt", "key", buckets)
-        Bucketing.writeBucketed(items, "g_lineitem_bkt", "key", buckets)
+        // the two bucket writes are INDEPENDENT jobs — submit them from
+        // two driver threads so the second write's tasks back-fill the
+        // cores the first write's tail leaves idle (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future(Bucketing.writeBucketed(orders, "g_orders_bkt", "key",
+            buckets)),
+          Future(Bucketing.writeBucketed(items, "g_lineitem_bkt", "key",
+            buckets)))
+        writes.foreach(Await.result(_, Duration.Inf))
         Bucketing
           .colocatedJoin(s, "g_orders_bkt", "g_lineitem_bkt", "key")
           .groupBy("key")

@@ -3078,9 +3078,17 @@ object Temporal extends QueryPack {
           // PrefixScan reads this 3x and the totals row once more:
           // persist the level table so events aggregate exactly once
           .persist()
+        // persisted (r14): the rank self-join below consumes sc TWICE,
+        // and each leg re-ran the banded sort+window off the lv cache
+        // (the legs differ — rank vs rank−1 — so ReusedExchange cannot
+        // dedupe above the band exchange). The duplicated subtree
+        // contains the scan's expensive sort+window, which is exactly
+        // the r13 persist boundary; the cached frame is level-domain
+        // sized (distinct cents values), not event-sized.
         val sc = graft.operators.PrefixScan.runningSums(
           lv, "v", Seq.empty,
           Seq("ca" -> "cum_a", "cb" -> "cum_b", "one" -> "rank"))
+          .persist()
         val tot = lv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
         sc.select(col("rank"), col("v"), col("cum_a"), col("cum_b"))
           .join(sc.select((col("rank") - 1L).as("rank"),

@@ -38,8 +38,21 @@ object Multimodal {
   // thousands of filesystem round trips per scan for images that are
   // a few hundred bytes. Memory-backed streams decode/encode the
   // identical bytes (golden fixtures + the q158/q326 oracles prove
-  // it); the JVM-global setter is idempotent and this object is the
-  // only ImageIO entry point in the engine.
+  // it).
+  //
+  // Deliberately an OBJECT-INIT effect, not an engine-entry-point
+  // call: the codec kernels are closures referencing this object, so
+  // the initializer runs in every JVM that deserializes them —
+  // including real-cluster EXECUTORS, which a driver-side init hook
+  // would never reach. Known JVM-global implications, accepted and
+  // documented: any other ImageIO consumer in the same JVM also
+  // switches to fully heap-buffered streams (fine for this engine's
+  // few-hundred-byte images; a co-resident library decoding very
+  // large images would trade tmpdir I/O for heap), and the setting
+  // only applies once this object is class-loaded — i.e. exactly when
+  // the engine's own codec paths are about to run. The setter is
+  // idempotent and this object is the only ImageIO entry point in the
+  // engine.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried next to every media payload. */

@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object TreeClosure {
 
+  /** One pointer-doubling composition: closure ∪ (closure ∘ closure),
+    * deduped. The distinct stays INSIDE the lazy plan (no extra job)
+    * and bounds the duplicate-pair blowup of composing an un-deduped
+    * union with itself. Package-visible so TreeClosureSpec can pin
+    * the double-jump plan shape (the outer jump references the inner
+    * jump's subtree three times; avoiding a 3× recompute per round
+    * depends on ReuseExchange collapsing those duplicated shuffle
+    * subtrees — a Spark upgrade that broke that reuse would silently
+    * triple per-round work, which the spec's assertion now catches). */
+  private[graft] def jump(c: DataFrame): DataFrame = c
+    .union(c
+      .join(c.select(col("node").as("anc"), col("anc").as("anc2")),
+        Seq("anc"))
+      .select(col("node"), col("anc2").as("anc")))
+    .distinct()
+
   def ancestors(edges: DataFrame): DataFrame = {
     val base = edges.toDF("node", "anc").localCheckpoint()
     var closure = base
@@ -32,16 +48,7 @@ object TreeClosure {
       // quadruples per round): the closure rows are skinny int pairs,
       // so each round's cost is dominated by the fixed job/checkpoint
       // overhead, not data — halving the round count (ceil(log4 D)
-      // instead of ceil(log2 D) materializations) is the win. The
-      // inner distinct stays INSIDE the lazy plan (no extra job) and
-      // bounds the duplicate-pair blowup of composing an un-deduped
-      // union with itself.
-      def jump(c: DataFrame): DataFrame = c
-        .union(c
-          .join(c.select(col("node").as("anc"), col("anc").as("anc2")),
-            Seq("anc"))
-          .select(col("node"), col("anc2").as("anc")))
-        .distinct()
+      // instead of ceil(log2 D) materializations) is the win.
       val next = jump(jump(closure)).localCheckpoint()
       // closure is monotone — growth check by count, not except();
       // carry the previous round's count instead of re-counting the

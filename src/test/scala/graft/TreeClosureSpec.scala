@@ -45,4 +45,29 @@ class TreeClosureSpec extends SparkTestBase {
     assert(anc === Set((2L, 1L), (3L, 1L), (4L, 2L), (4L, 1L),
       (11L, 10L)))
   }
+
+  test("double-jump round reuses the inner jump's exchanges (no 3x recompute)") {
+    // jump(jump(c)) references the inner jump's union+join+distinct
+    // subtree THREE times (the outer union leg + both outer join
+    // legs); the per-round cost model assumes ReuseExchange collapses
+    // those duplicated shuffle subtrees so the inner jump computes
+    // ONCE. Pin that shape (measured r14, AQE off so the static
+    // ReuseExchange rule is visible in the plan: 4 real exchanges,
+    // 2 reuses): a Spark upgrade that broke the reuse would silently
+    // triple per-round work. AQE's runtime stage reuse dedupes the
+    // same way; this non-adaptive view is the assertable one.
+    val edges = (2L to 100L).map(i => (i, i / 2))
+      .toDF("node", "anc").localCheckpoint()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = TreeClosure.jump(TreeClosure.jump(edges))
+        .queryExecution.executedPlan.toString()
+      val real = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused"))
+      val reused = p.linesIterator.count(_.contains("ReusedExchange"))
+      assert(reused >= 2, s"inner-jump subtree no longer reused:\n$p")
+      assert(real <= 4, s"double-jump grew extra real exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -64,13 +64,22 @@ object PrefixScan {
     //    correct for ANY cut set — equal keys always land in the same
     //    band, and cut quality only affects balance, not the result.
     val probs = (1 until nBands).map(_.toDouble / nBands).mkString(", ")
-    val cuts = df.agg(
-      expr(s"transform(percentile($orderKeyCol, array($probs)), " +
-        "x -> CAST(x AS BIGINT))").as("cuts"))
-    val banded = df.crossJoin(broadcast(cuts))
+    // cuts collected ONCE and inlined as a literal array (bounded by
+    // nBands — the bounded-collect contract that already governs the
+    // band totals below). The previous broadcast-crossJoin form
+    // re-computed the percentile aggregate inside EVERY action over
+    // the banded frame — the totals collect AND the caller's own
+    // action each paid the full-input percentile plus a
+    // BroadcastNestedLoopJoin; the literal makes banding a pure
+    // projection (r14).
+    val cuts: Seq[Long] = Option(
+      df.agg(
+        expr(s"transform(percentile($orderKeyCol, array($probs)), " +
+          "x -> CAST(x AS BIGINT))").as("cuts"))
+        .head().getSeq[Long](0)).getOrElse(Seq.empty)
+    val banded = df
       .withColumn(bandCol,
-        size(filter(col("cuts"), c => col(orderKeyCol) > c)).cast("long"))
-      .drop("cuts")
+        size(filter(typedLit(cuts), c => col(orderKeyCol) > c)).cast("long"))
     // 2. within-band prefix sums under the full total order — all N
     //    value columns ride ONE window operator over one sort
     val w = Window.partitionBy(bandCol)

@@ -174,10 +174,16 @@ object TextAnalysis extends QueryPack {
     QueryDef(
       "q114_char_entropy",
       (s, d) => {
-        val letters = ('a' to 'z').toSeq
-        val cnts = array(letters.map(c =>
-          (length(col("lt")) -
-            length(expr(s"replace(lt, '$c', '')"))).cast("long")): _*)
+        // fused single-pass histogram (r14): the previous form was 26
+        // length-minus-replace expressions — 26 full string scans AND
+        // 26 string re-builds per row. AsciiLetterHistogram counts all
+        // 26 letters in one byte pass with zero allocation beyond the
+        // output array; byte counts equal the code-point counts the
+        // replace form produced because ASCII bytes never occur inside
+        // a multi-byte UTF-8 sequence (kernel scaladoc has the proof;
+        // UnicodeSpec pins equality against the replace form).
+        val cnts = graft.functions.UnicodeFunctions
+          .letterHistogram(col("lt"))
         val bits = (c: org.apache.spark.sql.Column) =>
           (length(bin(c)) - 1).cast("long")
         graft.operators.InputSpread.byKey(

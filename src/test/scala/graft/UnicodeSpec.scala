@@ -40,6 +40,31 @@ class UnicodeSpec extends SparkTestBase {
     assert(d == 2, s"expected 2 combining marks composed away, got $d")
   }
 
+  test("letterHistogram equals the 26 length-minus-replace expressions") {
+    // the r14 fused kernel counts BYTES; the replace form counted code
+    // points — equal for ASCII targets because multi-byte UTF-8 never
+    // contains ASCII byte values. Pin equality on real corpus text
+    // plus adversarial rows: multi-byte letters adjacent to ASCII,
+    // empty string, no letters at all.
+    import spark.implicits._
+    val corpus = graft.core.Tables.t(spark, SharedSpark.Sf001, "documents")
+      .select(lower(col("text")).as("lt")).limit(500)
+    val edge = Seq("", "éaé a zz", "ЖЖЖ", "aéb́c",
+      "the quick brown fox").toDF("lt")
+    val replaceForm = array(('a' to 'z').map(c =>
+      (length(col("lt")) -
+        length(expr(s"replace(lt, '$c', '')"))).cast("long")): _*)
+    for (df <- Seq(corpus, edge)) {
+      val bad = df
+        .select(replaceForm.as("want"),
+          graft.functions.UnicodeFunctions.letterHistogram(col("lt"))
+            .as("got"))
+        .filter(not(col("want") === col("got")))
+        .count()
+      assert(bad == 0L, "fused histogram diverged from the replace form")
+    }
+  }
+
   test("q280: allocation equals the brute-force greedy over the lattice") {
     val toks = graft.core.Tables.t(spark, SharedSpark.Sf001, "documents")
       .select(col("source"),

@@ -170,8 +170,11 @@ object TextFunctions {
   def qualityMetrics(c: Column): Column = {
     val toks = tokens(c)
     val nChars = length(c).cast("double")
-    val nAlpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
-    val nSpace = length(c) - length(regexp_replace(c, "\\s", ""))
+    // fused one-pass byte counters (r14): the regexp_replace forms
+    // re-built the whole string per row just to measure it — value
+    // equality (incl. multi-byte input) is pinned by UnicodeSpec
+    val nAlpha = UnicodeFunctions.alphaCount(c).cast("double")
+    val nSpace = UnicodeFunctions.whitespaceCount(c)
     val stop = array(langMarkers("en").map(lit): _*)
     struct(
       size(toks).cast("long").as("n_tokens"),

@@ -74,7 +74,76 @@ case class AsciiLetterHistogram(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of ASCII letters [A-Za-z] in ONE byte pass — the fused form
+  * of `length(regexp_replace(c, "[^A-Za-z]", ""))`, which re-built the
+  * whole string per row just to measure it. Byte counting is exact for
+  * the same UTF-8 reason as [[AsciiLetterHistogram]].
+  */
+case class AsciiAlphaCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ascii_alpha_count"
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeExpressionsInternal.alphaCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"graft.functions.UnicodeExpressionsInternal.alphaCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of ASCII regex-\s whitespace (space \t \n \x0B \f \r) in one
+  * byte pass — the fused form of
+  * `length(c) − length(regexp_replace(c, "\\s", ""))`. Java's \s
+  * matches exactly these six ASCII characters (no Unicode whitespace
+  * without UNICODE_CHARACTER_CLASS), so byte counting reproduces the
+  * regex semantics bit-for-bit.
+  */
+case class AsciiWhitespaceCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ascii_whitespace_count"
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeExpressionsInternal.whitespaceCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"graft.functions.UnicodeExpressionsInternal.whitespaceCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UnicodeExpressionsInternal {
+
+  def alphaCount(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def whitespaceCount(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == ' ' || (b >= 9 && b <= 13)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str,
@@ -105,4 +174,12 @@ object UnicodeFunctions {
   /** 26 'a'..'z' counts of a (lowered) string column in one pass. */
   def letterHistogram(c: Column): Column =
     shims.column(AsciiLetterHistogram(shims.expression(c)))
+
+  /** Count of [A-Za-z] characters in one pass. */
+  def alphaCount(c: Column): Column =
+    shims.column(AsciiAlphaCount(shims.expression(c)))
+
+  /** Count of regex-\s whitespace characters in one pass. */
+  def whitespaceCount(c: Column): Column =
+    shims.column(AsciiWhitespaceCount(shims.expression(c)))
 }

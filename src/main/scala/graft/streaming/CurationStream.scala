@@ -32,9 +32,12 @@ object CurationStream {
     val toks = split(trim(col("text")), "\\s+")
     docs
       .withColumn("n_tokens", size(toks).cast("long"))
+      // fused one-pass alpha counter (r14): the regexp_replace form
+      // re-built the whole document per row just to count its letters;
+      // value equality is pinned by UnicodeSpec
       .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-          length(col("text")))
+        graft.functions.UnicodeFunctions.alphaCount(col("text"))
+          .cast("double") / length(col("text")))
       .filter(col("n_tokens") >= minTokens &&
         col("alpha_ratio") >= minAlphaRatio)
       .withColumn("text", graft.queries.Curation.redactPii(col("text")))

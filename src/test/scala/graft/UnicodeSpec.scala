@@ -65,6 +65,26 @@ class UnicodeSpec extends SparkTestBase {
     }
   }
 
+  test("alphaCount/whitespaceCount equal their regexp_replace forms") {
+    import spark.implicits._
+    val corpus = graft.core.Tables.t(spark, SharedSpark.Sf001, "documents")
+      .select(col("text").as("t")).limit(500)
+    val edge = Seq("", "A b\tC\n", "éÉ Ж A", "no1letters2here!",
+      " \t\n\f\r", "a b").toDF("t") // U+00A0 is NOT regex-\s
+    val wantAlpha = length(regexp_replace(col("t"), "[^A-Za-z]", ""))
+      .cast("long")
+    val wantSpace = (length(col("t")) -
+      length(regexp_replace(col("t"), "\\s", ""))).cast("long")
+    for (df <- Seq(corpus, edge)) {
+      val bad = df.filter(
+        not(wantAlpha <=> graft.functions.UnicodeFunctions
+          .alphaCount(col("t"))) ||
+        not(wantSpace <=> graft.functions.UnicodeFunctions
+          .whitespaceCount(col("t")))).count()
+      assert(bad == 0L, "fused counters diverged from the regexp forms")
+    }
+  }
+
   test("q280: allocation equals the brute-force greedy over the lattice") {
     val toks = graft.core.Tables.t(spark, SharedSpark.Sf001, "documents")
       .select(col("source"),

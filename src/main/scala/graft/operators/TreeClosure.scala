@@ -49,7 +49,12 @@ object TreeClosure {
       // so each round's cost is dominated by the fixed job/checkpoint
       // overhead, not data — halving the round count (ceil(log4 D)
       // instead of ceil(log2 D) materializations) is the win.
-      val next = jump(jump(closure)).localCheckpoint()
+      // LAZY checkpoint + count: the eager form ran one job to
+      // materialize the checkpoint and a second to count it; with
+      // eager=false the count below is the action that materializes
+      // the checkpoint blocks — ONE job per round instead of two
+      // (r14; the count is mandatory anyway for the growth check)
+      val next = jump(jump(closure)).localCheckpoint(false)
       // closure is monotone — growth check by count, not except();
       // carry the previous round's count instead of re-counting the
       // old checkpoint (one fewer job per round)

@@ -155,7 +155,10 @@ object Dedup extends QueryPack {
         .join(hop, Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .localCheckpoint()
+        // LAZY: the changed-check below is the materializing action,
+        // so each round runs one job instead of checkpoint + check
+        // (r14; the TreeClosure idiom)
+        .localCheckpoint(false)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()

@@ -448,9 +448,12 @@ object Graph extends QueryPack {
         // artifact contract (build-once, value-identity vs fresh
         // recomputation) is pinned by Round12Spec's "Baskets pair
         // artifact" tests — edits here must keep those asserts green
+        // LAZY checkpoints throughout the peel (r14): the counts below
+        // are the materializing actions, so each round runs ONE job
+        // instead of checkpoint-job + count-job (TreeClosure idiom)
         var edges = Baskets.pairSupports(s, d)
           .select(col("p1").as("u"), col("p2").as("v"))
-          .localCheckpoint() // truncate lineage per round (TreeClosure idiom)
+          .localCheckpoint(false) // truncate lineage per round
         var prev = edges.count()
         var iter = 0
         var changed = true
@@ -464,7 +467,7 @@ object Graph extends QueryPack {
             .join(keep.select(col("n").as("u")), Seq("u"))
             .join(keep.select(col("n").as("v")), Seq("v"))
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(false)
           val cur = next.count()
           edges.unpersist()
           edges = next
